@@ -1,0 +1,73 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing methodology: per query, force full execution with a
+count-style action over the materialized result (write to noop would
+hide collect cost; .count() after .cache() would double-count —
+we use df.write.format('noop') which executes the full plan exactly
+once with no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from utils_infra_spark.queries import REGISTRY, _load
+from utils_infra_spark.session import get_spark
+
+# headline set: one per operator family + the heavy pipeline ops
+HEADLINE = [
+    "pricing_summary",
+    "composite_agg_orders",
+    "latest_event_per_user",
+    "enrich_customer_nation",
+    "top3_orders_per_customer",
+    "union_distinct_orders",
+    "dsl_filter_events",
+    "mercator_tile_cover",
+    "point_in_polygon_regions",
+    "dedup_exact_documents",
+    "minhash_near_dup_documents",
+    "embedding_topk_cosine",
+    "embedding_bucketed_pairs",
+    "text_stats_documents",
+    "token_histogram",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("utils-infra-bench")
+    _load()
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

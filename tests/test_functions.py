@@ -1,0 +1,130 @@
+"""Unit tests for scalar function families (§2.8) and operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from utils_infra_spark.functions.datetimes import (
+    floor_bucket,
+    format_aishub,
+    parse_aishub,
+    parse_compact_ts,
+    parse_dmy_hm,
+    relative_age,
+)
+from utils_infra_spark.functions.geo import point_in_polygon
+from utils_infra_spark.functions.strings import (
+    callsign_fallback,
+    fold_diacritics,
+    zero_pad,
+)
+from utils_infra_spark.operators.joins import upsert_latest
+from utils_infra_spark.plans.styling import apply_style_rules
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_parse_compact_ts(spark):
+    v = one(spark, parse_compact_ts(F.lit("20260220083000")))
+    assert str(v) == "2026-02-20 08:30:00"
+
+
+def test_parse_dmy_hm_and_tba(spark):
+    assert str(one(spark, parse_dmy_hm(F.lit("20/02/2026 17:24")))) == "2026-02-20 17:24:00"
+    assert one(spark, parse_dmy_hm(F.lit("TBA"))) is None
+
+
+def test_aishub_roundtrip(spark):
+    s = one(spark, format_aishub(F.lit("2026-02-20 08:30:00").cast("timestamp")))
+    assert s == "2026-02-20 08:30:00 UTC"
+    assert str(one(spark, parse_aishub(F.lit(s)))) == "2026-02-20 08:30:00"
+
+
+def test_floor_bucket_minus_one(spark):
+    # ref weather-proxy: floor to 10-min bucket minus one bucket
+    v = one(spark, floor_bucket(F.lit("2026-02-20 08:37:45").cast("timestamp"), 600, -1))
+    assert str(v) == "2026-02-20 08:20:00"
+
+
+def test_relative_age(spark):
+    now = F.lit("2026-02-20 12:00:00").cast("timestamp")
+    assert one(spark, relative_age(F.lit("2026-02-20 11:30:00").cast("timestamp"), now)) == "30m ago"
+    assert one(spark, relative_age(F.lit("2026-02-20 02:00:00").cast("timestamp"), now)) == "10h ago"
+    assert one(spark, relative_age(F.lit("2026-02-10 12:00:00").cast("timestamp"), now)) == "10d ago"
+
+
+def test_fold_diacritics(spark):
+    assert one(spark, fold_diacritics(F.lit("Ōtāhuhu"))) == "Otahuhu"
+
+
+def test_zero_pad(spark):
+    assert one(spark, zero_pad(F.lit(7), 2)) == "07"
+
+
+def test_callsign_fallback(spark):
+    df = spark.createDataFrame(
+        [("UNKNOWN", "NZ101", None), ("KIWI", "X", "Y"), ("UNKNOWN", None, "REG7")],
+        "callsign string, flight string, reg string",
+    )
+    out = [r.c for r in df.select(callsign_fallback("callsign", "flight", "reg").alias("c")).collect()]
+    assert out == ["NZ101", "KIWI", "REG7"]
+
+
+@pytest.mark.parametrize(
+    "lon,lat,expect",
+    [
+        (0.0, 0.0, True),      # center
+        (9.9, 9.9, True),      # near corner, inside
+        (10.1, 0.0, False),    # just outside east edge
+        (-10.1, -10.1, False), # outside corner
+    ],
+)
+def test_point_in_polygon_square(spark, lon, lat, expect):
+    ring = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in [(-10, -10), (10, -10), (10, 10), (-10, 10), (-10, -10)]
+        ]
+    )
+    got = one(spark, point_in_polygon(F.lit(lon), F.lit(lat), ring).cast("boolean"))
+    assert got is expect
+
+
+def test_point_in_polygon_concave(spark):
+    # L-shape: the notch (5,5) is OUTSIDE
+    coords = [(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)]
+    ring = F.array(*[F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")) for x, y in coords])
+    assert one(spark, point_in_polygon(F.lit(5.0), F.lit(5.0), ring)) is False
+    assert one(spark, point_in_polygon(F.lit(2.0), F.lit(8.0), ring)) is True
+    assert one(spark, point_in_polygon(F.lit(8.0), F.lit(2.0), ring)) is True
+
+
+def test_upsert_latest_merge(spark):
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "A"), (2, "2024-01-01 10:00:00", "B")],
+        "k int, ts string, v string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    updates = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", "A2"), (3, "2024-01-01 09:00:00", "C")],
+        "k int, ts string, v string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    out = {r.k: r.v for r in upsert_latest(base, updates, "k", "ts").collect()}
+    assert out == {1: "A2", 2: "B", 3: "C"}  # newer wins, absent inserted
+
+
+def test_style_rules_first_match_and_delete(spark):
+    df = spark.createDataFrame(
+        [(1, "Point", 5.0), (2, "Point", 50.0), (3, "LineString", 5.0), (4, "Point", 500.0)],
+        "id int, geometry_type string, val double",
+    )
+    rules = [
+        {"query": "val >= 500", "styles": {}, "delete": True},
+        {"query": "val >= 50", "styles": {"color": "red"}},
+        {"query": "val >= 5", "styles": {"color": "orange"}},
+    ]
+    defaults = {"Point": {"color": "blue"}, "LineString": {"color": "green"}}
+    out = {r.id: r.color for r in apply_style_rules(df, rules, defaults=defaults).collect()}
+    assert out == {1: "orange", 2: "red", 3: "orange"}  # 4 deleted; first match wins

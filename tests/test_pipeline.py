@@ -1,0 +1,116 @@
+"""Unit tests for the LLM-pipeline operators: dedup (exact, MinHash
+LSH vs brute-force ground truth, simhash), similarity, text analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from utils_infra_spark.pipeline.dedup import (
+    dedup_exact,
+    jaccard,
+    minhash_near_duplicates,
+    shingles,
+    simhash64,
+)
+from utils_infra_spark.pipeline.similarity import brute_force_topk, cosine
+from utils_infra_spark.pipeline.text import lang_guess, quality_score, token_count
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines here"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso"),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(docs_df(spark), "text", "doc_id").collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[1] == 2  # docs 1+2 collapse, min id kept
+    assert len(out) == 5
+
+
+def test_shingles_hof(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id int, text string")
+    [row] = df.select(shingles("text", 3).alias("s")).collect()
+    assert row.s == ["a b c", "b c d"]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
+    [row] = df.select(shingles("text", 3).alias("s")).collect()
+    assert row.s == ["a b"]
+
+
+def test_minhash_finds_near_dups_vs_bruteforce(spark):
+    df = docs_df(spark)
+    got = {(r.id_a, r.id_b) for r in minhash_near_duplicates(df, "text", "doc_id", threshold=0.5).collect()}
+    # brute-force ground truth at the same threshold
+    base = df.select(F.col("doc_id").alias("id"), shingles("text", 3).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"))
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert (1, 2) in got  # exact dup must always collide in every band
+    assert got <= truth  # LSH+verify never yields false positives
+    assert len(got) >= len(truth) - 1  # recall: at most one borderline miss
+
+
+def test_simhash_similar_texts_close(spark):
+    df = docs_df(spark).select("doc_id", simhash64("text").alias("h"))
+    h = {r.doc_id: r.h for r in df.collect()}
+    assert h[1] == h[2]  # identical text → identical simhash
+    ham_near = bin((h[1] ^ h[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham_far = bin((h[1] ^ h[4]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_near < ham_far  # one-word edit is closer than disjoint text
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df.where("vec_id = 0"), df, k=3).orderBy("rnk").collect()
+    assert [r.cand_id for r in out] == [1, 2, 3]
+    assert out[0].rnk == 1 and out[0].cos_sim > 0.99
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([(1,)], "id int").select(
+        cosine(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(1.0), F.lit(2.0))).alias("c")
+    )
+    assert abs(df.first().c - 1.0) < 1e-12
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is a good cat today ok"), (2, ""), (3, "x")],
+        "id int, text string",
+    )
+    out = {r.id: r for r in df.select("id", token_count("text").alias("n"), quality_score("text").alias("q")).collect()}
+    assert out[1].n == 14
+    assert out[2].n == 0
+    assert out[1].q > out[3].q  # long stopword-rich text beats single token
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [(1, "the house of the king is big"), (2, "el rey de la casa es grande"), (3, "zzz qqq")],
+        "id int, text string",
+    )
+    out = {r.id: r.g for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"

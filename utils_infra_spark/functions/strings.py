@@ -1,0 +1,58 @@
+"""String scalar functions (SURVEY.md §2.8 strings).
+
+All pure Column expressions — whole-stage-codegen friendly. The one
+genuinely non-built-in op (unicode NFD diacritic fold) uses a
+`translate` table covering Latin-1/Māori macrons, matching the
+reference's NFD-strip compare (tlc-localities.js:282-287) for the
+character classes it actually sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# diacritic fold table (covers NZ place-name characters + Latin-1)
+_DIACRITICS = "āēīōūĀĒĪŌŪáéíóúÁÉÍÓÚàèìòùÀÈÌÒÙâêîôûÂÊÎÔÛäëïöüÄËÏÖÜãñõÃÑÕçÇ"
+_FOLDED = "aeiouAEIOUaeiouAEIOUaeiouAEIOUaeiouAEIOUaeiouAEIOUanoANOcC"
+
+
+def fold_diacritics(col: Column | str) -> Column:
+    """Strip diacritics for case/diacritic-insensitive matching (J4;
+    ref power-outages/scrapers/tlc-localities.js:282-287)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.translate(col, _DIACRITICS, _FOLDED)
+
+
+def ci_fold_eq(a: Column | str, b: Column | str) -> Column:
+    """Case- AND diacritic-insensitive equality."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.lower(fold_diacritics(a)) == F.lower(fold_diacritics(b))
+
+
+def sanitize_log(col: Column | str) -> Column:
+    """Strip control characters (ref ais-proxy/server.js:97-100)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(col, r"[\x00-\x1f\x7f]", "")
+
+
+def zero_pad(col: Column | str, width: int) -> Column:
+    """padStart equivalent (ETA fields, ref ais-proxy/server.js:503-507)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.lpad(col.cast("string"), width, "0")
+
+
+def extract_embedded_json(col: Column | str, var_name: str) -> Column:
+    """Extract `window.<var> = {...};`-style embedded JSON from HTML
+    (S6; ref power-outages/scrapers/orion.js:5-38)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(col, rf"{var_name}\s*=\s*(\[.*?\]|\{{.*?\}})\s*;", 1)
+
+
+def callsign_fallback(callsign: Column | str, *fallbacks: Column | str) -> Column:
+    """F18 (ref display-proxy/index.html:948-952): 'UNKNOWN' → first
+    non-null metadata fallback."""
+    callsign = F.col(callsign) if isinstance(callsign, str) else callsign
+    fb = [F.col(f) if isinstance(f, str) else f for f in fallbacks]
+    return F.coalesce(F.nullif(callsign, F.lit("UNKNOWN")), *fb)

@@ -1,0 +1,113 @@
+"""Filter / predicate operators (SURVEY.md §2.3, F1–F18).
+
+Every operator returns a ``Column`` predicate or a filtered
+``DataFrame`` built purely from Column expressions, so Catalyst can
+push the predicate into the parquet scan (check
+``explain('formatted')`` → ``PushedFilters``). None of these touch
+Python row-at-a-time code — at 100 TB these run inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bbox(lat: Column | str, lon: Column | str, south: float, north: float, west: float, east: float) -> Column:
+    """Bounding-box predicate (F1; ref ais-proxy/server.js:678-680).
+
+    Two independent BETWEENs — pushdown-friendly, no UDF.
+    """
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    return lat.between(south, north) & lon.between(west, east)
+
+
+def coordinate_valid(lat: Column | str, lon: Column | str) -> Column:
+    """Coordinate-range validity (F3; ref ais-proxy/server.js:383-388)."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    return lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
+
+
+def prefix_in_set(col: Column | str, prefix_len: int, valid: Iterable[str]) -> Column:
+    """Domain-validation by key prefix (F2; ref ais-proxy/server.js:77-94).
+
+    The reference validates MMSI MID prefixes against the ITU set; the
+    general form is substring-prefix membership in a broadcast-small
+    set — `isin` compiles to an in-list (or a broadcast join if we
+    materialize the set as a DataFrame for very large sets).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.substring(col.cast("string"), 1, prefix_len).isin(*list(valid))
+
+
+def not_future(start: Column | str, now: Column) -> Column:
+    """Future-start exclusion (F5; ref power-outages/server.js:83-87).
+
+    NULL start passes (unknown start is assumed active). ``now`` is a
+    parameter (lit timestamp) so results are reproducible.
+    """
+    start = F.col(start) if isinstance(start, str) else start
+    return start.isNull() | (start <= now)
+
+
+def fresh(stale_ts: Column | str, now: Column) -> Column:
+    """Staleness filter (F7; ref tak-cot-proxy/index.mjs:407-411):
+    keep rows whose expiry is strictly after `now`."""
+    stale_ts = F.col(stale_ts) if isinstance(stale_ts, str) else stale_ts
+    return stale_ts > now
+
+
+def ci_contains(col: Column | str, needle: str) -> Column:
+    """Case-insensitive substring match (part of F6;
+    ref power-outages/server.js:525-530)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.lower(col).contains(needle.lower())
+
+
+def ci_contains_any_element(arr: Column | str, needle: str) -> Column:
+    """F6's array variant: any element of a string array contains the
+    needle, case-insensitively (ref power-outages/server.js:526-529).
+    Uses the `exists` higher-order function — stays JVM-side."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    q = needle.lower()
+    return F.exists(arr, lambda x: F.lower(x).contains(q))
+
+
+def category_in(col: Column | str, categories: Sequence[str]) -> Column:
+    """Category include filter (F11; ref ais-proxy/server.js:732-757)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.isin(*list(categories))
+
+
+def id_prefix(col: Column | str, prefix: str) -> Column:
+    """ID-prefix filter (F10; ref tak-cot-proxy/index.mjs:412-417)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.startswith(prefix)
+
+
+def param_filters(
+    df: DataFrame,
+    *,
+    eq_upper: dict[str, str] | None = None,
+    min_ge: dict[str, float] | None = None,
+    contains_ci: dict[str, str] | None = None,
+) -> DataFrame:
+    """Composable query-param filters (F6; ref power-outages/server.js:517-536).
+
+    eq_upper: column == VALUE after upper(); min_ge: column >= n;
+    contains_ci: lower(column) contains lower(value). All AND-ed, like
+    the reference's chained param checks.
+    """
+    out = df
+    for c, v in (eq_upper or {}).items():
+        out = out.where(F.upper(F.col(c)) == v.upper())
+    for c, n in (min_ge or {}).items():
+        out = out.where(F.col(c) >= n)
+    for c, v in (contains_ci or {}).items():
+        out = out.where(ci_contains(c, v))
+    return out

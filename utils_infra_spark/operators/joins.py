@@ -1,0 +1,103 @@
+"""Join operators (SURVEY.md §2.4, J1–J10).
+
+Every join in the reference is a hash-map lookup against a small
+dimension — the Spark shape is a broadcast hash join (no shuffle of
+the fact side). ``enrich_coalesce`` / ``latest_wins`` are the two
+composite patterns the reference hand-codes; here they're pure
+Column expressions so they survive any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """J4 (ref regions.js:23-25 etc.): dim lookup as an explicit
+    broadcast join — the fact side never shuffles."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def enrich_coalesce(
+    base: DataFrame,
+    enrich: DataFrame,
+    key: str,
+    fill_cols: dict[str, str],
+    *,
+    zero_is_missing: tuple[str, ...] = (),
+    provenance: str | None = None,
+    provenance_values: tuple[str, str] = ("enriched", "base"),
+) -> DataFrame:
+    """J1 (ref ais-proxy/server.js:594-610): left-join an enrichment
+    dim and fill each field only where the base value is missing
+    (NULL, or 0 for columns listed in ``zero_is_missing`` — the
+    reference's explicit null-vs-0 guard at server.js:601,608).
+
+    fill_cols maps base column -> enrichment column. Optionally emits
+    a provenance column recording which side won the fill.
+    """
+    e = F.broadcast(enrich.select(key, *dict.fromkeys(fill_cols.values())))
+    e = e.select([F.col(key)] + [F.col(c).alias(f"__e_{c}") for c in e.columns if c != key])
+    joined = base.join(e, on=key, how="left")
+    out_cols: list[Column] = []
+    prov: Column | None = None
+    for c in base.columns:
+        if c in fill_cols:
+            base_val = F.col(c)
+            if c in zero_is_missing:
+                base_val = F.nullif(base_val, F.lit(0))
+            filled = F.coalesce(base_val, F.col(f"__e_{fill_cols[c]}"))
+            out_cols.append(filled.alias(c))
+            if provenance and prov is None:
+                prov = F.when(
+                    base_val.isNull() & F.col(f"__e_{fill_cols[c]}").isNotNull(),
+                    F.lit(provenance_values[0]),
+                ).otherwise(F.lit(provenance_values[1]))
+        else:
+            out_cols.append(F.col(c))
+    if provenance and prov is not None:
+        out_cols.append(prov.alias(provenance))
+    return joined.select(*out_cols)
+
+
+def latest_wins(df: DataFrame, key: str | list[str], ts: str, *tie_break: str) -> DataFrame:
+    """J2/W1 (ref ais-proxy/server.js:1497-1507, 390-592): batch form
+    of newest-timestamp-wins per key. Union all sources first, then
+    one window pass. Extra ``tie_break`` columns make the result
+    deterministic when timestamps collide.
+
+    Scale note: this shuffles once on the key — same cost as the
+    groupBy it replaces; with AQE, skewed keys split automatically.
+    """
+    keys = [key] if isinstance(key, str) else key
+    order = [F.desc(ts)] + [F.desc(c) for c in tie_break]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def upsert_latest(base: DataFrame, updates: DataFrame, key: str, ts: str, *tie_break: str) -> DataFrame:
+    """J2+J3 (ref ais-proxy/server.js:1497-1539): merge two keyed
+    snapshots — newer timestamp wins per key, rows only in one side
+    pass through (insert-if-absent)."""
+    cols = base.columns
+    return latest_wins(
+        base.select(cols).unionByName(updates.select(cols)), key, ts, *tie_break
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """J7 (ref tak-contacts-ws/index.mjs:123-140): keep left rows with
+    a match on the right; right side broadcast when small."""
+    return left.join(F.broadcast(right), on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """J8 (ref verify-tlc-localities.js:26-28): left rows WITHOUT a
+    match — the reference's missing/extra coverage check."""
+    return left.join(F.broadcast(right), on=on, how="left_anti")

@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup groups on a content hash (the shuffle then carries 32-byte
+digests, not documents — at 100 TB that's the difference between
+shuffling terabytes and shuffling gigabytes). Near-dup uses
+MinHash+LSH: shingle → k minhashes → band → bucket-join, all with
+built-in higher-order functions (xxhash64 is JVM-side), so candidate
+generation never leaves codegen; only candidate *verification*
+touches the shingle arrays again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_fingerprint(text: Column | str, algo: str = "sha256") -> Column:
+    """Stable content hash for exact dedup / provenance."""
+    text = F.col(text) if isinstance(text, str) else text
+    if algo == "md5":
+        return F.md5(text)
+    return F.sha2(text, 256)
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keeping the smallest id per distinct content.
+
+    Group on the 256-bit digest, not the raw text: the map-side
+    partial agg collapses local duplicates before the shuffle, and
+    shuffle rows are fixed-width. Collision probability at 100 TB
+    (~1e11 docs) is ~1e-55 — safe to treat digest equality as text
+    equality.
+    """
+    fp = content_fingerprint(text_col).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles as array<string>, via sequence+transform —
+    no explode, no UDF; stays inside one projection."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
+    """k independent minhashes: min over xxhash64(seed_i, shingle).
+
+    Seeding via a distinct literal per hash function keeps everything
+    in one whole-stage-codegen projection; xxhash64 is Spark's native
+    64-bit hash (JVM, vectorizable).
+    """
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(f"mh{i}"), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column | str, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band keys: array<struct<band:int, key:bigint>>.
+
+    Band key hashes the band's rows together; equal band key ⇒
+    candidate pair. Explode + groupBy(band, key) gives the bucket
+    join with a single shuffle on small fixed-width keys.
+    """
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    entries = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        key = F.xxhash64(F.lit(f"band{b}"), *parts)
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (verification step)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape (scale-first):
+      1. one projection: shingles + signature + band keys (codegen)
+      2. explode bands → shuffle on (band, key)   [small rows]
+      3. self-join within buckets → candidate pairs (deduped)
+      4. verify candidates with exact Jaccard on shingle arrays
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(text_col, k_shingle).alias("sh"),
+    ).withColumn("sig", minhash_signature("sh", num_hashes))
+
+    banded = base.select(
+        "doc_id", "sh", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bk")
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return (
+        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash of whitespace tokens, via HOF bit-voting.
+
+    For each bit b: sum over tokens of ±1 by bit b of xxhash64(token);
+    bit set where the vote is positive. One aggregate over a 64-wide
+    int array — heavy but still a single codegen projection, no UDF.
+    Bit positions are Python-static so shift amounts stay literals.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(text), r"\s+")
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bits_of(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, b: a + b))
+    # pack sign bits into one long; bit 63 is the sign bit → negative literal
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, threshold: float = 0.5, bucket_col: str | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (optionally only
+    within a bucket column to bound the quadratic blowup — at scale
+    callers pass an LSH band or length bucket)."""
+    base = df.select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh"),
+                     *( [F.col(bucket_col).alias("bucket")] if bucket_col else []))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if bucket_col:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,109 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in Column expressions (split / regexp / HOFs) —
+at 100 TB these run as one codegen projection over the documents
+scan, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (empty string → empty array)."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.split(F.trim(text), r"\s+")
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored proxy: count word-piece units as
+    ceil(chars/4) per word, the common ~4-chars-per-token rule."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long")
+    )
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, F.round(total / F.size(toks), 6)).otherwise(F.lit(None))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return F.when(F.size(toks) > 0, F.round(sw / F.size(toks), 6)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"-]", ""))
+    return F.when(F.length(text) > 0, F.round(n_punct / F.length(text), 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + sane average token length. Deterministic, monotone in
+    each signal — a Gopher-rules-flavored filter."""
+    sw = stopwords or LANG_MARKERS["en"]
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    sw_sig = F.least(stopword_ratio(text, sw) * 4, F.lit(1.0)) * 0.3
+    atl = avg_token_len(text)
+    atl_ok = F.when((atl >= 2.5) & (atl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + sw_sig + atl_ok, 6)
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Stopword-hit score per language → map<string,double>."""
+    toks = tokens(text)
+    entries = []
+    for lang, words in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+        score = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+        entries.extend([F.lit(lang), score])
+    return F.create_map(*entries)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """argmax over lang_scores; 'und' when nothing scores > 0."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    # ordered when-chain: later langs win only with STRICTLY higher score
+    for lang, words in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+        score = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(score, best_score)
+    return best_lang
+
+
+def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling hash over
+    token windows — robust to local edits, built from HOFs only."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    win_hash = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(toks, F.least(i + j, n)) for j in range(window)])),
+    )
+    return F.array_min(win_hash)

@@ -1,0 +1,254 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis
+(driver north star; SURVEY.md §7 Phase 8) over documents/embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import text as T
+from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
+from ..pipeline.similarity import brute_force_topk, bucketed_pairs, centroids_by_key
+from ..sources import load_table
+from . import register
+
+
+# ---------------------------------------------------------------- dedup
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT sha256(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact dedup via content-hash groupBy — shuffle carries digests, not documents.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+@register(
+    "minhash_near_dup_documents",
+    oracle=None,  # xxhash64 is engine-specific → rows-only check; exactness is covered by unit tests vs brute-force jaccard
+    doc="MinHash+LSH near-dup pairs: shingle→16 minhashes→8 bands→bucket join→exact-Jaccard verify ≥0.5.",
+)
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "text", "doc_id", k_shingle=3, num_hashes=16, bands=8, threshold=0.5)
+
+
+@register(
+    "simhash_documents",
+    oracle=None,  # xxhash64 bit-voting is engine-specific
+    doc="64-bit SimHash signature per document via HOF bit-voting (no UDF).",
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register(
+    "ngram_jaccard_bucketed",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS grams
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4
+    """,
+    doc="Exact n-gram Jaccard pairs bucketed by lang (bounded quadratic; the LSH-free exact path).",
+)
+def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import jaccard, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.array_distinct(shingles("text", 3)).alias("grams"), T.token_count("text").alias("ntok")
+    ).where(F.col("ntok") >= 3)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------- similarity
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             ROUND(list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+      FROM c, q WHERE q.query_id <> c.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast queries × partition-parallel candidate scan, HOF dot products (no UDF).",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return brute_force_topk(queries, emb, vec_col="embedding", id_col="vec_id", k=5)
+
+
+@register(
+    "embedding_bucketed_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.8
+    """,
+    doc="IVF-style bucketed near-dup pairs: intra-bucket cosine ≥ 0.8 — the quadratic shrinks nlist× and shuffles on the bucket key.",
+)
+def embedding_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_pairs(emb, vec_col="embedding", id_col="vec_id", bucket_col="label", threshold=0.8).select(
+        "id_a", "id_b", "bucket", "cos_sim"
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS pos,
+           ROUND(AVG(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY label, t.i
+    """,
+    doc="IVF coarse-codebook bootstrap: per-label mean vector via posexplode + (key,pos) shuffle — fully parallel at any dim.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("mean_val"))
+
+
+# ---------------------------------------------------------------- text analysis
+@register(
+    "text_stats_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                 len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> lower(t) IN ('the','a'))) AS DOUBLE) /
+                 len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Token counting + quality signals as one codegen projection (length/stopword ratios).",
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(total_chars / F.size(toks), 6).alias("avg_token_len"),
+        T.stopword_ratio("text", ["the", "a"]).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_histogram",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token
+    """,
+    doc="Corpus token histogram: explode + count — the map-side partial agg collapses the long tail before shuffle.",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+    )
+
+
+@register(
+    "lang_distribution",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS total_chars,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Language distribution rollup over the documents corpus.",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import DEC, dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("n_chars", "total_chars"),
+        F.round(F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=None,  # rolling xxhash64 fingerprint is engine-specific
+    doc="Winnowing-style rolling-hash document fingerprints (HOF-only).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"), T.lang_guess("text").alias("lang_guess"))
+
+
+@register(
+    "quality_filter_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+             + least(ROUND(CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','to','is'))) AS DOUBLE) / len(t), 6) * 4, 1.0) * 0.3
+             + CASE WHEN ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6) BETWEEN 2.5 AND 12.0 THEN 0.3 ELSE 0.0 END
+             AS quality
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM scored WHERE quality >= 0.5
+    """,
+    doc="Gopher-flavored quality scoring + filter in one projection.",
+)
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stopwords = ["the", "a", "of", "to", "is"]
+    return (
+        docs.select("doc_id", "lang", F.round(T.quality_score("text", stopwords), 6).alias("quality"))
+        .where(F.col("quality") >= 0.5)
+    )

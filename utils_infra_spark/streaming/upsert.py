@@ -1,0 +1,102 @@
+"""Keyed-upsert state (SURVEY.md §2.10 T1–T3).
+
+The reference's vessel cache (ais-proxy/server.js:365-619) is a
+keyed mutable table: each message partially updates its key's row —
+position messages carry kinematics, static messages carry identity
+fields — with last-writer-wins per FIELD, newer-event-time-wins, and
+a TTL.
+
+Engine shape:
+- **batch replay** (``keyed_upsert_batch``): last non-null value per
+  field ordered by event time — one window pass, DuckDB-checkable.
+- **streaming** (``keyed_upsert_stream``): the same merge as an
+  ``applyInPandasWithState`` stateful operator with a processing-time
+  TTL. The CORRECTNESS CONTRACT is batch/stream parity: replaying any
+  prefix of the stream through the batch form must equal the
+  streaming state (tested in tests/test_streaming.py) — this is how a
+  non-SQL-expressible op gets verified (SURVEY §7 hard part #1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def keyed_upsert_batch(df: DataFrame, key: str, ts: str, value_cols: list[str]) -> DataFrame:
+    """Batch replay of the keyed upsert: per key, latest non-null
+    value per field (event-time order, ties broken arbitrarily-stable
+    by ts only — callers needing strict determinism add a tiebreak to
+    ``ts`` ordering upstream)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cols = [F.col(key)] + [F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols]
+    cols.append(F.max(F.col(ts)).over(w).alias(ts))
+    return df.select(*cols).dropDuplicates([key])
+
+
+def merge_group(rows: pd.DataFrame, state_row: pd.Series | None, ts: str, value_cols: list[str]) -> pd.Series:
+    """Pure merge function: fold a batch of rows (any order) into the
+    state row. Per field, the value with the greatest event time among
+    non-null observations wins; state survives when the batch carries
+    no newer value. Kept pure so the unit tests can fuzz it directly
+    against the batch-window form."""
+    rows = rows.sort_values(ts, kind="stable")
+    merged = {} if state_row is None else dict(state_row)
+    for _, r in rows.iterrows():
+        for c in value_cols:
+            v = r[c]
+            if pd.notna(v):
+                merged[c] = v
+        merged[ts] = r[ts] if ts not in merged or r[ts] > merged[ts] else merged[ts]
+    return pd.Series(merged)
+
+
+def keyed_upsert_stream(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    *,
+    output_schema: StructType | str,
+    state_schema: StructType | str,
+    ttl_ms: int | None = None,
+):
+    """Streaming keyed upsert via applyInPandasWithState.
+
+    One state row per key; per-field newest-non-null merge; optional
+    processing-time TTL (T2 — the reference's 6 h vessel retention).
+    Use on a streaming DataFrame; returns the updated-state stream.
+    """
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prior = pd.Series(dict(zip([ts] + value_cols, state.get))) if state.exists else None
+        merged = prior
+        for pdf in pdfs:
+            if len(pdf):
+                merged = merge_group(pdf, merged, ts, value_cols)
+        if merged is not None:
+            state.update(tuple([merged.get(ts)] + [merged.get(c) for c in value_cols]))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            out = {k_col: [k_val] for k_col, k_val in zip([key], key_tuple)}
+            out[ts] = [merged.get(ts)]
+            for c in value_cols:
+                out[c] = [merged.get(c)]
+            yield pd.DataFrame(out)
+
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None else GroupStateTimeout.NoTimeout
+    return df.groupBy(key).applyInPandasWithState(
+        fn, outputStructType=output_schema, stateStructType=state_schema, outputMode="update", timeoutConf=timeout
+    )
