@@ -44,8 +44,13 @@ def main() -> None:
     spark = get_spark("utils-infra-bench")
     _load()
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
+    # JVM/codegen warmup + parquet footer cache so q1 isn't charged
+    # for session fixed costs
     spark.range(1000).selectExpr("sum(id)").collect()
+    from utils_infra_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

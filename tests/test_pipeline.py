@@ -68,7 +68,7 @@ def test_minhash_finds_near_dups_vs_bruteforce(spark):
 
 
 def test_simhash_similar_texts_close(spark):
-    df = docs_df(spark).select("doc_id", simhash64("text").alias("h"))
+    df = simhash64(docs_df(spark), "text", "doc_id", alias="h")
     h = {r.doc_id: r.h for r in df.collect()}
     assert h[1] == h[2]  # identical text → identical simhash
     ham_near = bin((h[1] ^ h[3]) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -40,17 +40,27 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingles as array<string>, via sequence+transform —
-    no explode, no UDF; stays inside one projection."""
-    text = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(text), r"\s+")
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles from a token-array ATTRIBUTE. Prefer this
+    over ``shingles`` in hot paths: pass an aliased token column so
+    the tokenizer runs once per row (this expression references
+    ``toks`` ~k+3 times)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
     return F.when(
         n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles as array<string>, via sequence+transform —
+    no explode, no UDF; stays inside one projection. Convenience form;
+    re-splits the text per reference — use ``shingles_from_tokens``
+    with an aliased token column in compute-heavy plans."""
+    text = F.col(text) if isinstance(text, str) else text
+    return shingles_from_tokens(F.split(F.trim(text), r"\s+"), k)
 
 
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
@@ -104,55 +114,79 @@ def minhash_near_duplicates(
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Plan shape (scale-first):
-      1. one projection: shingles + signature + band keys (codegen)
-      2. explode bands → shuffle on (band, key)   [small rows]
-      3. self-join within buckets → candidate pairs (deduped)
-      4. verify candidates with exact Jaccard on shingle arrays
+      1. spread the doc scan, ONE projection: shingles → signature →
+         band keys (codegen), keep only (doc_id, band, key) — the
+         sketch, ~100 bytes/doc — and persist it (it's read twice by
+         the self-join; recomputing would re-hash the whole corpus)
+      2. self-join the sketch on (band, key) → candidate id pairs,
+         deduped — the shuffle carries ids, never documents
+      3. verify: re-derive shingles ONLY for candidate docs via two
+         broadcast semi-joins of the (small) pair list against the
+         corpus, then exact Jaccard
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
+    from ..sources.tables import spread
+
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(text_col, k_shingle).alias("sh"),
-    ).withColumn("sig", minhash_signature("sh", num_hashes))
+    # IMPORTANT plan shape: each heavy expression (shingles, signature)
+    # is aliased in its OWN projection and consumed via the attribute.
+    # Catalyst's CollapseProject keeps these boundaries because the
+    # aliases are expensive and multi-referenced; inlining them (one
+    # mega-expression) would re-evaluate shingles 16× per row.
+    def shingled(frame):
+        # spread FIRST (the scan side is narrow), tokenize into an
+        # aliased attribute, then shingle from the attribute — so the
+        # heavy compute runs after the exchange, once per row, on
+        # every core.
+        return (
+            spread(frame.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
+            .select("doc_id", F.split(F.trim("__text"), r"\s+").alias("__toks"))
+            .select("doc_id", shingles_from_tokens("__toks", k_shingle).alias("sh"))
+        )
 
-    banded = base.select(
-        "doc_id", "sh", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sketch = (
+        shingled(df)
+        .withColumn("sig", minhash_signature("sh", num_hashes))
+        .select("doc_id", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        sketch.alias("a")
+        .join(
+            sketch.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # AQE promotes these to broadcast joins when the pair list is
+    # small at runtime; an explicit broadcast() would gamble on that
+    # at 100 TB, where a dup-heavy corpus can make `cand` huge.
+    sh = shingled(df)
+    verified = (
+        cand
+        .join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sa.sh"), F.col("sb.sh")), 6).alias("jaccard"),
+        )
     )
+    return verified.where(F.col("jaccard") >= threshold)
 
 
-def simhash64(text: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash of whitespace tokens, via HOF bit-voting.
-
-    For each bit b: sum over tokens of ±1 by bit b of xxhash64(token);
-    bit set where the vote is positive. One aggregate over a 64-wide
-    int array — heavy but still a single codegen projection, no UDF.
-    Bit positions are Python-static so shift amounts stay literals.
-    """
+def simhash_votes(text: Column | str, bits: int = 64) -> Column:
+    """SimHash bit votes as array<long>: per bit b, the sum over
+    tokens of ±1 by bit b of xxhash64(token). Expensive — alias it in
+    its own projection and feed the ATTRIBUTE to ``simhash_pack`` so
+    the vote aggregate is evaluated once per row (see
+    minhash_near_duplicates for the plan-shape rationale)."""
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(text), r"\s+")
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
@@ -168,8 +202,14 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
             ]
         )
 
-    votes = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, b: a + b))
-    # pack sign bits into one long; bit 63 is the sign bit → negative literal
+    return F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, b: a + b))
+
+
+def simhash_pack(votes: Column | str, bits: int = 64) -> Column:
+    """Pack vote signs into one long; bit 63 is the sign bit →
+    negative literal. Pass an attribute (aliased column), not an
+    inline votes expression — this references ``votes`` ``bits`` times."""
+    votes = F.col(votes) if isinstance(votes, str) else votes
     packed = F.lit(0).cast("long")
     for b in range(bits):
         weight = -(1 << 63) if b == 63 else (1 << b)
@@ -177,6 +217,18 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
             F.when(F.element_at(votes, b + 1) > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return packed
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, *, alias: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document, staged as votes-projection →
+    pack-projection so the vote aggregate runs once per row."""
+    from ..sources.tables import spread
+
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col).alias("__text")))
+        .select(id_col, simhash_votes(F.col("__text")).alias("__votes"))
+        .select(id_col, simhash_pack("__votes").alias(alias))
+    )
 
 
 def ngram_jaccard_pairs(

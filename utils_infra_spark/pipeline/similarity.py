@@ -54,8 +54,10 @@ def brute_force_topk(
     stays partition-parallel with no shuffle until the final per-query
     top-k, which shuffles only (query_id, cand_id, cosine) triples.
     """
+    from ..sources.tables import spread
+
     q = queries.select(F.col(id_col).alias("query_id"), _vec(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv"))
+    c = spread(candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("cand_id"))
@@ -81,12 +83,25 @@ def bucketed_pairs(
     bucket_col: str = "label",
     threshold: float = 0.9,
     round_dp: int = 6,
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """Near-duplicate embedding pairs within a coarse bucket
     (IVF-style: only intra-bucket pairs are scored — the quadratic
-    term shrinks by nlist× and the join shuffles on the bucket key)."""
+    term shrinks by nlist×).
+
+    Join strategy: a shuffle join on the bucket key caps parallelism
+    at bucket cardinality (10 labels → 10 busy tasks). With
+    ``broadcast_build`` (default) the build side broadcasts and the
+    probe side keeps its round-robin spread, so every core scores
+    pairs. Set it False when the corpus is too big to broadcast — at
+    that scale you also want a high-cardinality bucket (IVF nlist ≫
+    cores), which makes the shuffle join the right plan.
+    """
+    from ..sources.tables import spread
+
     base = df.select(F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), _vec(vec_col).alias("v"))
-    a, b = base.alias("a"), base.alias("b")
+    a = spread(base).alias("a")
+    b = (F.broadcast(base) if broadcast_build else base).alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
         .select(

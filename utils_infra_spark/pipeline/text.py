@@ -96,10 +96,11 @@ def lang_guess(text: Column | str) -> Column:
     return best_lang
 
 
-def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min rolling hash over
-    token windows — robust to local edits, built from HOFs only."""
-    toks = tokens(text)
+def rolling_fingerprint_from_tokens(toks: Column | str, window: int = 8) -> Column:
+    """Winnowing-style fingerprint from a token-array ATTRIBUTE (this
+    expression references ``toks`` ~window+2 times — alias the token
+    column in its own projection so tokenization runs once)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
     win_hash = F.transform(
@@ -107,3 +108,10 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(toks, F.least(i + j, n)) for j in range(window)])),
     )
     return F.array_min(win_hash)
+
+
+def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling hash over
+    token windows — robust to local edits, built from HOFs only.
+    Convenience form; hot paths should use the _from_tokens variant."""
+    return rolling_fingerprint_from_tokens(tokens(text), window)

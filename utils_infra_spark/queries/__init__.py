@@ -57,6 +57,6 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from . import dsl_queries, geo_queries, pipeline_queries, relational  # noqa: F401
+    from . import dsl_queries, geo_queries, pipeline_queries, relational, scalar_queries  # noqa: F401
 
     _loaded = True

@@ -11,6 +11,7 @@ from ..pipeline import text as T
 from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
 from ..pipeline.similarity import brute_force_topk, bucketed_pairs, centroids_by_key
 from ..sources import load_table
+from ..sources.tables import spread
 from . import register
 
 
@@ -45,7 +46,7 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash64(docs, "text", "doc_id")
 
 
 @register(
@@ -68,13 +69,16 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact n-gram Jaccard pairs bucketed by lang (bounded quadratic; the LSH-free exact path).",
 )
 def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.dedup import jaccard, shingles
+    from ..pipeline.dedup import jaccard, shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", F.array_distinct(shingles("text", 3)).alias("grams"), T.token_count("text").alias("ntok")
-    ).where(F.col("ntok") >= 3)
-    a, b = base.alias("a"), base.alias("b")
+    base = (
+        spread(docs.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select("doc_id", "lang", F.array_distinct(shingles_from_tokens("toks", 3)).alias("grams"), F.size("toks").alias("ntok"))
+        .where(F.col("ntok") >= 3)
+    )
+    a, b = spread(base).alias("a"), F.broadcast(base).alias("b")
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -165,15 +169,18 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting + quality signals as one codegen projection (length/stopword ratios).",
 )
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return docs.select(
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # tokenize ONCE into an attribute; every stat reads the attribute
+    # (inlining T.tokens() here would re-split per reference)
+    toked = docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars_actual"), T.tokens("text").alias("toks"))
+    total_chars = F.aggregate("toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    sw = F.size(F.filter("toks", lambda t: F.lower(t).isin("the", "a")))
+    return toked.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_actual"),
-        F.round(total_chars / F.size(toks), 6).alias("avg_token_len"),
-        T.stopword_ratio("text", ["the", "a"]).alias("stopword_ratio"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        "n_chars_actual",
+        F.round(total_chars / F.size("toks"), 6).alias("avg_token_len"),
+        F.when(F.size("toks") > 0, F.round(sw / F.size("toks"), 6)).otherwise(F.lit(0.0)).alias("stopword_ratio"),
     )
 
 
@@ -187,7 +194,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus token histogram: explode + count — the map-side partial agg collapses the long tail before shuffle.",
 )
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .groupBy("token")
@@ -223,8 +230,12 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Winnowing-style rolling-hash document fingerprints (HOF-only).",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"), T.lang_guess("text").alias("lang_guess"))
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"), F.col("text")).select(
+        "doc_id",
+        T.rolling_fingerprint_from_tokens("toks").alias("fingerprint"),
+        T.lang_guess("text").alias("lang_guess"),
+    )
 
 
 @register(
@@ -246,7 +257,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gopher-flavored quality scoring + filter in one projection.",
 )
 def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     stopwords = ["the", "a", "of", "to", "is"]
     return (
         docs.select("doc_id", "lang", F.round(T.quality_score("text", stopwords), 6).alias("quality"))

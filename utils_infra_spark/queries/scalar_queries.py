@@ -1,0 +1,255 @@
+"""Scalar-function family queries (SURVEY.md §2.8): string, date,
+math, array/JSON — each family exercised end-to-end with a DuckDB
+oracle, plus the derived-key self-join (J9) and multi-join analytics
+(the TPC-H-shaped plans the 100 TB tier runs on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregations import dsum
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_brand, 7, 2) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(length(p_name) AS INT) AS name_len,
+           CASE WHEN p_name LIKE '%a%' THEN true ELSE false END AS has_a,
+           trim(concat('  ', p_name, '  ')) AS trimmed_roundtrip
+    FROM part
+    """,
+    doc="§2.8 strings: upper/substring/lpad/regexp_extract/split/length/contains/trim (ref ais-proxy/server.js:482-535, orion.js:11,35).",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_brand", 7, 2).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed_roundtrip"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k
+    FROM orders
+    """,
+    doc="§2.8 date/time: parts, format, epoch, interval add, datediff (ref ais-proxy/server.js:416,1218-1227; index.html:1095-1107).",
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("bigint").alias("days_to_y2k"),
+    )
+
+
+@register(
+    "math_funcs_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_quantity, 25.0) AS qty_lo,
+           CAST(pow(2, l_linenumber) AS DOUBLE) AS pow2,
+           CAST(l_partkey % 16 AS BIGINT) AS pk_mod,
+           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+           abs(l_discount - 0.05) AS disc_dev
+    FROM lineitem
+    """,
+    doc="§2.8 math: round/floor/clamp/pow/mod/sqrt/ln/abs (ref weather-proxy/server.js:339-347; terrain-proxy/server.js:56-59,133).",
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE product, NOT round(x,2): the 2-decimal source data
+        # makes exact .xx5 halfway points common, and Spark (BigDecimal
+        # of the binary value) and DuckDB round those differently
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        F.pow(F.lit(2), F.col("l_linenumber")).cast("double").alias("pow2"),
+        (F.col("l_partkey") % 16).cast("bigint").alias("pk_mod"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+    )
+
+
+@register(
+    "json_props_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50 THEN 'high' ELSE 'low' END AS k_band,
+           COUNT(*) OVER (PARTITION BY CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50 THEN 'high' ELSE 'low' END) AS band_n
+    FROM events
+    """,
+    doc="§2.8 JSON path get + banded CASE + window count (ref tak-cot-proxy/index.mjs:100-108; weather-proxy/server.js:242-259).",
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    banded = ev.select(
+        "event_id", k.alias("k"), F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band")
+    )
+    return banded.withColumn("band_n", F.count(F.lit(1)).over(Window.partitionBy("k_band")))
+
+
+@register(
+    "array_funcs_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           toks[CAST(floor(len(toks) / 2) AS INT) + 1] AS mid_tok,
+           CAST(len(toks) AS INT) AS n_toks,
+           array_to_string(toks[1:3], '_') AS head3,
+           CAST(list_contains(toks, 'spark') AS BOOLEAN) AS has_spark,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+    FROM t
+    """,
+    doc="§2.8 arrays: element_at first/last/midpoint, slice, contains, distinct (ref index.py:309-327; index.html:1151-1156).",
+)
+def array_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.element_at("toks", (F.floor(F.size("toks") / 2) + 1).cast("int")).alias("mid_tok"),
+        F.size("toks").cast("int").alias("n_toks"),
+        F.array_join(F.slice("toks", 1, 3), "_").alias("head3"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+    )
+
+
+@register(
+    "derived_key_self_join",
+    oracle="""
+    WITH centers AS (
+      SELECT concat('D', CAST(doc_id AS VARCHAR), '-center') AS center_id, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT d.doc_id, c.center_id, d.lang, c.n_chars AS center_chars
+    FROM centers c
+    JOIN documents d ON concat('D', CAST(d.doc_id AS VARCHAR)) = regexp_replace(c.center_id, '-center$', '')
+    """,
+    doc="J9 self-join by regex-derived key (ref display-proxy/index.html:1190-1204: '<id>-center' → polygon id).",
+)
+def derived_key_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    centers = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("D"), F.col("doc_id").cast("string"), F.lit("-center")).alias("center_id"),
+        F.col("n_chars").alias("center_chars"),
+    )
+    return centers.join(
+        docs,
+        F.concat(F.lit("D"), docs["doc_id"].cast("string")) == F.regexp_replace(centers["center_id"], "-center$", ""),
+    ).select("doc_id", "center_id", "lang", "center_chars")
+
+
+# ------------------------------------------------------------ multi-join analytics
+@register(
+    "order_revenue_top10",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H-Q3-shaped 3-way join + agg + top-k: the fact-to-fact shuffle-join plan the 100 TB tier must get right.",
+)
+def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="TPC-H-Q5-shaped 5-way join: two big-table shuffle joins + broadcast dims, grouped revenue per nation.",
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )

@@ -48,3 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all star-schema tables into a dict keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row compute.
+
+    Parquet split sizing is byte-based (maxPartitionBytes), so a small
+    file lands in ONE partition even when the projection over it (hash
+    signatures, 64-dim dots) is compute-bound — leaving every other
+    core idle. One cheap shuffle of the narrow input buys full
+    parallelism for the expensive stage. At 100 TB inputs already
+    arrive in thousands of splits and this becomes a no-op cost-wise;
+    it still guards against few-large-files layouts.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
