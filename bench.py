@@ -22,10 +22,13 @@ from utils_infra_spark.session import get_spark
 HEADLINE = [
     "pricing_summary",
     "composite_agg_orders",
+    "order_revenue_top10",
+    "nation_revenue",
     "latest_event_per_user",
     "enrich_customer_nation",
     "top3_orders_per_customer",
     "union_distinct_orders",
+    "sliding_window_counts",
     "dsl_filter_events",
     "mercator_tile_cover",
     "point_in_polygon_regions",
@@ -58,6 +61,9 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop per-query persisted intermediates (e.g. LSH sketches)
+        # so queries are timed independently
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -1,0 +1,113 @@
+"""Multimodal binary-column pipeline tests (R1-R4) and the MBTiles
+sink (K4). The codec is the deterministic fake; everything else —
+schemas, Arrow batches, mapInPandas plumbing, sqlite sink — is real.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from utils_infra_spark.pipeline.multimodal import (
+    constant_tile,
+    decode_elevation,
+    decode_tile,
+    encode_tile,
+    palette_remap,
+    synth_tile,
+    tile_stats,
+    upscale_from_parent,
+)
+from utils_infra_spark.sinks.mbtiles import write_mbtiles
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    rows = [(7, x, y, synth_tile(7, x, y)) for x in range(4) for y in range(4)]
+    return spark.createDataFrame(rows, "z int, x int, y int, data binary")
+
+
+def test_codec_roundtrip():
+    arr = np.arange(64 * 64 * 4, dtype=np.uint8).reshape(64, 64, 4)
+    assert (decode_tile(encode_tile(arr)) == arr).all()
+
+
+def test_codec_rejects_foreign_format():
+    with pytest.raises(NotImplementedError):
+        decode_tile(b"\x89PNG1234567890")
+
+
+def test_tile_stats(spark, tiles):
+    out = {(r.z, r.x, r.y): r for r in tile_stats(tiles).collect()}
+    assert len(out) == 16
+    r = out[(7, 0, 0)]
+    assert (r.width, r.height) == (64, 64)
+    assert r.mean_alpha == 255.0
+    # means must equal the numpy ground truth for the same synth tile
+    arr = decode_tile(synth_tile(7, 0, 0))
+    assert abs(r.mean_r - arr[..., 0].mean()) < 1e-9
+
+
+def test_palette_remap(spark, tiles):
+    out = palette_remap(tiles).collect()
+    assert len(out) == 16
+    arr = decode_tile(out[0].data)
+    assert arr.shape == (64, 64, 4)
+    # remapped palette only contains LUT colors
+    from utils_infra_spark.pipeline.multimodal import DEFAULT_DBZ_BANDS, build_dbz_lut
+
+    lut_colors = {tuple(c) for c in build_dbz_lut(DEFAULT_DBZ_BANDS)}
+    seen = {tuple(px) for px in arr.reshape(-1, 4)}
+    assert seen <= lut_colors
+
+
+def test_upscale_children(spark, tiles):
+    kids = upscale_from_parent(tiles.where("x = 0 and y = 0")).collect()
+    assert sorted((r.z, r.x, r.y) for r in kids) == [(8, 0, 0), (8, 0, 1), (8, 1, 0), (8, 1, 1)]
+    parent = decode_tile(synth_tile(7, 0, 0))
+    child = decode_tile(next(r.data for r in kids if (r.x, r.y) == (0, 0)))
+    assert child.shape == (64, 64, 4)
+    # nearest-neighbor: child pixel (2i, 2j) == parent crop pixel (i, j)
+    assert (child[::2, ::2] == parent[:32, :32]).all()
+
+
+def test_elevation_decode_roundtrip(spark):
+    # elevation 150.0 m → RGB encoding → +10 geoid → decode again
+    packed = int((150.0 + 10000.0) / 0.1)
+    arr = np.zeros((8, 8, 4), dtype=np.uint8)
+    arr[..., 0] = (packed >> 16) & 0xFF
+    arr[..., 1] = (packed >> 8) & 0xFF
+    arr[..., 2] = packed & 0xFF
+    arr[..., 3] = 255
+    df = spark.createDataFrame([(10, 1, 2, encode_tile(arr))], "z int, x int, y int, data binary")
+    [row] = decode_elevation(df, geoid_offset=10.0).collect()
+    assert abs(row.min_elev - 160.0) < 0.11 and abs(row.max_elev - 160.0) < 0.11
+    redecoded = decode_tile(row.data).astype(np.float64)
+    elev2 = -10000.0 + (redecoded[..., 0] * 65536 + redecoded[..., 1] * 256 + redecoded[..., 2]) * 0.1
+    assert abs(float(elev2[0, 0]) - 160.0) < 0.11
+
+
+def test_constant_tile():
+    arr = decode_tile(constant_tile((10, 60, 180, 255), size=16))
+    assert arr.shape == (16, 16, 4)
+    assert (arr[5, 5] == [10, 60, 180, 255]).all()
+
+
+def test_mbtiles_sink(spark, tiles, tmp_path):
+    path = os.path.join(tmp_path, "out.mbtiles")
+    n = write_mbtiles(tiles, path, metadata={"name": "test", "format": "frgb"})
+    assert n == 16
+    con = sqlite3.connect(path)
+    # TMS y-flip: z=7, y=0 → row 127 (ref create_nationalmap_mbtiles.py:104)
+    rows = con.execute("SELECT zoom_level, tile_column, tile_row FROM tiles ORDER BY 1,2,3").fetchall()
+    assert (7, 0, 127) in rows and len(rows) == 16
+    (blob,) = con.execute("SELECT tile_data FROM tiles WHERE tile_column=1 AND tile_row=126").fetchone()
+    assert bytes(blob) == synth_tile(7, 1, 1)  # y=1 → row 126
+    assert con.execute("SELECT value FROM metadata WHERE name='name'").fetchone() == ("test",)
+    # idempotent resume: second write with INSERT OR IGNORE adds nothing
+    n2 = write_mbtiles(tiles, path)
+    assert n2 == 16
+    con.close()

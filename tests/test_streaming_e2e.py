@@ -1,0 +1,117 @@
+"""End-to-end Structured Streaming tests (T1-T4): a real file-source
+stream driven through applyInPandasWithState, checked for parity with
+the batch replay — SURVEY §7 hard part #1's correctness contract —
+plus a watermarked tumbling-window aggregation (W3 streaming form).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from utils_infra_spark.streaming.upsert import keyed_upsert_batch, keyed_upsert_stream
+
+SCHEMA = "mmsi int, ts timestamp, lat double, lon double, name string, ship_type double"
+VALUE_COLS = ["lat", "lon", "name", "ship_type"]
+
+BATCH1 = [
+    {"mmsi": 1, "ts": "2024-01-01T10:00:00Z", "lat": -41.0, "lon": 174.0, "name": None, "ship_type": None},
+    {"mmsi": 1, "ts": "2024-01-01T10:05:00Z", "lat": None, "lon": None, "name": "ALPHA", "ship_type": 70.0},
+    {"mmsi": 2, "ts": "2024-01-01T09:00:00Z", "lat": None, "lon": None, "name": "BRAVO", "ship_type": None},
+]
+BATCH2 = [
+    {"mmsi": 1, "ts": "2024-01-01T10:02:00Z", "lat": -41.1, "lon": 174.1, "name": None, "ship_type": None},  # late
+    # heartbeat advancing key 1's max ts, so each batch's state update
+    # has a distinct ts and "latest update per key" is unambiguous
+    {"mmsi": 1, "ts": "2024-01-01T10:06:00Z", "lat": None, "lon": None, "name": None, "ship_type": None},
+    {"mmsi": 2, "ts": "2024-01-01T11:00:00Z", "lat": -36.8, "lon": 174.7, "name": None, "ship_type": 80.0},
+    {"mmsi": 3, "ts": "2024-01-01T08:00:00Z", "lat": -43.5, "lon": 172.6, "name": "CHARLIE", "ship_type": None},
+]
+
+
+def write_batches(dirpath: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    for i, batch in enumerate([BATCH1, BATCH2]):
+        with open(os.path.join(dirpath, f"batch{i}.json"), "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+
+
+def test_stream_upsert_matches_batch_replay(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    write_batches(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    upserts = keyed_upsert_stream(
+        stream,
+        "mmsi",
+        "ts",
+        VALUE_COLS,
+        output_schema="mmsi int, ts timestamp, lat double, lon double, name string, ship_type double",
+        state_schema="ts timestamp, lat double, lon double, name string, ship_type double",
+    )
+    q = (
+        upserts.writeStream.format("memory")
+        .queryName("upsert_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state = latest update row per key emitted by the stream
+    updates = spark.sql("SELECT * FROM upsert_states").toPandas()
+    assert len(updates) >= 3
+    # whole-row latest update per key (groupby().last() would skip
+    # NaN per-column and stitch rows from different updates)
+    final = updates.sort_values("ts", kind="stable").drop_duplicates("mmsi", keep="last").set_index("mmsi")
+
+    # ground truth: one batch-window pass over ALL events (read the
+    # same JSON files the stream consumed)
+    batch_df = spark.read.schema(SCHEMA).json(src)
+    want = keyed_upsert_batch(batch_df, "mmsi", "ts", VALUE_COLS).toPandas().set_index("mmsi")
+
+    assert sorted(final.index) == sorted(want.index) == [1, 2, 3]
+    for key in want.index:
+        for c in VALUE_COLS + ["ts"]:
+            got_v, want_v = final.loc[key, c], want.loc[key, c]
+            same_null = (got_v is None or got_v != got_v) and (want_v is None or want_v != want_v)
+            assert same_null or got_v == want_v, (key, c, got_v, want_v)
+    # the late event (10:02) must NOT have overwritten key 1's
+    # newer static fields, but its position is the newest position
+    assert final.loc[1, "lat"] == -41.1 and final.loc[1, "name"] == "ALPHA"
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "win_src")
+    write_batches(src)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r.win_start): r.n for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert got == {
+        "2024-01-01 08:00:00": 1,
+        "2024-01-01 09:00:00": 1,
+        "2024-01-01 10:00:00": 4,  # 10:00, 10:02 (late), 10:05, 10:06
+        "2024-01-01 11:00:00": 1,
+    }

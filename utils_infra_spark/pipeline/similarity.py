@@ -56,15 +56,19 @@ def brute_force_topk(
     """
     from ..sources.tables import spread
 
-    q = queries.select(F.col(id_col).alias("query_id"), _vec(vec_col).alias("qv"))
-    c = spread(candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"), _vec(vec_col).alias("qv")).withColumn(
+        "nq", norm(F.col("qv"))
+    )
+    c = spread(candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv"))).withColumn(
+        "nc", norm(F.col("cv"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), round_dp).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -99,16 +103,21 @@ def bucketed_pairs(
     """
     from ..sources.tables import spread
 
-    base = df.select(F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), _vec(vec_col).alias("v"))
+    # norms precomputed per ROW (attribute boundary) so the quadratic
+    # pair stage evaluates one 64-flop dot, not dot + two norms
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), _vec(vec_col).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
     a = spread(base).alias("a")
     b = (F.broadcast(base) if broadcast_build else base).alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_dp).alias("cos_sim"),
+            F.round(cos, round_dp).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -57,6 +57,13 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from . import dsl_queries, geo_queries, pipeline_queries, relational, scalar_queries  # noqa: F401
+    from . import (  # noqa: F401
+        dsl_queries,
+        geo_queries,
+        pipeline_queries,
+        relational,
+        scalar_queries,
+        window_queries,
+    )
 
     _loaded = True

@@ -125,13 +125,13 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.8
+    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.25
     """,
-    doc="IVF-style bucketed near-dup pairs: intra-bucket cosine ≥ 0.8 — the quadratic shrinks nlist× and shuffles on the bucket key.",
+    doc="IVF-style bucketed near-dup pairs: intra-bucket cosine ≥ 0.25 — the quadratic shrinks nlist× and shuffles on the bucket key.",
 )
 def embedding_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return bucketed_pairs(emb, vec_col="embedding", id_col="vec_id", bucket_col="label", threshold=0.8).select(
+    return bucketed_pairs(emb, vec_col="embedding", id_col="vec_id", bucket_col="label", threshold=0.25).select(
         "id_a", "id_b", "bucket", "cos_sim"
     )
 
@@ -169,19 +169,22 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting + quality signals as one codegen projection (length/stopword ratios).",
 )
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + groupBy instead of per-row HOF lambdas: lambda HOFs run
+    # interpreted (outside codegen); the exploded shape keeps every
+    # expression codegen'd and the shuffle carries partial aggregates
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    # tokenize ONCE into an attribute; every stat reads the attribute
-    # (inlining T.tokens() here would re-split per reference)
-    toked = docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars_actual"), T.tokens("text").alias("toks"))
-    total_chars = F.aggregate("toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    sw = F.size(F.filter("toks", lambda t: F.lower(t).isin("the", "a")))
-    return toked.select(
+    ex = docs.select(
         "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        "n_chars_actual",
-        F.round(total_chars / F.size("toks"), 6).alias("avg_token_len"),
-        F.when(F.size("toks") > 0, F.round(sw / F.size("toks"), 6)).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.explode(T.tokens("text")).alias("tok"),
     )
+    n = F.count(F.lit(1))
+    return ex.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.first("n_chars_actual").alias("n_chars_actual"),
+        F.round(F.sum(F.length("tok")) / n, 6).alias("avg_token_len"),
+        F.round(F.sum(F.when(F.lower("tok").isin("the", "a"), 1).otherwise(0)) / n, 6).alias("stopword_ratio"),
+    ).select("doc_id", "n_tokens", "n_chars_actual", "avg_token_len", "stopword_ratio")
 
 
 @register(

