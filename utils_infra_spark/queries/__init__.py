@@ -58,6 +58,7 @@ def _load() -> None:
     if _loaded:
         return
     from . import (  # noqa: F401
+        advanced_queries,
         dsl_queries,
         geo_queries,
         pipeline_queries,

@@ -1,0 +1,78 @@
+"""Advanced coverage: GeoJSON FeatureCollection emit (K5), grouped-map
+pandas UDF normalization (§2.11), approximate distinct (Phase 8).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.tables import spread
+from . import register
+
+
+@register(
+    "geojson_features_emit",
+    oracle=None,  # JSON text formatting is engine-specific; validated structurally in tests/test_geojson.py
+    doc="K5 GeoJSON Feature assembly + to_json (ref power-outages/server.js:398-416): struct build, properties map, FeatureCollection shape.",
+)
+def geojson_features_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(
+                ((F.col("c_custkey") % 60) - 30 + 0.5).cast("double"),
+                ((F.col("c_custkey") % 40) - 20 + 0.5).cast("double"),
+            ).alias("coordinates"),
+        ).alias("geometry"),
+        F.create_map(
+            F.lit("segment"), F.col("c_mktsegment"),
+            F.lit("name"), F.col("c_name"),
+        ).alias("properties"),
+    )
+    return cust.select(
+        F.col("c_custkey").alias("id"), F.to_json(feature).alias("feature_json")
+    )
+
+
+@register(
+    "zscore_by_segment",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS zscore
+    FROM customer
+    """,
+    doc="§2.11 grouped-map normalization via applyInPandas (SNIPPETS pattern), oracled by the equivalent SQL window — the pandas path must reproduce SQL semantics exactly.",
+)
+def zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spread(load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"))
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ddof=1 (sample stddev) matches stddev_samp
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "c_mktsegment": pdf["c_mktsegment"], "zscore": z.round(4)}
+        )
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        normalize, schema="c_custkey bigint, c_mktsegment string, zscore double"
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch values are engine-specific by nature; exact-distinct parity is covered by recent_activity_24h
+    doc="Phase 8 approximate aggregate: approx_count_distinct (HLL++) per event_type with 1% rsd, next to the exact count for error inspection.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
