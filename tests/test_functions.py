@@ -128,3 +128,40 @@ def test_style_rules_first_match_and_delete(spark):
     defaults = {"Point": {"color": "blue"}, "LineString": {"color": "green"}}
     out = {r.id: r.color for r in apply_style_rules(df, rules, defaults=defaults).collect()}
     assert out == {1: "orange", 2: "red", 3: "orange"}  # 4 deleted; first match wins
+
+
+def test_valid_mmsi_branches(spark):
+    from utils_infra_spark.operators.filters import valid_mmsi
+
+    mids = ["512", "316", "366"]  # NZ, CA, US
+    cases = [
+        (512000001, True),   # standard vessel, MID at 1-3
+        (316001234, True),   # standard vessel
+        (123456789, False),  # MID 123 not in set
+        (5120001, False),    # 7 digits — not 9
+        (51200000111, False),  # 11 digits
+        (995123456, True),   # AtoN: '99' prefix, MID at 3-5
+        (985120001, True),   # craft-associated: '98' prefix
+        (111512001, True),   # SAR aircraft: '111' prefix, MID at 4-6
+        (111316000, True),   # SAR aircraft
+        (111123456, False),  # SAR with bad MID
+        (993999999, False),  # AtoN with bad MID
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "mmsi long")
+    got = {r.mmsi: r.ok for r in df.select("mmsi", valid_mmsi("mmsi", mids).alias("ok")).collect()}
+    for mmsi, want in cases:
+        assert got[mmsi] is want, (mmsi, got[mmsi], want)
+
+
+def test_nztm_known_point(spark):
+    """LINZ reference: Wellington ~(-41.2889, 174.7772) → NZTM
+    ≈ E 1748700, N 5427600 (±150 m tolerance for the truncated
+    series + rounded inputs)."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.functions.geo import transverse_mercator
+
+    e, n = transverse_mercator(F.lit(-41.2889), F.lit(174.7772))
+    row = spark.range(1).select(e.alias("e"), n.alias("n")).first()
+    assert abs(row.e - 1748700) < 200, row.e
+    assert abs(row.n - 5427600) < 200, row.n

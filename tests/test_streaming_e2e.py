@@ -115,3 +115,48 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path):
         "2024-01-01 10:00:00": 4,  # 10:00, 10:02 (late), 10:05, 10:06
         "2024-01-01 11:00:00": 1,
     }
+
+
+def test_checkpoint_restart_resumes_state(spark, tmp_path):
+    """T5 snapshot/restore: stop the stream, add new data, restart
+    from the SAME checkpoint — state must carry over, not rebuild."""
+    import json as _json
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for rec in BATCH1:
+            f.write(_json.dumps(rec) + "\n")
+
+    def run_once(collected):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        upserts = keyed_upsert_stream(
+            stream, "mmsi", "ts", VALUE_COLS,
+            output_schema="mmsi int, ts timestamp, lat double, lon double, name string, ship_type double",
+            state_schema="ts timestamp, lat double, lon double, name string, ship_type double",
+        )
+        q = (
+            upserts.writeStream.foreachBatch(lambda bdf, _bid: collected.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run1: list = []
+    run_once(run1)
+    assert {r.mmsi for r in run1} == {1, 2}
+    # second batch arrives while the stream is DOWN
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        for rec in BATCH2:
+            f.write(_json.dumps(rec) + "\n")
+    run2: list = []
+    run_once(run2)
+
+    # run2 only processed b2.json (checkpoint skips b1), so its key-1
+    # update must still carry name ALPHA — provable restore of run1
+    # state, since batch2 alone never contains a name for key 1
+    by_key = {r.mmsi: r for r in run2}
+    assert by_key[1].name == "ALPHA" and by_key[1].lat == -41.1
+    assert by_key[3].name == "CHARLIE"

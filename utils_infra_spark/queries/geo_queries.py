@@ -135,3 +135,104 @@ def haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.pow(F.sin(dlat / 2), 2) + F.cos(F.radians(lat1)) * F.cos(F.radians(F.col("lat"))) * F.pow(F.sin(dlon / 2), 2)
     dist = F.round(F.lit(6371.0) * 2 * F.asin(F.sqrt(a)), 3)
     return pts.select("s_suppkey", "lon", "lat", dist.alias("dist_wellington_km"))
+
+
+# NZTM2000 / GRS80 constants for the transverse-mercator oracle SQL
+_A = 6378137.0
+_F = 1.0 / 298.257222101
+_E2 = _F * (2 - _F)
+_E4, _E6 = _E2 * _E2, _E2 * _E2 * _E2
+_A0 = 1 - _E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256
+_A2 = 3.0 / 8 * (_E2 + _E4 / 4 + 15 * _E6 / 128)
+_A4 = 15.0 / 256 * (_E4 + 3 * _E6 / 4)
+_A6 = 35 * _E6 / 3072
+_EP2 = _E2 / (1 - _E2)
+
+_NZTM_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         -47.0 + (c_custkey % 120) * 1e-1 AS lat,
+         166.0 + (c_custkey % 130) * 1e-1 AS lon
+  FROM customer
+),
+t1 AS (SELECT c_custkey, lat, lon, radians(lat) AS ep, radians(lon - 173.0) AS lam FROM pts),
+t2 AS (SELECT *, sin(ep) AS sp, cos(ep) AS cp, tan(ep) AS tt FROM t1),
+t3 AS (SELECT *,
+         {_EP2!r} * cp * cp AS eta2,
+         {_A!r} / sqrt(1 - {_E2!r} * sp * sp) AS nrad,
+         {_A!r} * ({_A0!r} * ep - {_A2!r} * sin(2 * ep) + {_A4!r} * sin(4 * ep) - {_A6!r} * sin(6 * ep)) AS m,
+         lam * cp AS lc
+       FROM t2)
+SELECT c_custkey, lat, lon,
+  ROUND(1600000.0 + 0.9996 * nrad * (lc + lc * lc * lc / 6 * (1 - tt * tt + eta2)
+        + lc * lc * lc * lc * lc / 120 * (5 - 18 * tt * tt + tt * tt * tt * tt + 14 * eta2 - 58 * tt * tt * eta2)), 2) AS easting,
+  ROUND(10000000.0 + 0.9996 * (m + nrad * sp * lam * lc / 2
+        + nrad * sp * lam * lc * lc * lc / 24 * (5 - tt * tt + 9 * eta2 + 4 * eta2 * eta2)), 2) AS northing
+FROM t3
+"""
+
+
+@register(
+    "nztm_projection",
+    oracle=_NZTM_ORACLE,
+    doc="NZTM2000 transverse-mercator forward projection as pure Column arithmetic — the reference's proj4 reproject (powerco.js:56-63) without a UDF.",
+)
+def nztm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import transverse_mercator
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(-47.0) + (F.col("c_custkey") % 120) * 0.1).alias("lat"),
+        (F.lit(166.0) + (F.col("c_custkey") % 130) * 0.1).alias("lon"),
+    )
+    e, n = transverse_mercator(F.col("lat"), F.col("lon"))
+    return pts.select(
+        "c_custkey", "lat", "lon", F.round(e, 2).alias("easting"), F.round(n, 2).alias("northing")
+    )
+
+
+@register(
+    "embedded_json_extract",
+    oracle="""
+    WITH html AS (
+      SELECT doc_id,
+             concat('<html><script>window.allOutages = [{"id": ', CAST(doc_id AS VARCHAR),
+                    ', "region": "', lang, '", "customers": ', CAST(n_chars AS VARCHAR),
+                    '}];</script></html>') AS page
+      FROM documents
+    ),
+    extracted AS (
+      SELECT doc_id, regexp_extract(page, 'allOutages\\s*=\\s*(\\[.*?\\])\\s*;', 1) AS payload FROM html
+    )
+    SELECT doc_id,
+           CAST(json_extract_string(payload, '$[0].id') AS BIGINT) AS outage_id,
+           json_extract_string(payload, '$[0].region') AS region,
+           CAST(json_extract_string(payload, '$[0].customers') AS BIGINT) AS customers
+    FROM extracted WHERE payload <> ''
+    """,
+    doc="S6 HTML scrape → regex-extract embedded JSON → parse (ref power-outages/scrapers/orion.js:5-38), self-contained over synthesized pages.",
+)
+def embedded_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import extract_embedded_json
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><script>window.allOutages = [{"id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "region": "'),
+            F.col("lang"),
+            F.lit('", "customers": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}];</script></html>"),
+        ).alias("page"),
+    )
+    extracted = html.select("doc_id", extract_embedded_json("page", "allOutages").alias("payload"))
+    return extracted.where(F.col("payload") != "").select(
+        "doc_id",
+        F.get_json_object("payload", "$[0].id").cast("bigint").alias("outage_id"),
+        F.get_json_object("payload", "$[0].region").alias("region"),
+        F.get_json_object("payload", "$[0].customers").cast("bigint").alias("customers"),
+    )

@@ -44,19 +44,28 @@ def keyed_upsert_batch(df: DataFrame, key: str, ts: str, value_cols: list[str]) 
 
 
 def merge_group(rows: pd.DataFrame, state_row: pd.Series | None, ts: str, value_cols: list[str]) -> pd.Series:
-    """Pure merge function: fold a batch of rows (any order) into the
-    state row. Per field, the value with the greatest event time among
-    non-null observations wins; state survives when the batch carries
-    no newer value. Kept pure so the unit tests can fuzz it directly
-    against the batch-window form."""
+    """Pure merge function: fold a batch of rows (ANY order, across
+    ANY micro-batch split) into the state row.
+
+    Per field, the value with the greatest event time among non-null
+    observations wins — the state tracks a per-field timestamp
+    (``__ts_<col>``) so an old event arriving in a LATER micro-batch
+    cannot clobber newer state (reference J2 semantics,
+    ais-proxy/server.js:1497-1507). This is what makes stream output
+    equal the batch window replay regardless of batch boundaries.
+    Kept pure so unit tests can fuzz it against the window form.
+    """
     rows = rows.sort_values(ts, kind="stable")
     merged = {} if state_row is None else dict(state_row)
     for _, r in rows.iterrows():
         for c in value_cols:
             v = r[c]
-            if pd.notna(v):
+            field_ts = merged.get(f"__ts_{c}")
+            if pd.notna(v) and (field_ts is None or pd.isna(field_ts) or r[ts] >= field_ts):
                 merged[c] = v
-        merged[ts] = r[ts] if ts not in merged or r[ts] > merged[ts] else merged[ts]
+                merged[f"__ts_{c}"] = r[ts]
+        if ts not in merged or pd.isna(merged.get(ts)) or r[ts] > merged[ts]:
+            merged[ts] = r[ts]
     return pd.Series(merged)
 
 
@@ -75,19 +84,29 @@ def keyed_upsert_stream(
     One state row per key; per-field newest-non-null merge; optional
     processing-time TTL (T2 — the reference's 6 h vessel retention).
     Use on a streaming DataFrame; returns the updated-state stream.
+
+    ``state_schema`` lists ts + value columns; the per-field
+    event-time guard columns (``__ts_<col> timestamp``) are appended
+    automatically.
     """
+    if isinstance(state_schema, str):
+        state_schema = state_schema + ", " + ", ".join(f"__ts_{c} timestamp" for c in value_cols)
+
+    # state layout: ts, then value columns, then one per-field
+    # event-time per value column (the newest-wins guard)
+    state_fields = [ts] + value_cols + [f"__ts_{c}" for c in value_cols]
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        prior = pd.Series(dict(zip([ts] + value_cols, state.get))) if state.exists else None
+        prior = pd.Series(dict(zip(state_fields, state.get))) if state.exists else None
         merged = prior
         for pdf in pdfs:
             if len(pdf):
                 merged = merge_group(pdf, merged, ts, value_cols)
         if merged is not None:
-            state.update(tuple([merged.get(ts)] + [merged.get(c) for c in value_cols]))
+            state.update(tuple(merged.get(f) for f in state_fields))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
             out = {k_col: [k_val] for k_col, k_val in zip([key], key_tuple)}
