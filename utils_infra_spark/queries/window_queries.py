@@ -136,3 +136,81 @@ def coordinate_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 53 % 400) - 200 + 0.5).alias("lon"),
     )
     return pts.where(coordinate_valid("lat", "lon")).select("s_suppkey", "lat", "lon")
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    -- Spark session_window: end = last event + gap; a gap of EXACTLY
+    -- the timeout starts a new session (windows are half-open)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="Session windows (1h gap): Spark session_window vs the classic gaps-and-islands SQL — capability parity beyond the reference (SURVEY §2.10 note).",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "rate_limit_violations",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, date_trunc('hour', ts) AS win_start, COUNT(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT user_id, win_start, n FROM win WHERE n >= 3
+    """,
+    doc="W3 rate-limit as analytic (ref ais-proxy/server.js:193-208): per-key window counts over a threshold.",
+)
+def rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
+
+
+@register(
+    "template_render",
+    oracle="""
+    SELECT c_custkey,
+           concat(upper(c_name), ' [', c_mktsegment, '] bal=',
+                  printf('%.2f', c_acctbal)) AS label
+    FROM customer
+    """,
+    doc="§2.8 template rendering: '{{name|upper}} [{{segment}}] bal={{bal|fixed:2}}' compiled to ONE concat Column (ref display-proxy/index.html:1043-1111).",
+)
+def template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.templates import compile_template
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("name"), F.col("c_mktsegment").alias("segment"), F.col("c_acctbal").alias("bal")
+    )
+    label = compile_template("{{name|upper}} [{{segment}}] bal={{bal|fixed:2}}")
+    return cust.select("c_custkey", label.alias("label"))
