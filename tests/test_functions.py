@@ -165,3 +165,36 @@ def test_nztm_known_point(spark):
     row = spark.range(1).select(e.alias("e"), n.alias("n")).first()
     assert abs(row.e - 1748700) < 200, row.e
     assert abs(row.n - 5427600) < 200, row.n
+
+
+def test_sanitize_properties(spark):
+    from utils_infra_spark.operators.filters import sanitize_properties
+
+    df = spark.createDataFrame(
+        [({"name": "A", "tags": '["x","y"]', "nested": '{"a":1}', "_metadata": '{"keep":1}', "n": "5"},)],
+        "props map<string,string>",
+    )
+    [row] = df.select(sanitize_properties("props").alias("p")).collect()
+    assert set(row.p) == {"name", "n", "_metadata"}  # arrays/objects dropped, _metadata kept
+
+
+def test_drop_third_dimension(spark):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.operators.filters import drop_third_dimension
+
+    df = spark.createDataFrame([([[174.0, -41.0, 12.5], [175.0, -42.0, 13.0]],)], "coords array<array<double>>")
+    [row] = df.select(drop_third_dimension("coords").alias("c")).collect()
+    assert row.c == [[174.0, -41.0], [175.0, -42.0]]
+
+
+def test_fold_diacritics_sort_order(spark):
+    """O3 locale-ish sort: ordering by the folded key interleaves
+    macron names with plain ones (ref generate-tlc-localities.js:113-114)."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.functions.strings import fold_diacritics
+
+    df = spark.createDataFrame([("Ōtaki",), ("Oamaru",), ("Ashburton",), ("Ōpōtiki",)], "name string")
+    out = [r.name for r in df.orderBy(F.lower(fold_diacritics("name")), "name").collect()]
+    assert out == ["Ashburton", "Oamaru", "Ōpōtiki", "Ōtaki"]

@@ -117,6 +117,32 @@ def id_prefix(col: Column | str, prefix: str) -> Column:
     return col.startswith(prefix)
 
 
+def sanitize_properties(props: Column | str, *, keep_prefixes: tuple[str, ...] = ("_metadata",)) -> Column:
+    """F17 (ref display-proxy/index.html:929-945): keep only
+    scalar-valued entries of a map<string,string>-typed properties
+    column, always preserving ``keep_prefixes`` keys. Non-scalar
+    values arrive as JSON-ish strings ('[...]'/'{...}') in the
+    map-of-strings encoding — exactly how the reference's client
+    receives them."""
+    props = F.col(props) if isinstance(props, str) else props
+    scalar = lambda v: ~(v.startswith("[") | v.startswith("{"))  # noqa: E731
+
+    def keep(k: Column, v: Column) -> Column:
+        kept = scalar(v)
+        for p in keep_prefixes:
+            kept = kept | k.startswith(p)
+        return kept
+
+    return F.map_filter(props, keep)
+
+
+def drop_third_dimension(coords: Column | str) -> Column:
+    """F17's coordinate clean-up (ref index.html:944): [lon, lat, alt]
+    → [lon, lat] for an array<array<double>> coordinate list."""
+    coords = F.col(coords) if isinstance(coords, str) else coords
+    return F.transform(coords, lambda pt: F.slice(pt, 1, 2))
+
+
 def param_filters(
     df: DataFrame,
     *,
