@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) — the test strategy SURVEY §5
+prescribes: parser round-trips, merge-function/batch-replay parity,
+date-format round-trips, salted-aggregate equivalence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from utils_infra_spark.plans.filter_dsl import parse_filter
+from utils_infra_spark.streaming.upsert import merge_group
+
+# ---------------------------------------------------------------- DSL parser
+
+_paths = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_ops = st.sampled_from(["==", "!=", ">", "<", ">=", "<="])
+_numbers = st.integers(min_value=-10**6, max_value=10**6)
+
+
+@given(path=_paths, op=_ops, value=_numbers)
+@settings(max_examples=200, deadline=None)
+def test_compare_roundtrip(path, op, value):
+    n = parse_filter(f"{path} {op} {value}")
+    assert (n.type, n.path, n.op, n.value) == ("compare", path, op, value)
+
+
+@given(path=_paths, div=st.integers(1, 10**4), op=_ops, value=_numbers)
+@settings(max_examples=100, deadline=None)
+def test_modulo_roundtrip(path, div, op, value):
+    n = parse_filter(f"{path} % {div} {op} {value}")
+    assert (n.type, n.path, n.divisor, n.op, n.value) == ("modulo", path, div, op, value)
+
+
+@given(path=_paths, values=st.lists(_numbers, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_in_roundtrip(path, values):
+    n = parse_filter(f"{path} in [{', '.join(map(str, values))}]")
+    assert (n.type, n.path, n.value) == ("in", path, values)
+
+
+@given(
+    terms=st.lists(
+        st.tuples(_paths, _ops, _numbers), min_size=2, max_size=5
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_and_chain_roundtrip(terms):
+    expr = " and ".join(f"{p} {o} {v}" for p, o, v in terms)
+    n = parse_filter(expr)
+    assert n.type == "and" and len(n.children) == len(terms)
+    for child, (p, o, v) in zip(n.children, terms):
+        assert (child.path, child.op, child.value) == (p, o, v)
+
+
+# ------------------------------------------------- merge/batch-replay parity
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                     # key
+        st.integers(0, 50),                    # ts offset (minutes) — duplicates allowed
+        st.one_of(st.none(), st.floats(-90, 90, allow_nan=False)),   # field a
+        st.one_of(st.none(), st.sampled_from(["X", "Y", "Z"])),      # field b
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _batch_ground_truth(pdf: pd.DataFrame, key: str, ts: str, cols: list[str]) -> dict:
+    """Pure-pandas analog of keyed_upsert_batch: per key, last
+    non-null per field in (ts, arrival) order."""
+    out = {}
+    for k, grp in pdf.groupby(key):
+        grp = grp.sort_values([ts, "__arrival"], kind="stable")
+        row = {}
+        for c in cols:
+            nn = grp[grp[c].notna()]
+            row[c] = nn[c].iloc[-1] if len(nn) else None
+        row[ts] = grp[ts].max()
+        out[k] = row
+    return out
+
+
+@given(events=_events, split=st.integers(1, 7))
+@settings(max_examples=150, deadline=None)
+def test_merge_group_equals_batch_replay_any_split(events, split):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "key": [e[0] for e in events],
+            "ts": [base + pd.Timedelta(minutes=e[1]) for e in events],
+            "a": [e[2] for e in events],
+            "b": [e[3] for e in events],
+            "__arrival": range(len(events)),
+        }
+    )
+    want = _batch_ground_truth(pdf, "key", "ts", ["a", "b"])
+
+    for k, grp in pdf.groupby("key"):
+        state = None
+        grp = grp.reset_index(drop=True)
+        for start in range(0, len(grp), split):
+            state = merge_group(grp.iloc[start : start + split], state, "ts", ["a", "b"])
+        for c in ("a", "b"):
+            got_v, want_v = state.get(c), want[k][c]
+            got_null = got_v is None or (isinstance(got_v, float) and got_v != got_v)
+            want_null = want_v is None
+            if got_null or want_null:
+                assert got_null and want_null, (k, c, got_v, want_v)
+            else:
+                assert got_v == want_v, (k, c, got_v, want_v)
+        assert state["ts"] == want[k]["ts"]

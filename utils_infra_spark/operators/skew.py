@@ -1,0 +1,53 @@
+"""Skew-aware aggregation (SURVEY §4 / 100 TB design).
+
+AQE's skew-join splitting handles joins; for aggregations over a
+hot-key distribution (one user with 10⁹ events), explicit salting
+splits the hot key across ``salt_buckets`` partial groups, then
+merges partials — two small shuffles instead of one stalled task.
+
+Only ADDITIVE aggregates distribute over the salt split (sum, count,
+min, max); avg must be derived as sum/count by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = {"sum": F.sum, "count": "count", "min": F.min, "max": F.max}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage salted groupBy.
+
+    aggs: output_name -> (fn, input_col) with fn ∈ {sum,count,min,max}.
+    Stage 1 groups on (keys..., salt) — the hot key spreads over
+    ``salt_buckets`` tasks; stage 2 merges partials on the true keys
+    (sum of partial sums/counts, min of mins, max of maxes).
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial_exprs = []
+    for name, (fn, col) in aggs.items():
+        col = F.col(col) if isinstance(col, str) else col
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(getattr(F, fn)(col).alias(f"__p_{name}"))
+        else:
+            raise ValueError(f"non-mergeable aggregate for salting: {fn}")
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+
+    merge_exprs = []
+    for name, (fn, _col) in aggs.items():
+        merge_fn = F.sum if fn in ("sum", "count") else getattr(F, fn)
+        merge_expr = merge_fn(F.col(f"__p_{name}"))
+        if fn == "count":
+            merge_expr = merge_expr.cast("long")
+        merge_exprs.append(merge_expr.alias(name))
+    return partial.groupBy(*keys).agg(*merge_exprs)

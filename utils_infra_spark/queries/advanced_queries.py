@@ -76,3 +76,38 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "salted_user_rollup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS total_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_seen, MIN(ts) AS first_seen
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-salted two-stage aggregation (§4 scale design): partials on (key, salt) then merge — must equal the plain GROUP BY exactly (decimal sums are salt-order-independent).",
+)
+def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import DEC
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__v", F.col("value").cast(DEC))
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {
+            "total_events": ("count", "value"),
+            "total_value_dec": ("sum", "__v"),
+            "last_seen": ("max", "ts"),
+            "first_seen": ("min", "ts"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "user_id",
+        "total_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "last_seen",
+        "first_seen",
+    )
