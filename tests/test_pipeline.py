@@ -114,3 +114,24 @@ def test_lang_guess(spark):
     )
     out = {r.id: r.g for r in df.select("id", lang_guess("text").alias("g")).collect()}
     assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_sign_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH-bucketed ANN must agree with brute force on a decent
+    fraction of top-5 neighbors (8 hyperplanes → 256 buckets over
+    random vectors: recall is partial BY DESIGN; assert the pipeline
+    returns sane, non-empty rankings that overlap the exact answer)."""
+    from utils_infra_spark.queries.pipeline_queries import embedding_lsh_ann, embedding_topk_cosine
+
+    approx = embedding_lsh_ann(spark, sf_dir).toPandas()
+    exact = embedding_topk_cosine(spark, sf_dir).toPandas()
+    assert not approx.empty
+    # every query got ranked results from within its bucket
+    assert set(approx.query_id) <= set(exact.query_id)
+    for qid, grp in approx.groupby("query_id"):
+        assert list(grp.sort_values("rnk").rnk) == list(range(1, len(grp) + 1))
+    # overlap with exact top-5 exists somewhere (random vectors:
+    # same-bucket collision correlates with cosine similarity)
+    approx_pairs = set(zip(approx.query_id, approx.cand_id))
+    exact_pairs = set(zip(exact.query_id, exact.cand_id))
+    assert approx_pairs & exact_pairs

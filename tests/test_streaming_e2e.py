@@ -160,3 +160,25 @@ def test_checkpoint_restart_resumes_state(spark, tmp_path):
     by_key = {r.mmsi: r for r in run2}
     assert by_key[1].name == "ALPHA" and by_key[1].lat == -41.1
     assert by_key[3].name == "CHARLIE"
+
+
+def test_stream_upsert_with_ttl_smoke(spark, tmp_path):
+    """T2 TTL path: processing-time timeout wiring must run end-to-end
+    (deterministic expiry testing needs wall-clock control; this
+    asserts the GroupStateTimeout configuration executes)."""
+    src = str(tmp_path / "ttl_src")
+    write_batches(src)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    upserts = keyed_upsert_stream(
+        stream, "mmsi", "ts", VALUE_COLS,
+        output_schema="mmsi int, ts timestamp, lat double, lon double, name string, ship_type double",
+        state_schema="ts timestamp, lat double, lon double, name string, ship_type double",
+        ttl_ms=6 * 3600 * 1000,  # the reference's 6 h vessel TTL
+    )
+    q = (
+        upserts.writeStream.format("memory").queryName("ttl_states").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt")).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT DISTINCT mmsi FROM ttl_states").collect()
+    assert {r.mmsi for r in rows} == {1, 2, 3}

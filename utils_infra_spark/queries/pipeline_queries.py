@@ -266,3 +266,32 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.round(T.quality_score("text", stopwords), 6).alias("quality"))
         .where(F.col("quality") >= 0.5)
     )
+
+
+@register(
+    "embedding_lsh_ann",
+    oracle=None,  # LSH bucket assignment is hash/plane-specific; recall vs brute force is asserted in tests/test_pipeline.py
+    doc="Sign-LSH ANN scale path: 8 deterministic hyperplanes bucket vectors; top-k searched within the query's bucket only (candidates drop ~256x).",
+)
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    from ..pipeline.similarity import brute_force_topk, sign_lsh_bucket
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", sign_lsh_bucket("embedding", planes))
+    queries = bucketed.where(F.col("vec_id") < 8)
+    # search only the query's own bucket: join instead of cross join
+    cand = bucketed.select("vec_id", "embedding", "bucket")
+    return (
+        brute_force_topk(
+            queries.select("vec_id", "embedding"),
+            cand.join(
+                queries.select(F.col("bucket").alias("qb")).distinct(),
+                F.col("bucket") == F.col("qb"),
+            ).select("vec_id", "embedding"),
+            k=5,
+        )
+    )
