@@ -111,3 +111,34 @@ def test_mbtiles_sink(spark, tiles, tmp_path):
     n2 = write_mbtiles(tiles, path)
     assert n2 == 16
     con.close()
+
+
+def test_audio_features(spark):
+    from utils_infra_spark.pipeline.multimodal import audio_features, synth_audio
+
+    rows = [(i, 8000, synth_audio(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "clip_id long, sample_rate int, data binary")
+    out = {r.clip_id: r for r in audio_features(df).collect()}
+    assert len(out) == 4
+    r = out[0]
+    assert r.n_samples == 8000 and abs(r.duration_s - 1.0) < 1e-9
+    # 0.5-amplitude sine: RMS ≈ 0.5/√2 ≈ 0.3536
+    assert abs(r.rms - 0.3536) < 0.01
+    # 110 Hz over 1 s → ~220 zero crossings
+    assert abs(out[0].zero_crossings - 220) <= 2
+    assert abs(out[1].zero_crossings - 440) <= 2  # 220 Hz clip
+
+
+def test_sample_frames_feeds_tile_stats(spark):
+    from utils_infra_spark.pipeline.multimodal import sample_frames, synth_video, tile_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(7, 32, 32, 24, synth_video(7))], "video_id long, width int, height int, n_frames int, data binary"
+    )
+    frames = sample_frames(df, every_nth=8)
+    got = frames.collect()
+    assert [r.frame_index for r in sorted(got, key=lambda r: r.frame_index)] == [0, 8, 16]
+    # sampled frames are valid tiles: pipe them into the image op
+    stats = tile_stats(frames.select(F.lit(0).alias("z"), F.col("frame_index").alias("x"), F.lit(0).alias("y"), "data")).collect()
+    assert len(stats) == 3 and all(s.width == 32 and s.mean_alpha == 255.0 for s in stats)

@@ -193,3 +193,85 @@ def constant_tile(rgba: tuple[int, int, int, int], size: int = 64) -> bytes:
     arr = np.zeros((size, size, 4), dtype=np.uint8)
     arr[...] = rgba
     return encode_tile(arr)
+
+
+# ---------------------------------------------------------------- audio/video
+# Same design as tiles: opaque binary + typed metadata, Arrow-batched
+# mapInPandas, deterministic stub codecs (NOTE:CODEC) with real Spark
+# plumbing. Audio: PCM16 mono frames. Video: concatenated fixed-size
+# frames (a real build swaps in pyav/ffmpeg decode).
+
+AUDIO_SCHEMA = "clip_id bigint, sample_rate int, data binary"
+AUDIO_FEATURE_SCHEMA = "clip_id bigint, n_samples bigint, duration_s double, rms double, peak double, zero_crossings bigint"
+
+
+def synth_audio(clip_id: int, sample_rate: int = 8000, seconds: float = 1.0) -> bytes:
+    """Deterministic PCM16 sine clip (frequency derived from id)."""
+    t = np.arange(int(sample_rate * seconds)) / sample_rate
+    freq = 110.0 * (1 + clip_id % 8)
+    wave = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    return wave.tobytes()
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Feature extraction over PCM16 audio: RMS, peak, zero-crossing
+    count — the audio analog of tile_stats; decoded samples stay in
+    the task, only narrow features cross the shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("clip_id", "n_samples", "duration_s", "rms", "peak", "zero_crossings")}
+            for cid, sr, data in zip(pdf["clip_id"], pdf["sample_rate"], pdf["data"]):
+                x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+                out["clip_id"].append(int(cid))
+                out["n_samples"].append(len(x))
+                out["duration_s"].append(round(len(x) / int(sr), 6))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                out["zero_crossings"].append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_SCHEMA = "video_id bigint, width int, height int, n_frames int, data binary"
+
+
+def synth_video(video_id: int, width: int = 32, height: int = 32, n_frames: int = 24) -> bytes:
+    """Deterministic fake video: n_frames concatenated RGBA frames."""
+    frames = []
+    for i in range(n_frames):
+        yy, xx = np.mgrid[0:height, 0:width]
+        frame = np.stack(
+            [
+                ((xx + i * 3 + video_id) % 256).astype(np.uint8),
+                ((yy + i * 5) % 256).astype(np.uint8),
+                ((xx + yy + i * 7) % 256).astype(np.uint8),
+                np.full((height, width), 255, dtype=np.uint8),
+            ],
+            axis=-1,
+        )
+        frames.append(frame.tobytes())
+    return b"".join(frames)
+
+
+def sample_frames(videos: DataFrame, every_nth: int = 8) -> DataFrame:
+    """Frame sampling (the north star's video op): emit every Nth
+    frame of each clip as a standalone tile-like row — one input row
+    fans out to n_frames/every_nth rows; downstream image ops
+    (tile_stats, palette_remap) consume them unchanged."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"video_id": [], "frame_index": [], "data": []}
+            for vid, w, h, nf, data in zip(pdf["video_id"], pdf["width"], pdf["height"], pdf["n_frames"], pdf["data"]):
+                frame_bytes = int(w) * int(h) * 4
+                for i in range(0, int(nf), every_nth):
+                    raw = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w), 4)
+                    out["video_id"].append(int(vid))
+                    out["frame_index"].append(i)
+                    out["data"].append(encode_tile(arr))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(fn, schema="video_id bigint, frame_index int, data binary")
