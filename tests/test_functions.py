@@ -198,3 +198,27 @@ def test_fold_diacritics_sort_order(spark):
     df = spark.createDataFrame([("Ōtaki",), ("Oamaru",), ("Ashburton",), ("Ōpōtiki",)], "name string")
     out = [r.name for r in df.orderBy(F.lower(fold_diacritics("name")), "name").collect()]
     assert out == ["Ashburton", "Oamaru", "Ōpōtiki", "Ōtaki"]
+
+
+def test_bilinear_interpolate(spark):
+    from utils_infra_spark.functions.geo import bilinear_interpolate
+
+    # 3x3 grid over lon 0..2, lat 0..2: value = 10*lat + lon at nodes
+    grid = F.array(*[F.array(*[F.lit(float(10 * y + x)) for x in range(3)]) for y in range(3)])
+    df = spark.createDataFrame([(0.5, 0.5), (1.0, 1.0), (1.5, 0.25)], "lon double, lat double")
+    out = [
+        r.v
+        for r in df.select(
+            bilinear_interpolate(grid, F.col("lon"), F.col("lat"), west=0.0, south=0.0, dlon=1.0, dlat=1.0).alias("v")
+        ).collect()
+    ]
+    # linear field → interpolation is exact: 10*lat + lon
+    assert out == [5.5, 11.0, 4.0]
+
+
+def test_format_eta(spark):
+    from utils_infra_spark.functions.datetimes import format_eta
+
+    df = spark.createDataFrame([(2, 9, 8, 5), (12, 31, 23, 59), (None, 1, 2, 3)], "m int, d int, h int, mi int")
+    out = [r.eta for r in df.select(format_eta("m", "d", "h", "mi").alias("eta")).collect()]
+    assert out == ["02/09 08:05", "12/31 23:59", None]

@@ -74,3 +74,14 @@ def nz_local(col: Column | str, fmt: str = "dd/MM/yyyy HH:mm") -> Column:
     """Render in Pacific/Auckland (ref index.html:1085-1092)."""
     col = F.col(col) if isinstance(col, str) else col
     return F.date_format(F.from_utc_timestamp(col, "Pacific/Auckland"), fmt)
+
+
+def format_eta(month: Column | str, day: Column | str, hour: Column | str, minute: Column | str) -> Column:
+    """AIS ETA wire format 'MM/DD HH:MM' from component fields with
+    zero-padding (ref ais-proxy/server.js:503-507); any NULL
+    component → NULL ETA (the reference skips incomplete ETAs)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in (month, day, hour, minute)]
+    pad = [F.lpad(p.cast("string"), 2, "0") for p in parts]
+    out = F.concat(pad[0], F.lit("/"), pad[1], F.lit(" "), pad[2], F.lit(":"), pad[3])
+    null_any = parts[0].isNull() | parts[1].isNull() | parts[2].isNull() | parts[3].isNull()
+    return F.when(null_any, F.lit(None)).otherwise(out)

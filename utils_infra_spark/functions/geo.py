@@ -151,3 +151,31 @@ def point_in_polygon(lon: Column, lat: Column, ring: Column) -> Column:
 
     hits = F.aggregate(idx, F.lit(0), lambda acc, i: acc + crosses(i))
     return (hits % 2) == 1
+
+
+def bilinear_interpolate(grid: Column, lon: Column, lat: Column, *, west: float, south: float, dlon: float, dlat: float) -> Column:
+    """Bilinear interpolation over a broadcast 2-D grid (S13/§2.8
+    math; ref terrain-proxy/server.js:160-177 — the NZGeoid2016
+    lookup). ``grid`` is array<array<double>> rows south→north,
+    columns west→east, attached as a literal/broadcast column.
+
+    fx, fy are fractional grid coordinates; the four surrounding
+    nodes blend by the usual (1-u)(1-v) weights — all Column
+    arithmetic, evaluated per row inside codegen.
+    """
+    fx = (lon - F.lit(west)) / F.lit(dlon)
+    fy = (lat - F.lit(south)) / F.lit(dlat)
+    x0 = F.floor(fx).cast("int")
+    y0 = F.floor(fy).cast("int")
+    u = fx - x0
+    v = fy - y0
+
+    def node(yi: Column, xi: Column) -> Column:
+        return F.element_at(F.element_at(grid, yi + 1), xi + 1)
+
+    return (
+        node(y0, x0) * (1 - u) * (1 - v)
+        + node(y0, x0 + 1) * u * (1 - v)
+        + node(y0 + 1, x0) * (1 - u) * v
+        + node(y0 + 1, x0 + 1) * u * v
+    )
