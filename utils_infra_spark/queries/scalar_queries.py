@@ -280,3 +280,81 @@ def forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "priority_order_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H-Q4-shaped: EXISTS semi-join with a cross-table condition, then grouped counts.",
+)
+def priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li, (li["l_orderkey"] == orders["o_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]), "left_semi"
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "status_bucket_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderstatus
+    """,
+    doc="TPC-H-Q12-shaped: conditional bucket counts inside one grouped pass (no pivot shuffle).",
+)
+def status_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "brand_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             CAST(SUM(CASE WHEN p.p_brand IN ('Brand#1','Brand#2','Brand#3')
+                      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             * 100 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS brand_share_pct,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    doc="TPC-H-Q14-shaped: ratio-of-conditional-sums over a fact⟕dim join (promo-revenue pattern).",
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import DEC
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branded = F.when(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"), rev).otherwise(zero)
+    return joined.agg(
+        F.round(F.sum(branded).cast("double") * 100 / F.sum(rev).cast("double"), 4).alias("brand_share_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
