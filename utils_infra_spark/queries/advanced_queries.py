@@ -111,3 +111,62 @@ def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seen",
         "first_seen",
     )
+
+
+@register(
+    "tile_pipeline_stats",
+    oracle=None,  # binary tile pipeline; per-channel means are verified against numpy ground truth in tests/test_multimodal.py
+    doc="R1/R2-family end-to-end: synthesize deterministic tiles from keys, palette-remap (dBZ LUT), extract per-channel stats — the multimodal binary-column pipeline as a judged query.",
+)
+def tile_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from ..pipeline.multimodal import palette_remap, synth_tile, tile_stats
+
+    keys = load_table(spark, sf_dir, "supplier").select(
+        F.lit(7).alias("z"), (F.col("s_suppkey") % 16).cast("int").alias("x"), (F.col("s_suppkey") % 8).cast("int").alias("y")
+    ).distinct()
+
+    def make_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"],
+                    "x": pdf["x"],
+                    "y": pdf["y"],
+                    "data": [synth_tile(int(z), int(x), int(y)) for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"])],
+                }
+            )
+
+    tiles = spread(keys).mapInPandas(make_tiles, schema="z int, x int, y int, data binary")
+    return tile_stats(palette_remap(tiles)).select(
+        "z", "x", "y", "width", "height", F.round("mean_r", 4).alias("mean_r"), F.round("mean_alpha", 4).alias("mean_alpha")
+    )
+
+
+@register(
+    "audio_features_pipeline",
+    oracle=None,  # PCM feature extraction; values verified against sine ground truth in tests/test_multimodal.py
+    doc="Audio binary-column pipeline as a judged query: synthesize PCM16 clips from keys, extract RMS/peak/zero-crossings via mapInPandas.",
+)
+def audio_features_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from ..pipeline.multimodal import audio_features, synth_audio
+
+    keys = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("clip_id"), F.lit(8000).alias("sample_rate"))
+
+    def make_clips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "sample_rate": pdf["sample_rate"],
+                    "data": [synth_audio(int(c), seconds=0.25) for c in pdf["clip_id"]],
+                }
+            )
+
+    clips = spread(keys).mapInPandas(make_clips, schema="clip_id bigint, sample_rate int, data binary")
+    return audio_features(clips).select(
+        "clip_id", "n_samples", F.round("rms", 4).alias("rms"), "zero_crossings"
+    )
