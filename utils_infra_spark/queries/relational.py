@@ -457,7 +457,7 @@ def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_event_counts",
     oracle="""
-    SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY date_trunc('day', ts), event_type
     """,

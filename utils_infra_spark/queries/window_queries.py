@@ -85,8 +85,8 @@ def last_nonnull_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feats AS (
       SELECT c_custkey AS id,
              struct_pack(type := CASE WHEN c_custkey % 5 = 0 THEN 'LineString' ELSE 'Point' END,
-                         lon := (c_custkey % 60) - 30 + 0.5,
-                         lat := (c_custkey % 40) - 20 + 0.5) AS geometry,
+                         lon := CAST((c_custkey % 60) - 30 + 0.5 AS DOUBLE),
+                         lat := CAST((c_custkey % 40) - 20 + 0.5 AS DOUBLE)) AS geometry,
              c_mktsegment AS segment
       FROM customer
     )
@@ -119,8 +119,8 @@ def nested_struct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coordinate_validity",
     oracle="""
     WITH pts AS (
-      SELECT s_suppkey, (s_suppkey * 37 % 220) - 110 + 0.5 AS lat,
-             (s_suppkey * 53 % 400) - 200 + 0.5 AS lon
+      SELECT s_suppkey, CAST((s_suppkey * 37 % 220) - 110 + 0.5 AS DOUBLE) AS lat,
+             CAST((s_suppkey * 53 % 400) - 200 + 0.5 AS DOUBLE) AS lon
       FROM supplier
     )
     SELECT s_suppkey, lat, lon FROM pts
