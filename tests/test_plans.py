@@ -58,3 +58,41 @@ def test_dedup_shuffles_digests_not_text(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orders_semi_building")
     assert "LeftSemi" in plan
+
+
+def plan_of_df(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_bucketed_pairs_single_shuffle_no_broadcast(spark, sf_dir):
+    """The pair kernel shuffles the corpus ONCE on the bucket key and
+    never broadcasts or joins: scale-safe regardless of corpus size
+    (parallelism = nlist by IVF contract)."""
+    from utils_infra_spark.pipeline.similarity import bucketed_pairs
+    from utils_infra_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = bucketed_pairs(emb, vec_col="embedding", id_col="vec_id", bucket_col="label", threshold=0.25)
+    plan = plan_of_df(spark, df)
+    assert "FlatMapGroupsInPandas" in plan
+    # tree lines render as "Exchange (N)"; detail headers as "(N) Exchange"
+    assert plan.count("Exchange (") == 1, plan
+    assert "Broadcast" not in plan
+    assert "Join" not in plan
+
+
+def test_minhash_leaves_no_cached_rdds(spark, sf_dir):
+    """minhash_near_duplicates is a single-consumption plan: nothing
+    persisted, so a long session never accumulates sketch memory."""
+    from utils_infra_spark.pipeline.dedup import minhash_near_duplicates
+    from utils_infra_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.4)
+    out.collect()
+    persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert persistent.size() == 0, f"{persistent.size()} cached RDDs leaked"
+    plan = plan_of_df(spark, out)
+    assert "InMemoryRelation" not in plan

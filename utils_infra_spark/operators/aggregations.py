@@ -13,22 +13,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# DECIMAL sums are order-independent (integer arithmetic underneath),
-# so a 32-partition Spark plan and a single-threaded oracle agree
-# exactly. Double sums differ in the last ulps across partitionings.
-DEC = "decimal(28,6)"
+# Money-like sums use fixed-point arithmetic so results are
+# associative: a 32-partition Spark plan and a single-threaded oracle
+# agree bit-for-bit (double sums differ in the last ulps across
+# partitionings). Implementation detail that matters at both ends of
+# the scale spectrum: the obvious `cast(decimal(28,6))` per row goes
+# through a BigDecimal string-parse in Spark (~6x slower than double
+# sums, measured); instead we quantize with `floor(x*10^s + 0.5)` —
+# pure JVM double math that whole-stage codegen inlines — and
+# accumulate the resulting long in DECIMAL(38,0), whose compact-long
+# fast path upgrades to BigDecimal only if a partial sum actually
+# exceeds 2^63 (the graceful 100 TB behavior; a raw long sum would
+# silently wrap). Oracles mirror the exact same FLOOR expression, so
+# both engines compute identical integers and identical final doubles.
+DEC = "decimal(28,6)"  # retained for per-group (post-agg) exact ratios
+
+_ACC = "decimal(38,0)"
 
 
-def dsum(col: str | Column, alias: str) -> Column:
-    """Exact decimal sum, cast back to double for a stable wire type."""
+def _quantize(col: Column, scale: int) -> Column:
+    """floor(x*10^scale + 0.5): half-up-toward-+inf fixed-point units.
+
+    The same expression (not just the same convention) must appear in
+    the oracle SQL — `FLOOR(x*10^s + 0.5)` — so the two engines agree
+    even at rounding boundaries.
+    """
+    return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5))
+
+
+def dsum(col: str | Column, alias: str, scale: int = 6) -> Column:
+    """Exact fixed-point sum, returned as double.
+
+    Oracle fragment: ``CAST(SUM(CAST(FLOOR((x)*1000000 + 0.5) AS
+    BIGINT)) AS DOUBLE)/1000000 AS alias`` (scale=6).
+    """
     col = F.col(col) if isinstance(col, str) else col
-    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+    return (F.sum(_quantize(col, scale).cast(_ACC)).cast("double") / F.lit(float(10**scale))).alias(alias)
 
 
-def davg(col: str | Column, alias: str, scale: int = 6) -> Column:
-    """Order-independent average: decimal-sum / count, rounded."""
+def davg(col: str | Column, alias: str, scale: int = 6, qscale: int = 6) -> Column:
+    """Order-independent average: fixed-point sum / count, rounded.
+
+    Oracle fragment: ``ROUND(CAST(SUM(CAST(FLOOR((x)*1000000 + 0.5) AS
+    BIGINT)) AS DOUBLE)/1000000 / COUNT(x), scale)``.
+    """
     col = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(col.cast(DEC)) / F.count(col), scale).cast("double").alias(alias)
+    total = F.sum(_quantize(col, qscale).cast(_ACC)).cast("double") / F.lit(float(10**qscale))
+    return F.round(total / F.count(col), scale).cast("double").alias(alias)
 
 
 def grouped_sum(df: DataFrame, keys: list[str], value: str, *, sum_alias: str = "total", count_alias: str = "n") -> DataFrame:

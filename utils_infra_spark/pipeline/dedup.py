@@ -113,16 +113,27 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    Plan shape (scale-first):
-      1. spread the doc scan, ONE projection: shingles → signature →
-         band keys (codegen), keep only (doc_id, band, key) — the
-         sketch, ~100 bytes/doc — and persist it (it's read twice by
-         the self-join; recomputing would re-hash the whole corpus)
-      2. self-join the sketch on (band, key) → candidate id pairs,
-         deduped — the shuffle carries ids, never documents
-      3. verify: re-derive shingles ONLY for candidate docs via two
-         broadcast semi-joins of the (small) pair list against the
-         corpus, then exact Jaccard
+    Plan shape (scale-first, ZERO caching — one job, nothing left in
+    the block manager afterwards):
+      1. one pass over the corpus: shingles → one xxhash64 per
+         shingle → k derived min-hashes (groupBy doc_id, map-side
+         combine) → band keys. The shuffle carries (doc_id, k longs),
+         never documents.
+      2. candidate pairs WITHOUT a self-join: groupBy (band, key) →
+         collect_list(doc_id) → in-row pair expansion via two
+         generates. The sketch is consumed ONCE, so nothing needs
+         persist()/checkpoint — the round-1 self-join shape read it
+         twice and had to cache it, leaking executor memory into the
+         rest of the session. Hot buckets cost O(m²) pairs either
+         way (inherent to LSH banding); collect_list additionally
+         bounds a single bucket's ids to executor memory — ids only,
+         ~8 B each.
+      3. verify with ONE join against the shingled corpus: explode
+         each pair into (pair, role) rows, join on doc_id, regroup to
+         (sh_a, sh_b), exact Jaccard. One scan + one shuffle of the
+         shingle arrays, vs two of each for the naive two-join shape;
+         AQE broadcasts the (small) pair side at runtime when stats
+         allow — forcing it would gamble at 100 TB.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     from ..sources.tables import spread
@@ -139,44 +150,79 @@ def minhash_near_duplicates(
         # heavy compute runs after the exchange, once per row, on
         # every core.
         return (
-            spread(frame.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")))
+            spread(frame.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")), min_bytes=0)
             .select("doc_id", F.split(F.trim("__text"), r"\s+").alias("__toks"))
             .select("doc_id", shingles_from_tokens("__toks", k_shingle).alias("sh"))
         )
 
-    sketch = (
+    # Sketch path avoids higher-order functions entirely — HOF lambdas
+    # are CodegenFallback (interpreted per element), which makes the
+    # naive transform-per-hash signature ~num_hashes x slower than this
+    # shape: explode shingles, hash each ONCE with native xxhash64,
+    # derive the k minhash family by re-hashing that LONG with k seeds
+    # (one-hash MinHash; xxhash64 on a long is a codegen'd native op,
+    # and avoids wrapped arithmetic, which ANSI mode would reject),
+    # then a groupBy(doc_id) with k codegen'd MIN aggregates. Map-side
+    # combine collapses each doc's shingles before the shuffle, which
+    # carries only (doc_id, k longs).
+    # the shingle string is hashed ONCE into an attribute (`hh`) in a
+    # projection below the explode; the k aggregate expressions then
+    # re-hash the attribute long — inlining xxhash64(shingle) into
+    # each agg would string-hash every shingle k times
+    minh_aggs = [F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("hh"))).alias(f"h{i}") for i in range(num_hashes)]
+    # explode_OUTER, deliberately: plain explode plants a
+    # `size(sh) > 0` filter that Catalyst pushes below the spread()
+    # exchange, inlining the whole shingle expression into the
+    # (few-partition) scan stage — measured 6.5 s single-threaded vs
+    # 0.4 s spread at sf0.1. shingles_from_tokens never returns an
+    # empty/null array, so outer semantics are identical here.
+    sig_df = (
         shingled(df)
-        .withColumn("sig", minhash_signature("sh", num_hashes))
-        .select("doc_id", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bk"))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("hh"))
+        .groupBy("doc_id")
+        .agg(*minh_aggs)
+    )
+    band_entries = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_entries.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(f"band{b}"), *parts).alias("key"))
+        )
+    sketch = (
+        sig_df.select("doc_id", F.explode_outer(F.array(*band_entries)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .persist()
     )
 
+    # pair expansion in-row: ids per bucket, then two generates with
+    # a strict < filter — no self-join, so the sketch plan is consumed
+    # exactly once and needs no persist()
     cand = (
-        sketch.alias("a")
-        .join(
-            sketch.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        sketch.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode_outer("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode_outer("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # AQE promotes these to broadcast joins when the pair list is
-    # small at runtime; an explicit broadcast() would gamble on that
-    # at 100 TB, where a dup-heavy corpus can make `cand` huge.
     sh = shingled(df)
-    verified = (
-        cand
-        .join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sa.sh"), F.col("sb.sh")), 6).alias("jaccard"),
+    roles = cand.select(
+        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    paired = (
+        roles.join(sh, "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
         )
+    )
+    verified = paired.select(
+        "id_a",
+        "id_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
     )
     return verified.where(F.col("jaccard") >= threshold)
 
@@ -225,7 +271,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, *, alias: str = "simhas
     from ..sources.tables import spread
 
     return (
-        spread(df.select(F.col(id_col), F.col(text_col).alias("__text")))
+        spread(df.select(F.col(id_col), F.col(text_col).alias("__text")), min_bytes=0)
         .select(id_col, simhash_votes(F.col("__text")).alias("__votes"))
         .select(id_col, simhash_pack("__votes").alias(alias))
     )

@@ -3,9 +3,11 @@
 Brute-force cosine top-k is the exactness baseline; the scale path
 buckets candidates (IVF-style coarse quantization on broadcast
 centroids, or LSH sign-bands) so each probe touches 1/nlist of the
-data. Dot products use `zip_with`+`aggregate` higher-order functions:
-JVM-side, no Python, no explode — a 64-dim cosine is one codegen
-expression.
+data. Hot-path kernels (top-k scan, bucketed pairs) are Arrow-batched
+numpy matmuls — Spark's HOF lambdas are CodegenFallback (interpreted
+per element), so `zip_with`+`aggregate` dot products are reserved for
+the one-off per-row cases (LSH plane signs) where a join/matmul shape
+doesn't apply.
 
 Determinism note: ranking uses the cosine ROUNDED to 6 dp with id as
 tie-break, so results are reproducible across engines/partitionings
@@ -48,32 +50,78 @@ def brute_force_topk(
     k: int = 5,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Exact cosine top-k per query via broadcast of the query set.
+    """Exact cosine top-k per query: broadcast query matrix, Arrow-
+    batched numpy matmul over the candidate scan, per-batch partial
+    top-k, then an exact global top-k over the small survivor set.
 
-    The QUERY side broadcasts (queries are few); the candidate scan
-    stays partition-parallel with no shuffle until the final per-query
-    top-k, which shuffles only (query_id, cand_id, cosine) triples.
+    Why not zip_with/aggregate HOFs: Spark's higher-order functions
+    are CodegenFallback — every element of every dot product is an
+    interpreted expression eval, ~100x slower than a BLAS matmul on
+    the same batch. The mapInPandas kernel keeps the candidate scan
+    partition-parallel (no join materialization of |Q|x|C| rows at
+    all) and ships only per-batch winners — |partitions|x|Q|xk rows —
+    into the final exact ranking. That is the shape that survives
+    100 TB: candidates stream, queries broadcast, shuffle carries
+    survivors only.
+
+    The driver-side collect is of the QUERY side only (few by
+    contract — it also broadcast in the join formulation).
+
+    Determinism: cosines are quantized to ``round_dp`` with the same
+    floor(x*10^dp + 0.5) rule inside the kernel, and both the batch
+    top-k and the global top-k rank by (quantized desc, cand_id asc)
+    — identical criteria, so the partial/global split cannot change
+    the answer.
     """
-    from ..sources.tables import spread
+    from collections.abc import Iterator
 
-    q = queries.select(F.col(id_col).alias("query_id"), _vec(vec_col).alias("qv")).withColumn(
-        "nq", norm(F.col("qv"))
-    )
-    c = spread(candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv"))).withColumn(
-        "nc", norm(F.col("cv"))
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), round_dp).alias("cos_sim"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col), _vec(vec_col)).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    scale = float(10**round_dp)
+    id_type = dict(candidates.dtypes)[id_col]
+
+    spark = candidates.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_q, b_qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cand_id"].to_numpy()
+            cmat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            # |C|x|Q| cosine block, quantized with the floor rule
+            sims = (cmat @ b_q.T) / (cnorm[:, None] * b_qn[None, :])
+            simq = np.floor(sims * scale + 0.5) / scale
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(b_qids):
+                col = simq[:, j]
+                keep = cids != qid
+                order = np.lexsort((cids[keep], -col[keep]))[:k]
+                kept_ids = cids[keep][order]
+                out_q.extend([qid] * len(kept_ids))
+                out_c.extend(kept_ids.tolist())
+                out_s.extend(col[keep][order].tolist())
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "cos_sim": out_s})
+
+    # deliberately NOT spread(): the numpy kernel chews a whole
+    # partition in one matmul, so extra partitions only multiply the
+    # per-task Python round-trip (~30 ms each, measured ≈ 1 s at 32
+    # tasks — 100x the matmul itself at small inputs). At 100 TB the
+    # scan arrives in thousands of splits and parallelism is free.
+    c = candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv"))
+    partial = c.mapInPandas(
+        score_batches, schema=f"query_id {id_type}, cand_id {id_type}, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
     )
@@ -87,39 +135,62 @@ def bucketed_pairs(
     bucket_col: str = "label",
     threshold: float = 0.9,
     round_dp: int = 6,
-    broadcast_build: bool = True,
 ) -> DataFrame:
     """Near-duplicate embedding pairs within a coarse bucket
     (IVF-style: only intra-bucket pairs are scored — the quadratic
     term shrinks by nlist×).
 
-    Join strategy: a shuffle join on the bucket key caps parallelism
-    at bucket cardinality (10 labels → 10 busy tasks). With
-    ``broadcast_build`` (default) the build side broadcasts and the
-    probe side keeps its round-robin spread, so every core scores
-    pairs. Set it False when the corpus is too big to broadcast — at
-    that scale you also want a high-cardinality bucket (IVF nlist ≫
-    cores), which makes the shuffle join the right plan.
-    """
-    from ..sources.tables import spread
+    Execution: ONE shuffle of the corpus on the bucket key, then a
+    per-bucket numpy Gram matrix (``applyInPandas``) that emits pairs
+    over the threshold. No broadcast of any side and no join at all —
+    the earlier join formulation either broadcast the corpus (a
+    gamble at 100 TB) or capped parallelism at bucket cardinality
+    while paying interpreted HOF dot products; the Arrow kernel makes
+    the per-bucket quadratic a single BLAS call (~100× an interpreted
+    dot) and is scale-safe by construction: parallelism is nlist,
+    which at real scale is sized ≫ cores (IVF contract), and a
+    bucket's working set is rows×dim×8 B — the same bound the join's
+    per-key hash bucket had.
 
-    # norms precomputed per ROW (attribute boundary) so the quadratic
-    # pair stage evaluates one 64-flop dot, not dot + two norms
+    Determinism: cosines quantize with the floor(x·10^dp + 0.5) rule
+    (matches the oracle's ROUND for the non-negative range; pairs are
+    emitted in sorted-id order so id_a < id_b by value).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10**round_dp)
+    id_type = dict(df.dtypes)[id_col]
+    bucket_type = dict(df.dtypes)[bucket_col]
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "bucket": [], "cos_sim": []})
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        simq = np.floor(sims * scale + 0.5) / scale
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = simq[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "bucket": pdf["bucket"].iloc[0],
+                "cos_sim": simq[ia[keep], ib[keep]],
+            }
+        )
+
     base = df.select(
         F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), _vec(vec_col).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
-    a = spread(base).alias("a")
-    b = (F.broadcast(base) if broadcast_build else base).alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.bucket").alias("bucket"),
-            F.round(cos, round_dp).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    )
+    return base.groupBy("bucket").applyInPandas(
+        score_bucket,
+        schema=f"id_a {id_type}, id_b {id_type}, bucket {bucket_type}, cos_sim double",
     )
 
 

@@ -82,17 +82,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_user_rollup",
     oracle="""
     SELECT user_id, COUNT(*) AS total_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_value,
            MAX(ts) AS last_seen, MIN(ts) AS first_seen
     FROM events GROUP BY user_id
     """,
     doc="Skew-salted two-stage aggregation (§4 scale design): partials on (key, salt) then merge — must equal the plain GROUP BY exactly (decimal sums are salt-order-independent).",
 )
 def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregations import DEC
     from ..operators.skew import salted_aggregate
 
-    ev = load_table(spark, sf_dir, "events").withColumn("__v", F.col("value").cast(DEC))
+    # fixed-point quantization (same FLOOR form as the oracle) keeps
+    # the salted two-stage sum exact and salt-order-independent
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__v", F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    )
     out = salted_aggregate(
         ev,
         ["user_id"],
@@ -107,7 +110,7 @@ def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "total_events",
-        F.col("total_value_dec").cast("double").alias("total_value"),
+        (F.col("total_value_dec").cast("double") / F.lit(1e6)).alias("total_value"),
         "last_seen",
         "first_seen",
     )
@@ -138,7 +141,7 @@ def tile_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    tiles = spread(keys).mapInPandas(make_tiles, schema="z int, x int, y int, data binary")
+    tiles = spread(keys, min_bytes=0).mapInPandas(make_tiles, schema="z int, x int, y int, data binary")
     return tile_stats(palette_remap(tiles)).select(
         "z", "x", "y", "width", "height", F.round("mean_r", 4).alias("mean_r"), F.round("mean_alpha", 4).alias("mean_alpha")
     )
@@ -166,7 +169,7 @@ def audio_features_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    clips = spread(keys).mapInPandas(make_clips, schema="clip_id bigint, sample_rate int, data binary")
+    clips = spread(keys, min_bytes=0).mapInPandas(make_clips, schema="clip_id bigint, sample_rate int, data binary")
     return audio_features(clips).select(
         "clip_id", "n_samples", F.round("rms", 4).alias("rms"), "zero_crossings"
     )

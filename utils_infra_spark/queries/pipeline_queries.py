@@ -107,7 +107,7 @@ def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ) WHERE rnk <= 5
     """,
-    doc="Brute-force cosine top-k ANN baseline: broadcast queries × partition-parallel candidate scan, HOF dot products (no UDF).",
+    doc="Brute-force cosine top-k ANN baseline: broadcast query matrix × partition-parallel candidate scan, Arrow-batched numpy matmul kernel, per-batch partial top-k.",
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -210,20 +210,23 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_distribution",
     oracle="""
     SELECT lang, COUNT(*) AS n,
-           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS total_chars,
-           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+           CAST(SUM(CAST(FLOOR((n_chars)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_chars,
+           ROUND(CAST(SUM(CAST(FLOOR((n_chars)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(*), 4) AS avg_chars
     FROM documents GROUP BY lang
     """,
     doc="Language distribution rollup over the documents corpus.",
 )
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregations import DEC, dsum
+    from ..operators.aggregations import dsum
 
     docs = load_table(spark, sf_dir, "documents")
+    total = F.sum(F.floor(F.col("n_chars") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")).cast("double") / F.lit(
+        1e6
+    )
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("n_chars", "total_chars"),
-        F.round(F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.round(total / F.count(F.lit(1)), 4).alias("avg_chars"),
     )
 
 

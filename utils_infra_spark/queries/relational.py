@@ -27,13 +27,13 @@ ORDERS_NOW = "1998-01-01 00:00:00"
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           CAST(SUM(CAST(FLOOR((l_quantity)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_qty,
+           CAST(SUM(CAST(FLOOR((l_extendedprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_base_price,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax))*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS sum_charge,
+           ROUND(CAST(SUM(CAST(FLOOR((l_quantity)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(FLOOR((l_discount)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -47,7 +47,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (1 + F.col("l_tax"))
 
     def exact_avg(col, alias):
-        return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)), 4).alias(alias)
+        total = F.sum(F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")).cast("double") / F.lit(1e6)
+        return F.round(total / F.count(F.lit(1)), 4).alias(alias)
 
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -70,7 +71,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_sum_orders",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(FLOOR((o_totalprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_price,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
@@ -110,7 +111,7 @@ def affected_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(FLOOR((o_totalprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_price,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order,
            list_aggr(list_sort(list_distinct(list(o_orderpriority))), 'string_agg', ', ') AS priorities,
@@ -168,7 +169,7 @@ def value_counts_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_rollup",
     oracle="""
     SELECT c_mktsegment,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal,
+           CAST(SUM(CAST(FLOOR((c_acctbal)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_acctbal,
            COUNT(*) AS n
     FROM customer GROUP BY c_mktsegment
     """,
@@ -184,7 +185,7 @@ def segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recent_activity_24h",
     oracle=f"""
     SELECT COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_value,
            COUNT(DISTINCT user_id) AS active_users
     FROM events WHERE ts > TIMESTAMP '{EVENTS_NOW}' - INTERVAL 24 HOUR
     """,
@@ -384,7 +385,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_rollup_events",
     oracle="""
     SELECT user_id, COUNT(*) AS total_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_value,
            MAX(ts) AS last_seen
     FROM events GROUP BY user_id
     """,
@@ -458,7 +459,7 @@ def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_event_counts",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_value
     FROM events GROUP BY date_trunc('day', ts), event_type
     """,
     doc="W3 tumbling time-bucket counts — batch analog of the rate-limit window (ref ais-proxy/server.js:193-208).",

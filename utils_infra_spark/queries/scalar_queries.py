@@ -196,7 +196,7 @@ def derived_key_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_revenue_top10",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -211,9 +211,14 @@ def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fact-to-fact join: hint merge (sort-merge) rather than letting the
+    # planner broadcast the orders⋈cust intermediate — materializing an
+    # unbounded intermediate through the driver is both slower here
+    # (measured ~2x) and a gamble at 100 TB; dim lookups elsewhere still
+    # broadcast. AQE coalesces the shuffle at small sf.
     return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(li.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -226,7 +231,7 @@ def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue",
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -245,8 +250,9 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fact-to-fact li⋈orders: merge hint (see order_revenue_top10)
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
@@ -258,7 +264,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue_filter",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -334,8 +340,8 @@ def status_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ROUND(
              CAST(SUM(CASE WHEN p.p_brand IN ('Brand#1','Brand#2','Brand#3')
-                      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
-             * 100 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS brand_share_pct,
+                      THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))*1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             * 100 / CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))*1000000 + 0.5) AS BIGINT)) AS DOUBLE), 4) AS brand_share_pct,
            COUNT(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
@@ -343,18 +349,20 @@ def status_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H-Q14-shaped: ratio-of-conditional-sums over a fact⟕dim join (promo-revenue pattern).",
 )
 def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregations import DEC
-
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-    zero = F.lit(0).cast(DEC)
+    # fixed-point quantized revenue: the 10^6 scale cancels in the
+    # ratio, so numerator/denominator stay exact integer sums
+    rev_q = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
     joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-    branded = F.when(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"), rev).otherwise(zero)
+    branded = F.when(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"), rev_q).otherwise(zero)
     return joined.agg(
-        F.round(F.sum(branded).cast("double") * 100 / F.sum(rev).cast("double"), 4).alias("brand_share_pct"),
+        F.round(F.sum(branded).cast("double") * 100 / F.sum(rev_q).cast("double"), 4).alias("brand_share_pct"),
         F.count(F.lit(1)).alias("n"),
     )

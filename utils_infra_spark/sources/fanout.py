@@ -61,4 +61,4 @@ def fan_out_fetch(
                 out["error"].append(err)
             yield pd.DataFrame(out)
 
-    return spread(keys.select(key_col)).mapInPandas(fn, schema=FANOUT_SCHEMA)
+    return spread(keys.select(key_col), min_bytes=0).mapInPandas(fn, schema=FANOUT_SCHEMA)
