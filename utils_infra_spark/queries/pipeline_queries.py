@@ -298,3 +298,28 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=5,
         )
     )
+
+
+@register(
+    "sitrep_summarize",
+    oracle=None,  # the model call (even stubbed) is not SQL-expressible; golden outputs are asserted in tests/test_summarize.py
+    doc="§2.11 LLM-summarize stage (sitrep lifecycle): F7 fresh filter + retracted-metadata exclusion (ref lambda/sitrep-generator/index.py:252-263) → compact context projection (F16, ref :300-306) → per-layer batched prompt → deterministic stub model → per-layer report rows (ref :397-425).",
+)
+def sitrep_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import filters
+    from ..pipeline.summarize import llm_summarize_by_key
+    from .relational import EVENTS_NOW
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(EVENTS_NOW).cast("timestamp") - F.expr("INTERVAL 5 DAYS")
+    # retracted-feature analog of is_deleted_quake: a JSON metadata
+    # predicate drops ~5% of rows before the model ever sees them
+    retracted = F.get_json_object("props", "$.k").cast("int") % 20 == 0
+    live = ev.where(filters.fresh("ts", cutoff)).where(~F.coalesce(retracted, F.lit(False)))
+    return llm_summarize_by_key(
+        live,
+        key_col="event_type",
+        callsign_col="user_id",
+        time_col="ts",
+        metadata_col="props",
+    ).orderBy("layer")
