@@ -165,8 +165,15 @@ def bilinear_interpolate(grid: Column, lon: Column, lat: Column, *, west: float,
     """
     fx = (lon - F.lit(west)) / F.lit(dlon)
     fy = (lat - F.lit(south)) / F.lit(dlat)
-    x0 = F.floor(fx).cast("int")
-    y0 = F.floor(fy).cast("int")
+    # clamp the base node to [0, n-2] so a point exactly on (or past)
+    # the north/east boundary interpolates inside the last cell
+    # instead of indexing past the array (element_at → NULL, or an
+    # error under ANSI). Callers needing the reference's out-of-range
+    # => 0 semantics mask with a range predicate (see geoid uses).
+    nrows = F.size(grid)
+    ncols = F.size(F.element_at(grid, 1))
+    x0 = F.greatest(F.least(F.floor(fx).cast("int"), ncols - 2), F.lit(0))
+    y0 = F.greatest(F.least(F.floor(fy).cast("int"), nrows - 2), F.lit(0))
     u = fx - x0
     v = fy - y0
 

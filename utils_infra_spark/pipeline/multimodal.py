@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FAKE_CODEC_MAGIC = b"FRGB"  # NOTE:CODEC deterministic fake in lieu of PNG
 
@@ -275,3 +276,168 @@ def sample_frames(videos: DataFrame, every_nth: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(fn, schema="video_id bigint, frame_index int, data binary")
+
+
+# ---------------------------------------------------------------- R3 reprojection
+TERRAIN_TILE_SIZE = 64  # NOTE: ref terrain-proxy uses 256; tests use 64
+
+
+def synth_terrain_tile(z: int, x: int, y: int, size: int = TERRAIN_TILE_SIZE) -> bytes:
+    """Deterministic Terrain-RGB tile: a smooth elevation field derived
+    from global pixel coordinates, encoded with the Mapbox formula —
+    same (z,x,y) ⇒ same bytes anywhere (test/fixture analog of a LINZ
+    DEM tile)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    gx = x * size + xx
+    gy = y * size + yy
+    elev = 200.0 + 150.0 * np.sin(gx / 37.0) + 90.0 * np.cos(gy / 23.0) + 0.05 * (gx % 101)
+    # floor(x+0.5) == JS Math.round (ref encode, server.js:131-138);
+    # np.round would banker's-round the exact halves differently
+    packed = np.clip(np.floor((elev + 10000.0) / 0.1 + 0.5), 0, 16777215).astype(np.uint32)
+    rgba = np.zeros((size, size, 4), dtype=np.uint8)
+    rgba[..., 0] = (packed >> 16) & 0xFF
+    rgba[..., 1] = (packed >> 8) & 0xFF
+    rgba[..., 2] = packed & 0xFF
+    rgba[..., 3] = 255
+    return encode_tile(rgba)
+
+
+def _latlon_tile_bounds(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """EPSG:4326 tiling (2·2^z × 2^z tiles): (lat_min, lat_max,
+    lon_min, lon_max). Ref terrain-proxy/server.js:63-73."""
+    ntx = 2 * (2**z)
+    nty = 2**z
+    return (
+        90.0 - ((y + 1) / nty) * 180.0,
+        90.0 - (y / nty) * 180.0,
+        (x / ntx) * 360.0 - 180.0,
+        ((x + 1) / ntx) * 360.0 - 180.0,
+    )
+
+
+def reproject_terrain_tiles(
+    out_spec: DataFrame,
+    src_tiles: DataFrame,
+    *,
+    geoid=None,
+    tile_size: int = TERRAIN_TILE_SIZE,
+    max_merc_zoom: int = 18,
+) -> DataFrame:
+    """R3 full reprojection resample (ref terrain-proxy/
+    server.js:200-278 ``generateTerrainTile``): every EPSG:4326
+    output pixel maps to its EPSG:3857 source tile + pixel
+    (nearest-neighbor, clamped — server.js:252-257), decodes
+    Terrain-RGB elevation, adds the bilinear geoid separation
+    (NZVD2016 → HAE, only where a source pixel exists, matching the
+    reference's ``if (src)`` guard), and re-encodes.
+
+    ``out_spec`` is (z, x, y) output tiles; ``src_tiles`` is
+    (z, x, y, data) mercator Terrain-RGB tiles at zoom
+    ``min(z+1, max_merc_zoom)``; ``geoid`` is a
+    ``sources.gtx.GtxGrid`` (or None ⇒ offset 0, the reference's
+    out-of-range behavior).
+
+    Scale shape: the source-tile demand list is computed
+    distributed (mapInPandas over the spec — ref
+    getMercatorTilesForBounds server.js:80-92), the src join
+    shuffles each source tile to exactly the output groups that
+    sample it (a tile at mercZoom=z+1 feeds ≤ a few 4326 tiles), and
+    the per-pixel work is one numpy pass per output tile inside
+    applyInPandas. Pixels never shuffle more than once; missing
+    source tiles degrade to sea level per-pixel (failure isolation,
+    server.js:230-238). The geoid grid rides the closure — one copy
+    per executor, never per row.
+    """
+    ts = tile_size
+
+    def demand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"oz": [], "ox": [], "oy": [], "mz": [], "sx": [], "sy": []}
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                z, x, y = int(z), int(x), int(y)
+                lat_min, lat_max, lon_min, lon_max = _latlon_tile_bounds(z, x, y)
+                mz = min(z + 1, max_merc_zoom)
+                world = ts * (2**mz)
+                x_min = int(np.floor((lon_min + 180.0) / 360.0 * world / ts))
+                x_max = int(np.floor((lon_max + 180.0) / 360.0 * world / ts))
+
+                def merc_y(lat: float) -> float:
+                    merc_n = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+                    return (1 - merc_n / np.pi) / 2 * world
+
+                y_min = int(np.floor(merc_y(lat_max) / ts))
+                y_max = int(np.floor(merc_y(lat_min) / ts))
+                max_tile = 2**mz - 1
+                for sy in range(max(0, y_min), min(max_tile, y_max) + 1):
+                    for sx in range(max(0, x_min), min(max_tile, x_max) + 1):
+                        rows["oz"].append(z); rows["ox"].append(x); rows["oy"].append(y)
+                        rows["mz"].append(mz); rows["sx"].append(sx); rows["sy"].append(sy)
+            yield pd.DataFrame(rows)
+
+    spec = out_spec.select("z", "x", "y")
+    needed = spec.mapInPandas(demand, schema="oz int, ox int, oy int, mz int, sx int, sy int")
+    src = src_tiles.select(
+        F.col("z").alias("mz"), F.col("x").alias("sx"), F.col("y").alias("sy"), "data"
+    )
+    joined = needed.join(src, ["mz", "sx", "sy"], "left")
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        oz, ox, oy = int(pdf["oz"].iloc[0]), int(pdf["ox"].iloc[0]), int(pdf["oy"].iloc[0])
+        mz = int(pdf["mz"].iloc[0])
+        lat_min, lat_max, lon_min, lon_max = _latlon_tile_bounds(oz, ox, oy)
+        src_map = {
+            (int(r["sx"]), int(r["sy"])): decode_tile(r["data"])
+            for _, r in pdf.iterrows()
+            if r["data"] is not None
+        }
+        px = np.arange(ts)
+        lon = lon_min + (px + 0.5) / ts * (lon_max - lon_min)
+        lat = lat_max - (px + 0.5) / ts * (lat_max - lat_min)  # py axis
+        world = ts * (2**mz)
+        merc_px = (lon + 180.0) / 360.0 * world
+        merc_n = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+        merc_py = (1 - merc_n / np.pi) / 2 * world
+        stx = np.floor(merc_px / ts).astype(np.int64)  # per output column
+        sty = np.floor(merc_py / ts).astype(np.int64)  # per output row
+        elev = np.zeros((ts, ts), dtype=np.float64)
+        have = np.zeros((ts, ts), dtype=bool)
+        for (tx, ty), arr in src_map.items():
+            cols = np.nonzero(stx == tx)[0]
+            rows = np.nonzero(sty == ty)[0]
+            if not len(cols) or not len(rows):
+                continue
+            h, w = arr.shape[:2]
+            lx = np.clip(np.floor(merc_px[cols] - tx * ts), 0, w - 1).astype(np.int64)
+            ly = np.clip(np.floor(merc_py[rows] - ty * ts), 0, h - 1).astype(np.int64)
+            block = arr[np.ix_(ly, lx)].astype(np.float64)
+            elev[np.ix_(rows, cols)] = -10000.0 + (
+                block[..., 0] * 65536 + block[..., 1] * 256 + block[..., 2]
+            ) * 0.1
+            have[np.ix_(rows, cols)] = True
+        if geoid is not None and have.any():
+            lon2d = np.broadcast_to(lon, (ts, ts))
+            lat2d = np.broadcast_to(lat[:, None], (ts, ts))
+            sep = geoid.separation_np(lat2d.ravel(), lon2d.ravel()).reshape(ts, ts)
+            elev = np.where(have, elev + sep, elev)
+        packed = np.clip(np.floor((elev + 10000.0) / 0.1 + 0.5), 0, 16777215).astype(np.uint32)
+        rgba = np.zeros((ts, ts, 4), dtype=np.uint8)
+        rgba[..., 0] = (packed >> 16) & 0xFF
+        rgba[..., 1] = (packed >> 8) & 0xFF
+        rgba[..., 2] = packed & 0xFF
+        rgba[..., 3] = 255
+        return pd.DataFrame(
+            [
+                {
+                    "z": oz, "x": ox, "y": oy,
+                    "data": encode_tile(rgba),
+                    "min_elev": float(elev.min()),
+                    "max_elev": float(elev.max()),
+                    "src_tiles": len(src_map),
+                }
+            ]
+        )
+
+    return joined.groupBy("oz", "ox", "oy").applyInPandas(
+        render,
+        schema="z int, x int, y int, data binary, min_elev double, max_elev double, src_tiles int",
+    )

@@ -173,3 +173,62 @@ def audio_features_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips).select(
         "clip_id", "n_samples", F.round("rms", 4).alias("rms"), "zero_crossings"
     )
+
+
+@register(
+    "terrain_reproject_pipeline",
+    oracle=None,  # binary raster pipeline; byte-exact parity with a scalar transcription of the reference algorithm is asserted in tests/test_terrain.py
+    doc="R3 full reprojection resample as a judged query: synthesize mercator Terrain-RGB tiles + a synthetic .gtx geoid grid, reproject each EPSG:4326 output tile per-pixel (4326→3857 nearest-neighbor + bilinear geoid add, ref terrain-proxy/server.js:200-278), emit per-tile elevation stats.",
+)
+def terrain_reproject_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..pipeline.multimodal import reproject_terrain_tiles, synth_terrain_tile
+    from ..sources.gtx import GtxGrid
+
+    # 4326 output tiles over the geoid footprint (NZ-ish: lat ~-45,
+    # lon ~168 → x≈123, y≈48 at z=6), keyed off the supplier table so
+    # the spec scales with sf
+    oz = 6
+    x0, y0 = 123, 47
+    spec = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.lit(oz).alias("z"),
+            (F.lit(x0) + (F.col("s_suppkey") % 3)).cast("int").alias("x"),
+            (F.lit(y0) + (F.col("s_suppkey") % 2)).cast("int").alias("y"),
+        )
+        .distinct()
+    )
+    # source mercator tiles: cover the spec window's z+1 demand,
+    # derived with the same bounds math the operator uses
+    from ..pipeline.multimodal import TERRAIN_TILE_SIZE, _latlon_tile_bounds
+
+    mz = oz + 1
+    ts = TERRAIN_TILE_SIZE
+    world = ts * (2**mz)
+    lat_min, _, lon_min, _ = _latlon_tile_bounds(oz, x0, y0 + 1)
+    _, lat_max, _, lon_max = _latlon_tile_bounds(oz, x0 + 2, y0)
+
+    def _merc_y(lat: float) -> float:
+        return (1 - np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) / np.pi) / 2 * world
+
+    xs = range(int((lon_min + 180) / 360 * world // ts), int((lon_max + 180) / 360 * world // ts) + 1)
+    ys = range(int(_merc_y(lat_max) // ts), int(_merc_y(lat_min) // ts) + 1)
+    src_rows = [(mz, x, y, synth_terrain_tile(mz, x, y)) for x in xs for y in ys]
+    src = spark.createDataFrame(src_rows, "z int, x int, y int, data binary")
+    lat = np.arange(20)
+    lon = np.arange(30)
+    geoid = GtxGrid(
+        lat_min=-50.0,
+        lon_min=160.0,
+        dlat=0.5,
+        dlon=0.5,
+        values=(10.0 + 0.5 * lat[:, None] + 0.25 * lon[None, :]).astype(np.float32),
+    )
+    out = reproject_terrain_tiles(spec, src, geoid=geoid)
+    return out.select(
+        "z", "x", "y", "src_tiles", F.round("min_elev", 1).alias("min_elev"), F.round("max_elev", 1).alias("max_elev")
+    ).orderBy("z", "x", "y")
