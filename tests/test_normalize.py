@@ -7,23 +7,33 @@ import pytest
 
 from utils_infra_spark.sources.normalize import (
     normalize_any,
+    normalize_aprs,
+    normalize_array,
     normalize_catcher,
     normalize_direct,
     normalize_groups,
     normalize_minimal,
+    unmatched_records,
 )
 
 CATCHER = '{"msgs": [{"mmsi": 512000001, "lat": -41.2, "lon": 174.8, "speed": 12.5, "course": 90.0, "shipname": "  KIWI TRADER ", "rxtime": "20240115083000"}, {"mmsi": 512000002, "lat": -36.8, "lon": 174.7, "speed": 0.1, "course": 10.0, "shipname": "AUCKLAND STAR", "rxtime": "20240115083010"}]}'
 MINIMAL = '{"mmsi": 512000003, "lat": -43.5, "lon": 172.6, "ts": "2024-01-15T08:30:20Z"}'
 GROUPS = '{"groups": [{"msgs": [{"userid": 512000004, "latitude": -45.9, "longitude": 170.5, "sog": 8.0, "cog": 200.5, "name": "SOUTHERN CROSS", "time_utc": "2024-01-15T08:30:30Z"}]}]}'
 DIRECT = '{"mmsi": 512000005, "lat": -41.0, "lon": 174.0, "speed": 5.0, "course": 45.0, "name": "DIRECT ONE", "event_ts": "2024-01-15T08:30:40Z"}'
+APRS = '{"call": "512000007", "lat": -39.1, "lng": 176.9, "speed": 3.0, "course": 120.0, "time": "2024-01-15T08:31:00Z"}'
+APRS_ALPHA_CALL = '{"call": "ZL1ABC", "lat": -39.2, "lng": 176.8, "time": "2024-01-15T08:31:10Z"}'
+BARE_ARRAY = '[{"mmsi": 512000008, "lat": -40.5, "lon": 173.2, "speed": 7.5, "course": 310.0, "name": "ARRAY ONE", "event_ts": "2024-01-15T08:31:20Z"}, {"mmsi": 512000009, "lat": -40.6, "lon": 173.3, "event_ts": "2024-01-15T08:31:30Z"}]'
 INVALID_COORDS = '{"mmsi": 512000006, "lat": 95.0, "lon": 174.0, "ts": "2024-01-15T08:30:50Z"}'
 GARBAGE = "this is not json at all {{{"
+UNKNOWN_SHAPE = '{"vessel": "no recognizable fields", "x": 1}'
 
 
 @pytest.fixture(scope="module")
 def raw(spark):
-    payloads = [CATCHER, MINIMAL, GROUPS, DIRECT, INVALID_COORDS, GARBAGE]
+    payloads = [
+        CATCHER, MINIMAL, GROUPS, DIRECT, APRS, APRS_ALPHA_CALL,
+        BARE_ARRAY, INVALID_COORDS, GARBAGE, UNKNOWN_SHAPE,
+    ]
     return spark.createDataFrame([(p,) for p in payloads], "raw string")
 
 
@@ -51,18 +61,45 @@ def test_direct_branch(raw):
     assert r.mmsi == 512000005 and r.name == "DIRECT ONE"
 
 
+def test_aprs_branch(raw):
+    [r] = normalize_aprs(raw).collect()
+    # numeric callsign becomes the MMSI, lng becomes lon; the
+    # alphabetic callsign casts to NULL and is dropped (parseInt guard)
+    assert r.mmsi == 512000007 and r.lon == 176.9 and r.course == 120.0
+    assert str(r.event_ts) == "2024-01-15 08:31:00"
+
+
+def test_array_branch_emits_all_valid_elements(raw):
+    rows = {r.mmsi: r for r in normalize_array(raw).collect()}
+    assert set(rows) == {512000008, 512000009}
+    assert rows[512000008].name == "ARRAY ONE"
+    assert rows[512000009].speed is None  # sparse element still lands
+
+
 def test_normalize_any_union(raw):
     rows = normalize_any(raw).collect()
     got = {r.mmsi: r.source_format for r in rows}
-    # 5 valid vessels, one per expected branch; invalid coords and
-    # garbage are dropped, not fatal (failure isolation)
+    # 8 valid vessels across all six branches; invalid coords,
+    # garbage, alpha callsign, and unknown shapes are dropped, not
+    # fatal (failure isolation)
     assert got == {
         512000001: "catcher",
         512000002: "catcher",
         512000003: "minimal",
         512000004: "groups",
         512000005: "direct",
+        512000007: "aprs",
+        512000008: "array",
+        512000009: "array",
     }
+
+
+def test_unmatched_dead_letter(raw):
+    corrupt = {r.corrupt_record for r in unmatched_records(raw).collect()}
+    # claimed-by-no-branch: garbage, unknown shape, non-numeric APRS
+    # callsign. INVALID_COORDS is claimed (minimal shape) but dropped
+    # by the validity filter — wrong VALUES, not an unknown FORMAT.
+    assert corrupt == {GARBAGE, UNKNOWN_SHAPE, APRS_ALPHA_CALL}
 
 
 def test_canonical_schema(raw):

@@ -7,9 +7,11 @@ direct canonical, bare arrays — and emits one canonical record.
 
 Spark shape: parse each format with an explicit schema + PERMISSIVE
 ``from_json``, emit a normalizing ``select`` per format, and
-``unionByName`` the branches. Unparseable payloads land in a corrupt
-column instead of killing the batch (failure isolation, T6). At scale
-each branch is a filter+project over the same scan — one pass.
+``unionByName`` the six branches (``normalize_any``). Payloads no
+branch claims are observable via ``unmatched_records`` as a
+dead-letter output instead of killing the batch (failure isolation,
+T6). At scale each branch is a filter+project over the same scan —
+one pass.
 """
 
 from __future__ import annotations
@@ -35,10 +37,23 @@ _DIRECT_SCHEMA = (
     "struct<mmsi: bigint, lat: double, lon: double, speed: double,"
     " course: double, name: string, event_ts: string>"
 )
+_APRS_SCHEMA = (
+    "struct<call: string, lat: double, lng: double, speed: double,"
+    " course: double, time: string>"
+)
+_ARRAY_SCHEMA = f"array<{_DIRECT_SCHEMA}>"
 
 
 def _parse(raw: Column, schema: str) -> Column:
     return F.from_json(raw, schema, {"mode": "PERMISSIVE"})
+
+
+def _is_array_payload(raw: Column) -> Column:
+    """The Spark analog of the reference's ``Array.isArray`` dispatch
+    (server.js:1196-1203). Needed lexically: ``from_json`` with an
+    array schema silently WRAPS a single JSON object into a
+    one-element array, which would double-claim object payloads."""
+    return F.trim(raw).startswith("[")
 
 
 def normalize_catcher(df: DataFrame, raw_col: str = "raw") -> DataFrame:
@@ -110,23 +125,71 @@ def normalize_direct(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     )
 
 
+def normalize_aprs(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """AIS-catcher APRS shape: {"call","lat","lng","time",...} — MMSI
+    is the numeric callsign, longitude rides as ``lng``
+    (ref server.js:1140-1168). Non-numeric callsigns cast to NULL and
+    are dropped, exactly as the reference's parseInt guard does."""
+    p = df.select(_parse(F.col(raw_col), _APRS_SCHEMA).alias("p")).where(
+        F.col("p.call").isNotNull() & F.col("p.lat").isNotNull() & F.col("p.lng").isNotNull()
+    )
+    return p.select(
+        # try_cast: ANSI mode makes a plain cast THROW on 'ZL1ABC'
+        F.col("p.call").try_cast("bigint").alias("mmsi"),
+        F.col("p.lat").alias("lat"),
+        F.col("p.lng").alias("lon"),
+        F.col("p.speed").alias("speed"),
+        F.col("p.course").alias("course"),
+        F.lit(None).cast("string").alias("name"),
+        F.to_timestamp("p.time").alias("event_ts"),
+        F.lit("aprs").alias("source_format"),
+    ).where(F.col("mmsi").isNotNull())
+
+
+def normalize_array(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Bare-array shape: ``[{...}, ...]`` of canonical-ish messages
+    (ref server.js:1196-1203 recurses per element; the batch analog
+    emits EVERY valid element, consistent with how the catcher branch
+    explodes all of ``msgs``)."""
+    raw = F.col(raw_col)
+    p = df.where(_is_array_payload(raw)).select(
+        F.explode(_parse(raw, _ARRAY_SCHEMA)).alias("m")
+    )
+    return p.where(F.col("m.mmsi").isNotNull() & F.col("m.lat").isNotNull()).select(
+        F.col("m.mmsi").alias("mmsi"),
+        F.col("m.lat").alias("lat"),
+        F.col("m.lon").alias("lon"),
+        F.col("m.speed").alias("speed"),
+        F.col("m.course").alias("course"),
+        F.trim(F.col("m.name")).alias("name"),
+        F.to_timestamp("m.event_ts").alias("event_ts"),
+        F.lit("array").alias("source_format"),
+    )
+
+
 def normalize_any(df: DataFrame, raw_col: str = "raw") -> DataFrame:
-    """Route every payload through all format branches and union the
-    results — the Spark analog of the reference's if/else format
+    """Route every payload through all six format branches and union
+    the results — the Spark analog of the reference's if/else format
     sniffing. A payload matches exactly one branch (each branch
-    filters on its discriminating fields), so the union is disjoint.
-    Catalyst shares the scan across branches; this is one pass over
-    the input at any scale.
+    filters on its discriminating fields; object branches are
+    mutually exclusive by field shape, the array branch by the
+    leading ``[``), so the union is disjoint. Catalyst shares the
+    scan across branches; this is one pass over the input at any
+    scale. Payloads claimed by NO branch are available from
+    ``unmatched_records`` as a dead-letter side output (T6).
     """
+    obj = df.where(~_is_array_payload(F.col(raw_col)))
     branches = [
-        normalize_catcher(df, raw_col),
-        normalize_groups(df, raw_col),
-        normalize_direct(df, raw_col),
+        normalize_catcher(obj, raw_col),
+        normalize_groups(obj, raw_col),
+        normalize_direct(obj, raw_col),
         # minimal last: its fields are a subset of direct's, so
         # exclude payloads the direct branch already claimed
         normalize_minimal(
-            df.where(_parse(F.col(raw_col), _DIRECT_SCHEMA)["event_ts"].isNull()), raw_col
+            obj.where(_parse(F.col(raw_col), _DIRECT_SCHEMA)["event_ts"].isNull()), raw_col
         ),
+        normalize_aprs(obj, raw_col),
+        normalize_array(df, raw_col),
     ]
     out = branches[0]
     for b in branches[1:]:
@@ -134,3 +197,26 @@ def normalize_any(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     return out.where(
         F.col("mmsi").isNotNull() & F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
     )
+
+
+def unmatched_records(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Dead-letter side output: payloads no branch claims (garbage,
+    truncated JSON, unknown shapes) as (corrupt_record). The batch
+    analog of the reference returning null → the proxy dropping the
+    frame, but kept observable instead of silent (T6)."""
+    raw = F.col(raw_col)
+    catcher = _parse(raw, _CATCHER_SCHEMA)["msgs"].isNotNull()
+    groups = _parse(raw, _GROUPS_SCHEMA)["groups"].isNotNull()
+    direct_p = _parse(raw, _DIRECT_SCHEMA)
+    direct = direct_p["mmsi"].isNotNull() & direct_p["event_ts"].isNotNull()
+    minimal_p = _parse(raw, _MINIMAL_SCHEMA)
+    minimal = minimal_p["mmsi"].isNotNull() & minimal_p["lat"].isNotNull()
+    aprs_p = _parse(raw, _APRS_SCHEMA)
+    aprs = (
+        aprs_p["call"].try_cast("bigint").isNotNull()
+        & aprs_p["lat"].isNotNull()
+        & aprs_p["lng"].isNotNull()
+    )
+    arr = _is_array_payload(raw) & (F.size(_parse(raw, _ARRAY_SCHEMA)) > 0)
+    claimed = F.coalesce(catcher | groups | direct | minimal | aprs | arr, F.lit(False))
+    return df.where(~claimed).select(raw.alias("corrupt_record"))
