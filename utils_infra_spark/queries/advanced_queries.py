@@ -15,11 +15,27 @@ from . import register
 
 @register(
     "geojson_features_emit",
-    oracle=None,  # JSON text formatting is engine-specific; validated structurally in tests/test_geojson.py
-    doc="K5 GeoJSON Feature assembly + to_json (ref power-outages/server.js:398-416): struct build, properties map, FeatureCollection shape.",
+    oracle="""
+    SELECT c_custkey AS id,
+           to_json(struct_pack(
+             type := 'Feature',
+             id := 'C' || CAST(c_custkey AS VARCHAR),
+             geometry := struct_pack(
+               type := 'Point',
+               coordinates := [CAST((c_custkey % 60) - 30 + 0.5 AS DOUBLE),
+                               CAST((c_custkey % 40) - 20 + 0.5 AS DOUBLE)]
+             ),
+             properties := struct_pack(segment := c_mktsegment, name := c_name)
+           ))::VARCHAR AS feature_json
+    FROM customer
+    """,
+    doc="K5 GeoJSON Feature assembly + to_json (ref power-outages/server.js:398-416): struct build with explicit field order so the JSON text is canonical — byte-identical across engines and hash-checkable.",
 )
 def geojson_features_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    # properties is a STRUCT, not a map: struct field order is part of
+    # the schema, making the emitted JSON canonical (map key order
+    # would be engine-dependent and unhashable)
     feature = F.struct(
         F.lit("Feature").alias("type"),
         F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
@@ -30,9 +46,9 @@ def geojson_features_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("c_custkey") % 40) - 20 + 0.5).cast("double"),
             ).alias("coordinates"),
         ).alias("geometry"),
-        F.create_map(
-            F.lit("segment"), F.col("c_mktsegment"),
-            F.lit("name"), F.col("c_name"),
+        F.struct(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_name").alias("name"),
         ).alias("properties"),
     )
     return cust.select(
