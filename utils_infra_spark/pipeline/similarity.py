@@ -49,10 +49,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 5,
     round_dp: int = 6,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast query matrix, Arrow-
     batched numpy matmul over the candidate scan, per-batch partial
     top-k, then an exact global top-k over the small survivor set.
+
+    With ``bucket_col`` (the LSH/IVF path), each query ranks ONLY
+    candidates in its own bucket — the per-pair constraint the ANN
+    contract promises; without it a multi-query batch would leak
+    other queries' buckets into every candidate set.
 
     Why not zip_with/aggregate HOFs: Spark's higher-order functions
     are CodegenFallback — every element of every dot product is an
@@ -78,24 +84,27 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(F.col(id_col), _vec(vec_col)).collect()
+    qcols = [F.col(id_col), _vec(vec_col)] + ([F.col(bucket_col)] if bucket_col else [])
+    qrows = queries.select(*qcols).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
+    qbuckets = np.asarray([r[2] for r in qrows]) if bucket_col else None
     scale = float(10**round_dp)
     id_type = dict(candidates.dtypes)[id_col]
 
     spark = candidates.sparkSession
-    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qbuckets))
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_q, b_qn = bq.value
+        b_qids, b_q, b_qn, b_qb = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cids = pdf["cand_id"].to_numpy()
             cmat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
             cnorm = np.linalg.norm(cmat, axis=1)
+            cbuckets = pdf["cb"].to_numpy() if b_qb is not None else None
             # |C|x|Q| cosine block, quantized with the floor rule
             sims = (cmat @ b_q.T) / (cnorm[:, None] * b_qn[None, :])
             simq = np.floor(sims * scale + 0.5) / scale
@@ -103,6 +112,8 @@ def brute_force_topk(
             for j, qid in enumerate(b_qids):
                 col = simq[:, j]
                 keep = cids != qid
+                if cbuckets is not None:  # per-pair bucket constraint
+                    keep &= cbuckets == b_qb[j]
                 order = np.lexsort((cids[keep], -col[keep]))[:k]
                 kept_ids = cids[keep][order]
                 out_q.extend([qid] * len(kept_ids))
@@ -115,7 +126,10 @@ def brute_force_topk(
     # per-task Python round-trip (~30 ms each, measured ≈ 1 s at 32
     # tasks — 100x the matmul itself at small inputs). At 100 TB the
     # scan arrives in thousands of splits and parallelism is free.
-    c = candidates.select(F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv"))
+    ccols = [F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv")] + (
+        [F.col(bucket_col).alias("cb")] if bucket_col else []
+    )
+    c = candidates.select(*ccols)
     partial = c.mapInPandas(
         score_batches, schema=f"query_id {id_type}, cand_id {id_type}, cos_sim double"
     )

@@ -286,17 +286,18 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", sign_lsh_bucket("embedding", planes))
     queries = bucketed.where(F.col("vec_id") < 8)
-    # search only the query's own bucket: join instead of cross join
+    # two-level candidate restriction: the semi-join prunes the SCAN
+    # to buckets any query occupies, and bucket_col constrains each
+    # query's RANKING to its own bucket (not the union of all query
+    # buckets — that leak inflated candidate sets per query)
     cand = bucketed.select("vec_id", "embedding", "bucket")
-    return (
-        brute_force_topk(
-            queries.select("vec_id", "embedding"),
-            cand.join(
-                queries.select(F.col("bucket").alias("qb")).distinct(),
-                F.col("bucket") == F.col("qb"),
-            ).select("vec_id", "embedding"),
-            k=5,
-        )
+    pruned = cand.join(
+        queries.select(F.col("bucket").alias("qb")).distinct(),
+        F.col("bucket") == F.col("qb"),
+        "semi",
+    )
+    return brute_force_topk(
+        queries.select("vec_id", "embedding", "bucket"), pruned, k=5, bucket_col="bucket"
     )
 
 

@@ -71,6 +71,13 @@ def write_mbtiles(
     sequential driver-side merge (INSERT OR IGNORE keeps first-writer-
     wins semantics for duplicate keys, matching the reference's
     skip-existing resume).
+
+    Throughput ceiling: the final merge is inherently single-writer
+    (one SQLite file), so driver disk bandwidth bounds the sink at
+    ~encoded-blob copy speed. That is the MBTiles format's contract,
+    not a plan flaw — for unbounded tile sets, shard the OUTPUT
+    (one MBTiles per region/zoom) instead of asking one file to
+    absorb a cluster's write rate.
     """
     shard_dir = path + ".shards"
     os.makedirs(shard_dir, exist_ok=True)
@@ -79,12 +86,19 @@ def write_mbtiles(
     con = sqlite3.connect(path)
     con.executescript(_SCHEMA_SQL)
     total = 0
-    for shard in sorted(glob.glob(os.path.join(shard_dir, "shard-*.sqlite"))):
+    # merge ONLY the shards the successful tasks reported — a failed/
+    # retried or speculative task can leave a partial shard file in
+    # the dir, and ATTACHing it would risk merging stale/corrupt data
+    committed = sorted(r["shard"] for r in shard_rows if r["tiles"] > 0)
+    for shard in committed:
         con.execute("ATTACH DATABASE ? AS shard", (shard,))
         con.execute("INSERT OR IGNORE INTO tiles SELECT * FROM shard.tiles")
         con.commit()
         con.execute("DETACH DATABASE shard")
         os.remove(shard)
+    # unlisted leftovers (from task retries) are garbage — clean them
+    for stray in glob.glob(os.path.join(shard_dir, "shard-*.sqlite")):
+        os.remove(stray)
     os.rmdir(shard_dir)
     for k, v in (metadata or {}).items():
         con.execute("INSERT INTO metadata (name, value) VALUES (?, ?)", (k, v))

@@ -28,14 +28,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
-def keyed_upsert_batch(df: DataFrame, key: str, ts: str, value_cols: list[str]) -> DataFrame:
+def keyed_upsert_batch(
+    df: DataFrame, key: str, ts: str, value_cols: list[str], *, tiebreak: str | None = None
+) -> DataFrame:
     """Batch replay of the keyed upsert: per key, latest non-null
-    value per field (event-time order, ties broken arbitrarily-stable
-    by ts only — callers needing strict determinism add a tiebreak to
-    ``ts`` ordering upstream)."""
+    value per field in event-time order.
+
+    ``tiebreak`` (e.g. a message sequence number) extends the
+    ordering to (ts, tiebreak) so equal event times resolve the same
+    way in the batch window and the streaming merge — without it,
+    order among tied timestamps is engine-arbitrary and batch/stream
+    parity only holds on streams with strictly increasing ts per
+    field. The tiebreak must make the ordering total per key."""
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     cols = [F.col(key)] + [F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols]
@@ -43,7 +51,13 @@ def keyed_upsert_batch(df: DataFrame, key: str, ts: str, value_cols: list[str]) 
     return df.select(*cols).dropDuplicates([key])
 
 
-def merge_group(rows: pd.DataFrame, state_row: pd.Series | None, ts: str, value_cols: list[str]) -> pd.Series:
+def merge_group(
+    rows: pd.DataFrame,
+    state_row: pd.Series | None,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> pd.Series:
     """Pure merge function: fold a batch of rows (ANY order, across
     ANY micro-batch split) into the state row.
 
@@ -53,17 +67,34 @@ def merge_group(rows: pd.DataFrame, state_row: pd.Series | None, ts: str, value_
     cannot clobber newer state (reference J2 semantics,
     ais-proxy/server.js:1497-1507). This is what makes stream output
     equal the batch window replay regardless of batch boundaries.
-    Kept pure so unit tests can fuzz it against the window form.
+    With ``tiebreak`` the guard compares (ts, tiebreak) pairs — state
+    additionally tracks ``__tb_<col>`` — so ties resolve identically
+    to the batch window's extended ordering. Kept pure so unit tests
+    can fuzz it against the window form.
     """
-    rows = rows.sort_values(ts, kind="stable")
+    sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+    rows = rows.sort_values(sort_cols, kind="stable")
     merged = {} if state_row is None else dict(state_row)
+
+    def wins(r, c) -> bool:
+        field_ts = merged.get(f"__ts_{c}")
+        if field_ts is None or pd.isna(field_ts):
+            return True
+        if r[ts] != field_ts:
+            return r[ts] > field_ts
+        if tiebreak is None:
+            return True  # >= semantics: later-processed wins on ties
+        field_tb = merged.get(f"__tb_{c}")
+        return field_tb is None or pd.isna(field_tb) or r[tiebreak] >= field_tb
+
     for _, r in rows.iterrows():
         for c in value_cols:
             v = r[c]
-            field_ts = merged.get(f"__ts_{c}")
-            if pd.notna(v) and (field_ts is None or pd.isna(field_ts) or r[ts] >= field_ts):
+            if pd.notna(v) and wins(r, c):
                 merged[c] = v
                 merged[f"__ts_{c}"] = r[ts]
+                if tiebreak is not None:
+                    merged[f"__tb_{c}"] = r[tiebreak]
         if ts not in merged or pd.isna(merged.get(ts)) or r[ts] > merged[ts]:
             merged[ts] = r[ts]
     return pd.Series(merged)
@@ -78,6 +109,8 @@ def keyed_upsert_stream(
     output_schema: StructType | str,
     state_schema: StructType | str,
     ttl_ms: int | None = None,
+    tiebreak: str | None = None,
+    tiebreak_type: str = "bigint",
 ):
     """Streaming keyed upsert via applyInPandasWithState.
 
@@ -86,15 +119,22 @@ def keyed_upsert_stream(
     Use on a streaming DataFrame; returns the updated-state stream.
 
     ``state_schema`` lists ts + value columns; the per-field
-    event-time guard columns (``__ts_<col> timestamp``) are appended
-    automatically.
+    event-time guard columns (``__ts_<col> timestamp``, plus
+    ``__tb_<col>`` when ``tiebreak`` is set) are appended
+    automatically. Pass the same ``tiebreak`` to
+    ``keyed_upsert_batch`` for parity on tied event times.
     """
     if isinstance(state_schema, str):
         state_schema = state_schema + ", " + ", ".join(f"__ts_{c} timestamp" for c in value_cols)
+        if tiebreak is not None:
+            state_schema += ", " + ", ".join(f"__tb_{c} {tiebreak_type}" for c in value_cols)
 
     # state layout: ts, then value columns, then one per-field
-    # event-time per value column (the newest-wins guard)
+    # event-time per value column (the newest-wins guard), then the
+    # per-field tiebreak values when tie determinism is requested
     state_fields = [ts] + value_cols + [f"__ts_{c}" for c in value_cols]
+    if tiebreak is not None:
+        state_fields += [f"__tb_{c}" for c in value_cols]
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -104,7 +144,7 @@ def keyed_upsert_stream(
         merged = prior
         for pdf in pdfs:
             if len(pdf):
-                merged = merge_group(pdf, merged, ts, value_cols)
+                merged = merge_group(pdf, merged, ts, value_cols, tiebreak)
         if merged is not None:
             state.update(tuple(merged.get(f) for f in state_fields))
             if ttl_ms is not None:
@@ -119,3 +159,32 @@ def keyed_upsert_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, outputStructType=output_schema, stateStructType=state_schema, outputMode="update", timeoutConf=timeout
     )
+
+
+def sampled_side_effect(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    p: float,
+    effect,
+    seed: int = 7,
+) -> int:
+    """T7: probabilistically-gated side effect for ``foreachBatch``
+    (ref ais-proxy/server.js:613 — ~1% of messages trigger a state
+    snapshot).
+
+    Spark shape: the gate is a SEEDED ``rand(seed) < p`` filter so
+    replays of the same micro-batch sample the same rows (a bare
+    ``Math.random()`` port would break exactly-once semantics on
+    batch retry); ``effect`` receives only the sampled frame. Returns
+    the sampled row count. Wire it as::
+
+        stream.writeStream.foreachBatch(
+            lambda df, bid: sampled_side_effect(df, bid, p=0.01, effect=fn)
+        )
+    """
+    sampled = batch_df.where(F.rand(seed + batch_id) < p)
+    n = sampled.count()
+    if n:
+        effect(sampled, batch_id)
+    return n
