@@ -135,3 +135,29 @@ def test_sign_lsh_recall_vs_bruteforce(spark, sf_dir):
     approx_pairs = set(zip(approx.query_id, approx.cand_id))
     exact_pairs = set(zip(exact.query_id, exact.cand_id))
     assert approx_pairs & exact_pairs
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing every list must recover the exact brute-force answer —
+    the IVF recall knob degrades gracefully to exhaustive search."""
+    from utils_infra_spark.pipeline.similarity import brute_force_topk, ivf_topk
+    from utils_infra_spark.queries.pipeline_queries import _ivf_centroids
+    from utils_infra_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    cents = _ivf_centroids()
+    full = ivf_topk(queries, emb, cents, nprobe=len(cents), k=5)
+    brute = brute_force_topk(queries, emb, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_assign_covers_all_vectors_once(spark, sf_dir):
+    from utils_infra_spark.pipeline.similarity import ivf_assign
+    from utils_infra_spark.queries.pipeline_queries import _ivf_centroids
+    from utils_infra_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_assign(emb, _ivf_centroids(), vec_col="embedding", id_col="vec_id")
+    assert out.count() == emb.count()  # exactly one list per vector
+    assert out.select("list_id").distinct().count() > 1  # codebook actually partitions

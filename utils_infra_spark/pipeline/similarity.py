@@ -234,3 +234,108 @@ def centroids_by_key(df: DataFrame, *, vec_col: str = "embedding", key_col: str 
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
         .select("key", F.transform("pairs", lambda s: s["mean_val"]).alias("centroid"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+    list_alias: str = "list_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (squared-L2 argmin, ties → smallest centroid id).
+
+    The codebook is a driver-side literal (IVF contract: nlist ≪ N —
+    it rides the closure, one copy per executor). Distances use the
+    ||v||² − 2·v·c + ||c||² expansion quantized to ``round_dp`` with
+    the floor rule so a SQL oracle can reproduce the argmin exactly.
+    One Arrow-batched matmul per batch; no shuffle at all — the
+    assignment is a projection.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cids = [int(c) for c, _ in centroids]
+    cent = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cc = (cent * cent).sum(axis=1)
+    scale = float(10**round_dp)
+    id_type = dict(df.dtypes)[id_col]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        order = np.argsort(np.asarray(cids))  # tie → smallest cid
+        cent_o, cc_o = cent[order], cc[order]
+        cids_o = np.asarray(cids)[order]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            vv = (mat * mat).sum(axis=1)
+            d = vv[:, None] - 2.0 * (mat @ cent_o.T) + cc_o[None, :]
+            dq = np.floor(d * scale + 0.5)
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "list_id": cids_o[np.argmin(dq, axis=1)].astype(np.int64)}
+            )
+
+    narrow = df.select(F.col(id_col).alias("vid"), _vec(vec_col).alias("__v"))
+    assigned = narrow.mapInPandas(assign, schema=f"vid {id_type}, list_id bigint")
+    return df.join(
+        assigned.select(F.col("vid").alias(id_col), F.col("list_id").alias(list_alias)), id_col
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 2,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF ANN search: each query probes its ``nprobe`` nearest
+    centroid lists and ranks ONLY candidates assigned to those lists.
+
+    Composition (no new kernel): candidates get a ``list_id`` via
+    ``ivf_assign`` (projection, no shuffle); the collected query side
+    expands to one row per (query, probe) and rides
+    ``brute_force_topk``'s bucket-constrained kernel; the final
+    global window merges a query's probes into one exact top-k. The
+    scan stays partition-parallel; per query the quadratic shrinks by
+    ~nlist/nprobe.
+    """
+    import numpy as np
+
+    cids = [int(c) for c, _ in centroids]
+    cent = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cc = (cent * cent).sum(axis=1)
+    scale = float(10**round_dp)
+
+    assigned = ivf_assign(
+        candidates, centroids, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+    )
+
+    qrows = queries.select(F.col(id_col), _vec(vec_col)).collect()
+    order = np.argsort(np.asarray(cids))
+    cent_o, cc_o, cids_o = cent[order], cc[order], np.asarray(cids)[order]
+    expanded = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        d = (v * v).sum() - 2.0 * (cent_o @ v) + cc_o
+        dq = np.floor(d * scale + 0.5)
+        probes = cids_o[np.lexsort((cids_o, dq))[:nprobe]]
+        for p in probes:
+            expanded.append((r[0], [float(x) for x in v], int(p)))
+    spark = candidates.sparkSession
+    eq = spark.createDataFrame(
+        expanded, f"{id_col} {dict(candidates.dtypes)[id_col]}, {vec_col} array<double>, list_id bigint"
+    )
+    return brute_force_topk(
+        eq, assigned, vec_col=vec_col, id_col=id_col, k=k, round_dp=round_dp, bucket_col="list_id"
+    )

@@ -12,7 +12,7 @@ from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
 from ..pipeline.similarity import brute_force_topk, bucketed_pairs, centroids_by_key
 from ..sources import load_table
 from ..sources.tables import spread
-from . import register
+from . import REGISTRY, register
 
 
 # ---------------------------------------------------------------- dedup
@@ -324,3 +324,102 @@ def sitrep_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         metadata_col="props",
     ).orderBy("layer")
+
+
+# ---------------------------------------------------------------- IVF ANN
+def _ivf_centroids(nlist: int = 6, dim: int = 64, seed: int = 11) -> list[tuple[int, list[float]]]:
+    """Deterministic literal codebook (the IVF contract: nlist ≪ N;
+    a trained codebook would come from centroids_by_key — literals
+    keep the oracle SQL-expressible)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(cid, [rng.gauss(0, 1) for _ in range(dim)]) for cid in range(nlist)]
+
+
+def _cents_sql(cents: list[tuple[int, list[float]]]) -> str:
+    rows = ", ".join(f"({cid}, {vals}::DOUBLE[])" for cid, vals in ((c, list(v)) for c, v in cents))
+    return f"cents(cid, cv) AS (VALUES {rows})"
+
+
+_IVF_DIST = (
+    "FLOOR((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
+    " + list_dot_product({c}, {c}))*1000000 + 0.5)"
+)
+
+
+@register(
+    "ivf_assign_lists",
+    oracle=None,  # filled in below (needs the literal codebook)
+    doc="IVF coarse quantization: nearest-centroid assignment (squared-L2 argmin, quantized with the floor rule, ties → smallest cid) as a shuffle-free Arrow projection — oracle reproduces the argmin in SQL over the same literal codebook.",
+)
+def ivf_assign_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_assign(emb, _ivf_centroids(), vec_col="embedding", id_col="vec_id")
+    return out.select("vec_id", "list_id")
+
+
+REGISTRY["ivf_assign_lists"].oracle = f"""
+    WITH {_cents_sql(_ivf_centroids())},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, c.cid, {_IVF_DIST.format(v="e.v", c="c.cv")} AS dq
+      FROM e CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS list_id FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn FROM d
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "ivf_topk_probes",
+    oracle=None,  # filled in below
+    doc="IVF ANN search: each query probes its nprobe=2 nearest centroid lists and ranks only candidates assigned there — composition of ivf_assign + the bucket-constrained top-k kernel; full SQL oracle reproduces assignment, probe selection, and ranking.",
+)
+def ivf_topk_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, _ivf_centroids(), vec_col="embedding", id_col="vec_id", nprobe=2, k=5)
+
+
+REGISTRY["ivf_topk_probes"].oracle = f"""
+    WITH {_cents_sql(_ivf_centroids())},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_DIST.format(v="e.v", c="c.cv")}, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    qprobe AS (
+      SELECT query_id, cid AS list_id FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_IVF_DIST.format(v="q.qv", c="c.cv")}, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             FLOOR(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+                   * 1000000 + 0.5)/1000000 AS cos_sim
+      FROM q
+      JOIN qprobe p ON p.query_id = q.query_id
+      JOIN assign a ON a.list_id = p.list_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
