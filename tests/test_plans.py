@@ -96,3 +96,24 @@ def test_minhash_leaves_no_cached_rdds(spark, sf_dir):
     assert persistent.size() == 0, f"{persistent.size()} cached RDDs leaked"
     plan = plan_of_df(spark, out)
     assert "InMemoryRelation" not in plan
+
+
+def test_q10_shape_takes_ordered_no_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "returned_items_customers")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushed into the lineitem scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "l_returnflag" in ln]
+    assert pushed, "l_returnflag not pushed to scan"
+
+
+def test_q7_shape_dims_broadcast_fact_merge(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "nation_pair_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, 2x nation (AQE may fold)
+    assert "SortMergeJoin" in plan  # li x orders never broadcasts
+
+
+def test_ivf_assign_is_projection_no_shuffle_before_join(spark, sf_dir):
+    """The coarse-quantize kernel adds NO exchange of its own — the
+    only exchanges in ivf_assign_lists serve the id re-join."""
+    plan = plan_of(spark, sf_dir, "ivf_assign_lists")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:500]
