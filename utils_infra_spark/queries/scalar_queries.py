@@ -381,8 +381,8 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION#03' AND n2.n_name = 'NATION#14')
-        OR (n1.n_name = 'NATION#14' AND n2.n_name = 'NATION#03'))
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_14')
+        OR (n1.n_name = 'NATION_14' AND n2.n_name = 'NATION_3'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
     """,
@@ -400,8 +400,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     pair = (
-        (F.col("supp_nation") == "NATION#03") & (F.col("cust_nation") == "NATION#14")
-    ) | ((F.col("supp_nation") == "NATION#14") & (F.col("cust_nation") == "NATION#03"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_14")
+    ) | ((F.col("supp_nation") == "NATION_14") & (F.col("cust_nation") == "NATION_3"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
@@ -425,7 +425,7 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%3%'
+    WHERE p.p_name LIKE '%ring%'
     GROUP BY n.n_name, year(o.o_orderdate)
     """,
     doc="TPC-H-Q9-shaped: product-line profit (revenue minus a cost proxy off p_retailprice — no partsupp table in this schema) by supplier nation and order year, part-name pattern filter pushed to the dim.",
@@ -433,7 +433,7 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("3"))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("ring"))
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     profit = (
