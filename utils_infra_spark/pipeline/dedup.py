@@ -63,37 +63,6 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(F.split(F.trim(text), r"\s+"), k)
 
 
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
-    """k independent minhashes: min over xxhash64(seed_i, shingle).
-
-    Seeding via a distinct literal per hash function keeps everything
-    in one whole-stage-codegen projection; xxhash64 is Spark's native
-    64-bit hash (JVM, vectorizable).
-    """
-    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(f"mh{i}"), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
-
-
-def lsh_bands(sig: Column | str, bands: int, rows_per_band: int) -> Column:
-    """Split a signature into band keys: array<struct<band:int, key:bigint>>.
-
-    Band key hashes the band's rows together; equal band key ⇒
-    candidate pair. Explode + groupBy(band, key) gives the bucket
-    join with a single shuffle on small fixed-width keys.
-    """
-    sig = F.col(sig) if isinstance(sig, str) else sig
-    entries = []
-    for b in range(bands):
-        parts = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        key = F.xxhash64(F.lit(f"band{b}"), *parts)
-        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    return F.array(*entries)
-
-
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two shingle arrays (verification step)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
