@@ -117,3 +117,46 @@ def test_ivf_assign_is_projection_no_shuffle_before_join(spark, sf_dir):
     only exchanges in ivf_assign_lists serve the id re-join."""
     plan = plan_of(spark, sf_dir, "ivf_assign_lists")
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:500]
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark, sf_dir):
+    """The as-of join must be the union+window form: ONE hash exchange
+    on the key, and never an inequality BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, sf_dir, "asof_click_purchase")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "__k" in exchanges[0]
+
+
+def test_range_join_is_equi_join_on_bin(spark, sf_dir):
+    """Binned range join must run as an equi join keyed on the bin id,
+    not a nested-loop inequality join."""
+    plan = plan_of(spark, sf_dir, "events_in_user_window")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "__bin" in plan
+
+
+def test_rollup_single_aggregate_pass(spark, sf_dir):
+    """ROLLUP expands grouping sets map-side (Expand), with the
+    customer dim broadcast — one shuffle total for all grouping sets."""
+    plan = plan_of(spark, sf_dir, "rollup_segment_priority")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_large_orders_having_prunes_before_joins(spark, sf_dir):
+    """Q18 shape: the HAVING-filtered aggregate must sit BELOW the
+    joins (prune first), and the customer dim must broadcast."""
+    plan = plan_of(spark, sf_dir, "large_orders")
+    assert "BroadcastExchange" in plan
+    lines = plan.splitlines()
+    agg_idx = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    join_idx = min(i for i, ln in enumerate(lines) if "Join" in ln and "Broadcast" not in ln)
+    assert agg_idx > 0 and join_idx > 0

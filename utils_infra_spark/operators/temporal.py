@@ -1,0 +1,144 @@
+"""Temporal join operators: as-of join and binned range join.
+
+Neither exists as a Spark builtin; both are re-expressed as
+compositions of native DataFrame ops so the whole plan stays inside
+Catalyst/whole-stage-codegen (no UDFs, no per-row Python).
+
+Scale shapes:
+
+- ``asof_backward_join``: the naive formulation (inequality join +
+  keep-latest) explodes to O(|L|·|R|) pairs per key before pruning.
+  The union-window form here is linear: tag the two inputs, union
+  them, and run ONE window sort per key carrying the right-side
+  payload forward with ``last(ignorenulls)``. Cost = one shuffle on
+  the key — identical to the groupBy it generalizes — so it survives
+  a 100 TB left side as long as keys distribute (skew is AQE/salt
+  territory, same as any keyed op).
+
+- ``range_join_binned``: interval-containment joins have no equi key,
+  and Spark would fall back to BroadcastNestedLoopJoin (all-pairs).
+  Binning manufactures the equi key: each interval is exploded to the
+  fixed-width bins it covers, each point hashes to exactly one bin,
+  and the join runs as a plain shuffle-hash/sort-merge join on the
+  bin id followed by the exact containment filter. The blow-up factor
+  is bounded by interval_len/bin_width + 1 copies of the (narrow)
+  interval side — pick ``bin_width`` near the median interval length
+  so the factor stays ~2. Mirrors the range-join optimization in
+  engines like Databricks' range join hint, built from explode+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    *,
+    tiebreak: str | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Attach to each left row the most recent right row at-or-before it.
+
+    For every left row, finds the right row with the greatest
+    ``right_ts <= left_ts`` sharing ``key`` (backward as-of, inclusive
+    — the DuckDB/pandas ``merge_asof`` default) and appends that row's
+    ``payload_cols`` as ``<prefix><col>`` (NULL when no right row
+    precedes the left row). ``tiebreak`` makes the match deterministic
+    when several right rows share a timestamp: the greatest tiebreak
+    value wins; pass a unique right-side column.
+
+    Plan: union the tagged sides, one window per key ordered by
+    (ts, side, tiebreak) carrying payload forward via
+    ``last(ignorenulls)``; right rows sort before left rows on equal
+    timestamps so the match is inclusive.
+    """
+    lcols = left.columns
+    out_names = [f"{prefix}{c}" for c in payload_cols]
+
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(payload_cols, out_names)],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(n) for c, n in zip(payload_cols, out_names)],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        *lcols,
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+    )
+    return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join points into half-open intervals ``[start, end)``.
+
+    ``point_col``/``start_col``/``end_col`` must be integral (e.g.
+    ``unix_micros`` of a timestamp); ``bin_width`` is in the same
+    unit. ``extra_keys`` adds equi-join keys on top of the bin id
+    (columns present on both sides). Output = all point columns plus
+    all interval columns, one row per (point, containing interval).
+    """
+    extra = extra_keys or []
+    # integer `div`, not float division: epoch-microsecond values sit
+    # near 2^50 where a double-divide-then-floor can misbin boundary
+    # points
+    binned_ivals = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_col} AS BIGINT) div {bin_width}"),
+                # end is exclusive, but the point filter re-checks
+                # exactly; sequence end floor(end/w) over-covers by at
+                # most one bin
+                F.expr(f"CAST({end_col} AS BIGINT) div {bin_width}"),
+            )
+        ),
+    )
+    binned_points = points.withColumn("__bin", F.expr(f"CAST({point_col} AS BIGINT) div {bin_width}"))
+    joined = binned_points.join(binned_ivals, on=["__bin", *extra]).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
+def scalar_subquery(df: DataFrame, agg: Column) -> DataFrame:
+    """One-row aggregate for use as a broadcast 'scalar subquery'.
+
+    ``df.crossJoin(F.broadcast(scalar_subquery(...)))`` is the
+    declarative Spark spelling of ``WHERE x > (SELECT avg(...) ...)``
+    — the 1-row side broadcasts, so it adds no shuffle to the outer
+    plan.
+    """
+    return df.agg(agg)

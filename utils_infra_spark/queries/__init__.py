@@ -59,6 +59,7 @@ def _load() -> None:
         return
     from . import (  # noqa: F401
         advanced_queries,
+        analytics_queries,
         dsl_queries,
         geo_queries,
         pipeline_queries,
