@@ -182,3 +182,51 @@ def test_stream_upsert_with_ttl_smoke(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT DISTINCT mmsi FROM ttl_states").collect()
     assert {r.mmsi for r in rows} == {1, 2, 3}
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (training-pipeline shape): duplicate
+    document content arriving across micro-batches is emitted once;
+    the digest state lives in the store keyed by fp."""
+    from utils_infra_spark.pipeline.dedup import dedup_exact_stream
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src, exist_ok=True)
+    docs1 = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00Z", "text": "alpha beta gamma"},
+        {"doc_id": 2, "ts": "2024-01-01T10:00:10Z", "text": "delta epsilon"},
+        {"doc_id": 3, "ts": "2024-01-01T10:00:20Z", "text": "alpha beta gamma"},  # dup in-batch
+    ]
+    docs2 = [
+        {"doc_id": 4, "ts": "2024-01-01T10:01:00Z", "text": "delta epsilon"},  # dup cross-batch
+        {"doc_id": 5, "ts": "2024-01-01T10:01:30Z", "text": "zeta eta"},
+    ]
+    for i, batch in enumerate([docs1, docs2]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    deduped = dedup_exact_stream(stream, "text", "ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text").collect()
+    counts = {r.text: r.n for r in out}
+    assert counts == {"alpha beta gamma": 1, "delta epsilon": 1, "zeta eta": 1}
+    # exactly one survivor per content group; WHICH duplicate wins
+    # depends on file-source batch order (not guaranteed), so assert
+    # membership, not identity
+    survivors = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
+    assert len(survivors) == 3
+    assert len(survivors & {1, 3}) == 1 and len(survivors & {2, 4}) == 1 and 5 in survivors
