@@ -297,3 +297,130 @@ def high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+@register(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact grouped COUNT(DISTINCT): Spark expands to a two-phase aggregate "
+    "(partial distinct on (group, user) then merge), so the shuffle carries the "
+    "deduped pairs — the exact-counting complement to approx_distinct_users (HLL).",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "event_value_pivot",
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+      CAST(SUM(CASE WHEN event_type='click'    THEN CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) END) AS DOUBLE)/1000000 AS click,
+      CAST(SUM(CASE WHEN event_type='error'    THEN CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) END) AS DOUBLE)/1000000 AS error,
+      CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) END) AS DOUBLE)/1000000 AS purchase,
+      CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) END) AS DOUBLE)/1000000 AS signup,
+      CAST(SUM(CASE WHEN event_type='view'     THEN CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) END) AS DOUBLE)/1000000 AS view
+    FROM events GROUP BY user_id % 10
+    """,
+    doc="Pivot (wide aggregation): value sums per event_type column by user bucket. The pivot "
+    "value list is EXPLICIT — omitting it makes Spark run a collect-distinct pre-pass over the "
+    "full input before planning, a hidden extra job at 100 TB.",
+)
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("bucket", F.col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(dsum("value", "v"))
+    )
+
+
+@register(
+    "event_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id, COUNT(gap) AS n_gaps, MAX(gap) AS max_gap_us,
+           ROUND(1.0 * SUM(gap) / COUNT(gap) / 1000000.0, 6) AS avg_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    doc="Sequence analytics: per-user inter-arrival gaps via lag() over an event-time window "
+    "(gaps computed in exact integer microseconds, so the aggregate is order-independent), "
+    "then grouped stats. One shuffle on the key shared by window and groupBy.",
+)
+def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id", (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.max("gap").alias("max_gap_us"),
+        F.round(F.sum("gap") * 1.0 / F.count("gap") / 1e6, 6).alias("avg_gap_s"),
+    )
+
+
+@register(
+    "corr_price_quantity",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    )
+    SELECT l_returnflag, n,
+           ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price,
+           ROUND(sqrt((n*syy - sy*sy) / (n*(n-1.0))) / 100.0, 6) AS stddev_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x::HUGEINT * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x::HUGEINT * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y::HUGEINT * y) AS DOUBLE) AS syy
+      FROM q GROUP BY l_returnflag
+    )
+    """,
+    doc="Second-moment statistics (Pearson corr + sample stddev) from fixed-point co-moment "
+    "sums: every accumulator is an exact integer (DECIMAL(38,0) ≡ DuckDB HUGEINT), so the "
+    "result is bit-identical under ANY partitioning — unlike the builtin one-pass corr()/stddev "
+    "whose float co-moments drift with merge order. Same single-shuffle cost as a plain groupBy.",
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = "decimal(38,0)"
+    x = F.floor(F.col("l_quantity") + F.lit(0.5)).cast(acc)
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(acc)
+    q = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    corr = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / F.sqrt(
+        (s["n"] * s["sxx"] - s["sx"] * s["sx"]) * (s["n"] * s["syy"] - s["sy"] * s["sy"])
+    )
+    stddev = F.sqrt((s["n"] * s["syy"] - s["sy"] * s["sy"]) / (s["n"] * (s["n"] - 1.0))) / 100.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(stddev, 6).alias("stddev_price"),
+    )
