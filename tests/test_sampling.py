@@ -1,0 +1,106 @@
+"""Invariants for the dataset-preparation operators
+(pipeline/sampling.py): split totality/stability, sample determinism,
+stratified exactness, chunk reconstruction, contamination logic.
+Oracle value parity is covered by test_oracle_parity.py; these pin the
+semantic contracts the oracle can't express (stability across
+repartitioning, reconstruction round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from utils_infra_spark.pipeline.sampling import (
+    assign_split,
+    deterministic_sample,
+    ngram_contamination,
+    split_threshold,
+    stratified_topk,
+    token_chunks,
+)
+
+
+def test_split_threshold_bounds():
+    assert split_threshold(0.0) == "0000"
+    assert split_threshold(0.8) == "cccc"
+    assert split_threshold(1.0) == "ffff"  # clamped to the last bucket
+
+
+def test_assign_split_total_and_stable_under_repartition(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = df.select("doc_id", assign_split("doc_id", fr)).toPandas()
+    # every row labeled, fractions in the right neighborhood
+    assert set(a["split"]) == {"train", "val", "test"}
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    # identical assignment after an adversarial repartition (rand()
+    # with a seed would fail this)
+    b = df.repartition(13, "doc_id").select("doc_id", assign_split("doc_id", fr)).toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s1 = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect())
+    s2 = set(r.doc_id for r in deterministic_sample(df.repartition(7), "doc_id", 0.1).collect())
+    assert s1 == s2
+    assert 0.07 < len(s1) / 4000 < 0.13
+    # nested sampling: a 5% sample is a subset of the 10% sample
+    # (threshold-based membership is monotone in the rate)
+    s3 = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.05).collect())
+    assert s3 <= s1
+
+
+def test_stratified_topk_exact_k(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = stratified_topk(df, "lang", "doc_id", 7).toPandas()
+    assert (out.groupby("lang").size() == 7).all()
+    assert (out["rn"] <= 7).all()
+
+
+def test_token_chunks_reconstruction(spark):
+    text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    out = (
+        token_chunks(df, "doc_id", "text", chunk_size=40, overlap=10)
+        .orderBy("start")
+        .collect()
+    )
+    # starts stride by 30 and cover every token
+    assert [r.start for r in out] == [0, 30, 60, 90]
+    assert [r.n_tokens for r in out] == [40, 40, 35, 5]
+    # each chunk is the exact token window; overlap regions agree
+    toks = text.split()
+    for r in out:
+        assert r.chunk.split() == toks[r.start : r.start + 40]
+
+
+def test_token_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three words")], "doc_id: bigint, text: string")
+    out = token_chunks(df, "doc_id", "text", chunk_size=40, overlap=10).collect()
+    assert len(out) == 1
+    assert out[0].start == 0 and out[0].n_tokens == 3
+    assert out[0].chunk == "only three words"
+
+
+def test_ngram_contamination_flags_only_overlapping(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id: bigint, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains benchmark 8-grams "a..h", "b..i", "c..j"
+            (1, "x a b c d e f g h i j y"),
+            # same vocabulary, different order -> no 8-gram collision
+            (2, "j i h g f e d c b a j i"),
+            # shorter than 8 tokens, no overlap
+            (3, "a b c"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {r.doc_id: r.n_collisions for r in ngram_contamination(corpus, bench, "doc_id", "text").collect()}
+    assert out == {1: 3}

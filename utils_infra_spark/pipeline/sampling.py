@@ -1,0 +1,162 @@
+"""Deterministic sampling, train/val/test splitting, chunking, and
+benchmark-contamination screening — the dataset-preparation ops a
+training pipeline runs after dedup/quality filtering.
+
+Everything here is HASH-deterministic, not RNG-based: membership is a
+pure function of the row's id (md5 prefix), so a split/sample is
+reproducible across engines, re-runs, and re-partitioning — `rand()`
+with a seed is NOT stable across partitioning changes, which silently
+reshuffles a 100 TB split when the input layout changes. md5 produces
+identical lowercase hex in Spark and DuckDB, so every operator here is
+oracle-checkable end to end.
+
+Scale notes:
+- split/sample are pure narrow projections + filters: no shuffle, no
+  state; the filter sits directly on top of the scan.
+- stratified top-k shuffles once on the stratum key (the same shape as
+  any grouped ranking); k rows per stratum survive.
+- chunking is a generate (explode) over an arithmetic sequence — row
+  expansion happens AFTER the scan partition, never on the driver.
+- contamination broadcasts the benchmark n-gram set (bounded by
+  benchmark size, which is small by definition) and map-side joins the
+  corpus grams against it: the 100 TB corpus never shuffles raw text,
+  only (doc_id, partial count) pairs after the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import shingles_from_tokens
+
+# 4 hex digits = 65536 uniform buckets; plenty of resolution for
+# split fractions while keeping thresholds printable/lexicographic
+_BUCKETS = 16**4
+
+
+def split_threshold(fraction: float) -> str:
+    """Lexicographic md5-prefix threshold covering ~``fraction`` of
+    rows: 4-digit lowercase hex, comparable as a plain string in any
+    engine (fixed-length lowercase hex sorts numerically)."""
+    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "04x")
+
+
+def hash_prefix(id_col: Column | str) -> Column:
+    """First 4 hex chars of md5(id-as-string) — the uniform bucket key
+    every operator in this module derives membership from."""
+    id_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(id_col.cast("string")), 1, 4)
+
+
+def assign_split(id_col: Column | str, fractions: dict[str, float]) -> Column:
+    """Deterministic split label from cumulative md5-prefix thresholds.
+
+    ``fractions`` maps label → fraction in assignment order; the LAST
+    label takes the remainder (its fraction is implied — pass it for
+    readability, it is not used). Every row gets exactly one label, and
+    the same row gets the same label forever, on any engine.
+    """
+    labels = list(fractions)
+    h = hash_prefix(id_col)
+    expr = None
+    cum = 0.0
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond = h < split_threshold(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return (expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])).alias("split")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows by md5-prefix threshold — a pushdown-able
+    narrow filter (no shuffle, no RNG state), stable under re-runs and
+    re-partitioning."""
+    return df.where(hash_prefix(id_col) < split_threshold(rate))
+
+
+def stratified_topk(
+    df: DataFrame, stratum: str, id_col: str, k: int, *, rank_alias: str = "rn"
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by (md5(id), id) and keep the first k. One shuffle on the
+    stratum key; the md5 ordering makes the choice uniform-random-like
+    yet fully reproducible."""
+    w = Window.partitionBy(stratum).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return df.withColumn(rank_alias, F.row_number().over(w)).where(F.col(rank_alias) <= k)
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 40,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window packing step before tokenization/training.
+
+    Emits one row per (doc, window start): ``(id, start, n_tokens,
+    chunk)`` where ``start`` steps by ``chunk_size - overlap``. The
+    expansion is a generate over an arithmetic sequence computed from
+    the token count — per-row work distributed with the scan, never a
+    driver loop.
+    """
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, "__toks", F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            F.col("__start").cast("bigint").alias("start"),
+            F.least(F.size("__toks") - F.col("__start"), F.lit(chunk_size))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(F.slice("__toks", F.col("__start") + 1, F.lit(chunk_size)), " ").alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination screen: count, per corpus document, how
+    many of its distinct token k-grams also appear in the benchmark
+    set (the standard 13-gram-style overlap test run before training).
+
+    The benchmark's distinct gram set is broadcast (small by
+    definition); corpus grams are generated and joined map-side, so the
+    only shuffle carries (doc_id, partial count). Documents shorter
+    than k tokens contribute their whole text as a single gram.
+    Returns (id, n_collisions) for contaminated documents only.
+    """
+
+    def grams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        tokenized = frame.select(*cols, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+        exploded = tokenized.select(
+            *([id_col] if keep_id else []),
+            F.explode(shingles_from_tokens("__toks", k)).alias("gram"),
+        )
+        return exploded.dropDuplicates([id_col, "gram"] if keep_id else ["gram"])
+
+    bench_grams = grams(benchmark, keep_id=False)
+    corpus_grams = grams(corpus, keep_id=True)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )

@@ -64,6 +64,7 @@ def _load() -> None:
         geo_queries,
         pipeline_queries,
         relational,
+        sampling_queries,
         scalar_queries,
         window_queries,
     )
