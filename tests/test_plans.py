@@ -160,3 +160,41 @@ def test_large_orders_having_prunes_before_joins(spark, sf_dir):
     agg_idx = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
     join_idx = min(i for i, ln in enumerate(lines) if "Join" in ln and "Broadcast" not in ln)
     assert agg_idx > 0 and join_idx > 0
+
+
+def test_deterministic_sample_no_shuffle(spark, sf_dir):
+    # md5-threshold sampling must stay a narrow filter: scan -> filter
+    # -> project, with zero exchanges (at 100 TB an accidental shuffle
+    # here would move the whole corpus to sample 5% of it)
+    plan = plan_of(spark, sf_dir, "deterministic_sample_docs")
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark gram set is bounded-small; the corpus side must
+    # join against it map-side, never shuffle its grams
+    plan = plan_of(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges should be on doc_id/gram dedup + final
+    # count agg, never a sort-merge join of the corpus grams
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_assignment_single_aggregate_exchange(spark, sf_dir):
+    # split label is a pure projection; only the final 3-row aggregate
+    # shuffles, and it shuffles the label, not doc rows pre-agg
+    plan = plan_of(spark, sf_dir, "train_val_test_split")
+    exchange_lines = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(exchange_lines) == 1, exchange_lines
+    assert "split" in exchange_lines[0]
+    assert "HashAggregate" in plan  # partial agg before the exchange
+
+
+def test_chunking_generates_after_scan_partition(spark, sf_dir):
+    # the row expansion is a Generate over sequence() with no exchange
+    # in front of it: chunks fan out inside the scan partition
+    plan = plan_of(spark, sf_dir, "doc_token_chunks")
+    assert "Generate" in plan
+    assert "Exchange" not in plan, plan
