@@ -1,3 +1,4 @@
 from .mbtiles import write_mbtiles
+from .partitioned import write_partitioned_parquet
 
-__all__ = ["write_mbtiles"]
+__all__ = ["write_mbtiles", "write_partitioned_parquet"]
