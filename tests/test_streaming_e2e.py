@@ -230,3 +230,41 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     survivors = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
     assert len(survivors) == 3
     assert len(survivors & {1, 3}) == 1 and len(survivors & {2, 4}) == 1 and 5 in survivors
+
+
+def test_stream_session_windows_with_watermark(spark, tmp_path):
+    """Session windows (gap-based) over an event-time stream: the
+    streaming form of the batch gaps-and-islands `user_sessions`
+    query. Events within a 15-minute gap merge into one session;
+    state is bounded by the watermark, so at 100 TB the store holds
+    only open sessions per key, not history."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+    write_batches(src)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("mmsi", F.session_window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("mmsi", F.col("win.start").alias("sess_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.mmsi, str(r.sess_start)): r.n for r in spark.sql("SELECT * FROM sess_counts").collect()}
+    # key 1: 10:00/10:02/10:05/10:06 all within 15-min gaps -> ONE
+    # session of 4 (the late 10:02 merged in); key 2: 09:00 and 11:00
+    # exceed the gap -> two sessions; key 3: singleton
+    assert got == {
+        (1, "2024-01-01 10:00:00"): 4,
+        (2, "2024-01-01 09:00:00"): 1,
+        (2, "2024-01-01 11:00:00"): 1,
+        (3, "2024-01-01 08:00:00"): 1,
+    }
