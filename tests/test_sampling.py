@@ -104,3 +104,59 @@ def test_ngram_contamination_flags_only_overlapping(spark):
     )
     out = {r.doc_id: r.n_collisions for r in ngram_contamination(corpus, bench, "doc_id", "text").collect()}
     assert out == {1: 3}
+
+
+def test_int8_quantize_error_bound_and_roundtrip(spark):
+    from utils_infra_spark.pipeline.similarity import dequant_max_err, int8_quantize
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [100.0, -100.0, 3.3]),
+            (3, [0.0, 0.0, 0.0]),  # all-zero: scale 0, no div-by-zero
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = df.select(
+        "vec_id",
+        "embedding",
+        int8_quantize("embedding").alias("qt"),
+    ).select(
+        "vec_id",
+        "qt.scale",
+        "qt.q",
+        dequant_max_err("embedding", F.col("qt")).alias("err"),
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # max-magnitude element maps to ±127 exactly
+    assert by_id[1].q[1] == -127 and by_id[2].q[0] == 127
+    for r in out:
+        assert all(-127 <= qi <= 127 for qi in r.q)
+        # reconstruction error bounded by half a quantization step
+        assert r.err <= r.scale / 2 + 1e-12
+    assert by_id[3].scale == 0.0 and by_id[3].err == 0.0 and by_id[3].q == [0, 0, 0]
+
+
+def test_pack_by_cumsum_invariants(spark):
+    from utils_infra_spark.pipeline.sampling import pack_by_cumsum
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+        (F.col("id") % 7 * 100 + 50).alias("n_chars"),
+    )
+    packed = pack_by_cumsum(df, "lang", "doc_id", "n_chars", 1000).toPandas()
+    # every row assigned; shard ids contiguous from 0 within each lang
+    assert packed["shard"].notna().all()
+    for _, grp in packed.groupby("lang"):
+        shards = sorted(grp["shard"].unique())
+        assert shards == list(range(len(shards)))
+        # each shard's pre-assignment fill is under capacity by
+        # construction (a shard starts before the boundary), and no
+        # shard except possibly the last is near-empty
+        fills = grp.groupby("shard")["n_chars"].sum()
+        assert (fills.iloc[:-1] >= 500).all()
+    # determinism under repartition
+    again = pack_by_cumsum(df.repartition(11), "lang", "doc_id", "n_chars", 1000).toPandas()
+    m = packed.merge(again, on=["lang", "doc_id"], suffixes=("_a", "_b"))
+    assert (m["shard_a"] == m["shard_b"]).all()

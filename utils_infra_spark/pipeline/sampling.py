@@ -160,3 +160,33 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
     )
+
+
+def pack_by_cumsum(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Greedy deterministic shard packing: within each ``part_col``
+    stratum, order rows by (md5(id), id), take the running total of
+    ``size_col``, and assign shard ``floor(total_before/capacity)`` —
+    the linear-pass packing a training pipeline uses to group
+    documents into bounded shards/context batches.
+
+    One shuffle on the stratum key (the window and nothing else);
+    packing is parallel ACROSS strata — the global-order variant would
+    serialize 100 TB through one partition, so the stratum key is the
+    parallelism knob. Deterministic: same rows → same shard ids,
+    any engine, any partitioning.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return df.withColumn(
+        "shard", F.floor((cum - F.col(size_col)) / F.lit(float(capacity))).cast("bigint")
+    )

@@ -339,3 +339,39 @@ def ivf_topk(
     return brute_force_topk(
         eq, assigned, vec_col=vec_col, id_col=id_col, k=k, round_dp=round_dp, bucket_col="list_id"
     )
+
+
+def int8_quantize(emb: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization of an array<float>
+    embedding — the 4× storage/bandwidth cut applied before ANN
+    indexing at scale (shuffles then carry 1 byte/dim + 1 scale,
+    not 4 bytes/dim).
+
+    scale = max|x|/127; q_i = floor(x_i/scale + 0.5) clamped to
+    [-127, 127] (explicit floor(+0.5) so the rounding rule is
+    engine-independent). Returns struct(scale double, q array<int>);
+    an all-zero vector quantizes to scale 0 with q all zeros (no
+    division by zero). Every step is elementwise IEEE double math on
+    identical inputs, so q and the dequantization error are
+    bit-reproducible across engines.
+    """
+    v = _vec(emb)
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.least(F.floor(x / scale + F.lit(0.5)).cast("int"), F.lit(127)), F.lit(-127)
+            ),
+        )
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequant_max_err(emb: Column | str, quant: Column) -> Column:
+    """Max elementwise |x - q·scale| — the reconstruction-error bound
+    per vector (≤ scale/2 by construction; asserted in tests)."""
+    v = _vec(emb)
+    deq = F.transform(quant["q"], lambda qi: qi.cast(DOUBLE) * quant["scale"])
+    return F.array_max(F.zip_with(v, deq, lambda x, d: F.abs(x - d)))

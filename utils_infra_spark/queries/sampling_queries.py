@@ -146,3 +146,73 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return ngram_contamination(corpus, bench, "doc_id", "text", k=3)
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+    ), q AS (
+      SELECT vec_id, e, mx/127.0 AS scale,
+             CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(greatest(least(
+                         floor(x/(mx/127.0) + 0.5), 127), -127) AS INT)) END AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - qv[i]*scale))) AS max_abs_err,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+    doc="Symmetric int8 quantization of each embedding (4 bytes/dim → 1): per-vector "
+    "scale, exact reconstruction-error bound, and integer L1 mass. Elementwise IEEE "
+    "double math on identical inputs — the quantized codes and the UNROUNDED error "
+    "hash-match the oracle bit-for-bit. Pure projection: no shuffle, 4× less to move "
+    "when the ANN index shuffles codes instead of floats.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import dequant_max_err, int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = int8_quantize("embedding")
+    q = emb.select("vec_id", "embedding", quant.alias("qt"))
+    return q.select(
+        "vec_id",
+        F.col("qt.scale").alias("scale"),
+        dequant_max_err("embedding", F.col("qt")).alias("max_abs_err"),
+        F.aggregate(
+            F.col("qt.q"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x).cast("bigint")
+        ).alias("q_l1"),
+    )
+
+
+@register(
+    "pack_documents_shards",
+    oracle="""
+    WITH c AS (
+      SELECT lang, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT lang, CAST(FLOOR((cum - n_chars)/4096.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Greedy deterministic shard packing: per language, documents in md5 order are "
+    "packed into ~4096-char shards by running total (floor(total_before/capacity)). "
+    "Packing is parallel ACROSS strata — one shuffle on the stratum key; a global-order "
+    "pack would serialize everything through one partition.",
+)
+def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sampling import pack_by_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_by_cumsum(docs, "lang", "doc_id", "n_chars", 4096)
+    return packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
