@@ -222,3 +222,20 @@ def test_format_eta(spark):
     df = spark.createDataFrame([(2, 9, 8, 5), (12, 31, 23, 59), (None, 1, 2, 3)], "m int, d int, h int, mi int")
     out = [r.eta for r in df.select(format_eta("m", "d", "h", "mi").alias("eta")).collect()]
     assert out == ["02/09 08:05", "12/31 23:59", None]
+
+
+def test_morton_key_known_values_and_locality(spark):
+    from utils_infra_spark.functions.geo import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (5, 3), (255, 255)], "x: int, y: int"
+    )
+    out = {(r.x, r.y): r.z for r in df.select("x", "y", morton_key("x", "y", 8).alias("z")).collect()}
+    # interleave: x bits land at even positions, y bits at odd
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2 and out[(1, 1)] == 3
+    # x=5 (101), y=3 (011): bits interleave to y2x2 y1x1 y0x0 = 0 1 | 1 0 | 1 1
+    assert out[(5, 3)] == 0b011011
+    assert out[(255, 255)] == 2**16 - 1
+    # locality: a unit step in x or y changes the key by a bounded
+    # amount within a 2x2 quad (keys of a quad are contiguous)
+    assert {out[(0, 0)], out[(1, 0)], out[(0, 1)], out[(1, 1)]} == {0, 1, 2, 3}

@@ -186,3 +186,35 @@ def bilinear_interpolate(grid: Column, lon: Column, lat: Column, *, west: float,
         + node(y0 + 1, x0) * (1 - u) * v
         + node(y0 + 1, x0 + 1) * u * v
     )
+
+
+def morton_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
+    """Z-order (Morton) interleave of two ``bits``-wide grid
+    coordinates — the multi-dimensional sort key for data layout:
+    writing a table sorted by ``morton_key(x_cell, y_cell)`` clusters
+    spatially-near rows into the same parquet row groups, so a 2-D
+    range predicate prunes on BOTH dimensions from one sort order
+    (a plain (x, y) sort only prunes on x).
+
+    Pure bit arithmetic (shift/and/or), codegen'd JVM-side; the
+    expression is identical integer math in any engine, so it is
+    oracle-checkable. Cost is a projection — the benefit lands at
+    write time via sortWithinPartitions(morton_key(...)).
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = key + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i).cast("bigint")
+        key = key + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("bigint")
+    return key
+
+
+def morton_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """The DuckDB/ANSI spelling of :func:`morton_key` — generated from
+    the same loop so the two engines compute the same integer."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

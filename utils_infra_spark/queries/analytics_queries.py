@@ -424,3 +424,42 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("corr_qty_price"),
         F.round(stddev, 6).alias("stddev_price"),
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT (user_id, CAST(date_trunc('day', ts) AS TIMESTAMP))) AS user_days
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct via MERGEABLE bitmap sketches (Spark 3.5 bitmap_construct_agg/"
+    "bitmap_or_agg/bitmap_count): per-(type, day, bucket) bitmaps of user ids are built "
+    "map-side, then OR-merged across days and counted — the warehouse pattern where "
+    "daily partials are precomputed ONCE and any date-range distinct is a cheap bitmap "
+    "merge, unlike COUNT(DISTINCT) which re-shuffles raw ids for every question. The "
+    "oracle checks the bitmap path equals plain COUNT(DISTINCT) exactly (no HLL error).",
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    # stage 1 (the precomputable daily partial): bitmap of user ids per
+    # (type, day, 32k-id bucket); shuffle carries packed bitmaps
+    daily = ev.groupBy(
+        "event_type", "day", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # stage 2 (any-range rollup): OR-merge bitmaps across days per
+    # bucket, count bits, sum buckets; user_days sums daily bit counts
+    merged = daily.groupBy("event_type", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("distinct_in_bucket"),
+        F.sum(F.bitmap_count("bm")).alias("user_days_in_bucket"),
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("distinct_in_bucket").alias("n_users"),
+        F.sum("user_days_in_bucket").alias("user_days"),
+    )

@@ -14,7 +14,14 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geo import mercator_x, mercator_y, point_in_polygon, tms_flip
+from ..functions.geo import (
+    mercator_x,
+    mercator_y,
+    morton_key,
+    morton_key_sql,
+    point_in_polygon,
+    tms_flip,
+)
 from ..sources import load_table
 from . import register
 
@@ -235,4 +242,34 @@ def embedded_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("payload", "$[0].id").cast("bigint").alias("outage_id"),
         F.get_json_object("payload", "$[0].region").alias("region"),
         F.get_json_object("payload", "$[0].customers").cast("bigint").alias("customers"),
+    )
+
+
+_ZX = "(c_custkey % 256)"
+_ZY = "((c_custkey // 256) % 256)"
+
+
+@register(
+    "zorder_customer_grid",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST({_ZX} AS INT) AS gx,
+           CAST({_ZY} AS INT) AS gy,
+           {morton_key_sql(_ZX, _ZY, 8)} AS zkey
+    FROM customer
+    """,
+    doc="Z-order (Morton) layout key over a 256x256 grid derived from c_custkey: the "
+    "2-D clustering sort key for write-time layout (sortWithinPartitions(zkey) makes "
+    "parquet row groups prunable on BOTH grid dimensions). Spark side is codegen'd "
+    "shift/and bit math; the oracle is the same expression generated for DuckDB.",
+)
+def zorder_customer_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    gx = (F.col("c_custkey") % 256).cast("int")
+    gy = ((F.col("c_custkey") / 256).cast("bigint") % 256).cast("int")
+    return cust.select(
+        "c_custkey",
+        gx.alias("gx"),
+        gy.alias("gy"),
+        morton_key(gx, gy, 8).alias("zkey"),
     )
