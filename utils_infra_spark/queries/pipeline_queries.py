@@ -423,3 +423,136 @@ REGISTRY["ivf_topk_probes"].oracle = f"""
       FROM scored
     ) WHERE rnk <= 5
     """
+
+
+@register(
+    "top_terms_tfidf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfx AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             CAST(tf.tf AS DOUBLE) * n.n / dfx.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) * n.n / dfx.df DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 terms per document by tf-idf (rational form tf·N/df — exact integer-ratio "
+    "double, no ln() whose last-ulp can differ across libm implementations). Two aggs "
+    "over one token explode; the term-document-frequency dictionary joins back by term "
+    "(vocabulary-sized — broadcastable at any corpus scale) and N broadcasts as a 1-row "
+    "scalar subquery.",
+)
+def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.temporal import scalar_subquery
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = scalar_subquery(docs, F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "boilerplate_gram_ratio",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i : i + 2], ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS gram
+        FROM t)
+    ), freq AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 20
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(freq.gram) AS n_frequent,
+           CAST(COUNT(freq.gram) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+    FROM g LEFT JOIN freq ON g.gram = freq.gram
+    GROUP BY g.doc_id
+    """,
+    doc="Boilerplate screen (the line-dedup analog for unstructured text): per document, "
+    "the fraction of its distinct 3-grams that are corpus-frequent (appear in ≥20 docs). "
+    "The frequent-gram dictionary is corpus-bounded-small and broadcasts; the corpus "
+    "side shuffles once to dedup (doc, gram) and once for the per-doc count — text "
+    "never moves after tokenization.",
+)
+def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__toks"))
+        .select("doc_id", F.explode(shingles_from_tokens("__toks", 3)).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf")).where(F.col("gdf") >= 20).select("gram")
+    flagged = g.join(F.broadcast(freq.withColumn("__hit", F.lit(1))), "gram", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_frequent"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("boilerplate_ratio"),
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=r"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents)
+    )
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM pairs GROUP BY term HAVING COUNT(*) >= 50
+    """,
+    doc="Inverted-index build: per term, the sorted posting list of containing docs "
+    "(df ≥ 50 bounds output to the head of the vocabulary). One shuffle on the term after "
+    "the distinct — posting lists are assembled where the term's rows land, the "
+    "standard distributed index-build shape; the sorted-array canonical form makes the "
+    "list order engine-independent.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 50)
+    )
