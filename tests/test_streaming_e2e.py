@@ -268,3 +268,59 @@ def test_stream_session_windows_with_watermark(spark, tmp_path):
         (2, "2024-01-01 11:00:00"): 1,
         (3, "2024-01-01 08:00:00"): 1,
     }
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: purchases attributed to a click by
+    the same user within 30 minutes. Both sides carry watermarks so
+    the join state is bounded (Spark evicts rows once the other
+    side's watermark passes the interval) — the 100 TB requirement
+    for any stream-stream join. Parity contract: identical output to
+    the batch join of the same files."""
+    from pyspark.sql import functions as F
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    os.makedirs(cdir), os.makedirs(pdir)
+    clicks = [
+        {"user_id": 1, "click_id": 10, "cts": "2024-01-01T10:00:00Z"},
+        {"user_id": 1, "click_id": 11, "cts": "2024-01-01T11:00:00Z"},
+        {"user_id": 2, "click_id": 20, "cts": "2024-01-01T10:00:00Z"},
+    ]
+    purchases = [
+        {"user_id": 1, "order_id": 100, "pts": "2024-01-01T10:10:00Z", "amount": 5.0},   # -> click 10
+        {"user_id": 1, "order_id": 101, "pts": "2024-01-01T11:29:00Z", "amount": 7.0},   # -> click 11
+        {"user_id": 1, "order_id": 102, "pts": "2024-01-01T12:00:00Z", "amount": 9.0},   # outside both
+        {"user_id": 2, "order_id": 200, "pts": "2024-01-01T10:30:00Z", "amount": 3.0},   # -> click 20 (inclusive edge)
+    ]
+    with open(os.path.join(cdir, "c.json"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in clicks)
+    with open(os.path.join(pdir, "p.json"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in purchases)
+
+    CSCHEMA = "user_id int, click_id int, cts timestamp"
+    PSCHEMA = "user_id int, order_id int, pts timestamp, amount double"
+    cond = (
+        "c.user_id = p.user_id AND p.pts >= c.cts AND p.pts <= c.cts + interval 30 minutes"
+    )
+
+    cs = spark.readStream.schema(CSCHEMA).json(cdir).withWatermark("cts", "1 hour").alias("c")
+    ps = spark.readStream.schema(PSCHEMA).json(pdir).withWatermark("pts", "1 hour").alias("p")
+    joined = cs.join(ps, F.expr(cond)).select("c.user_id", "click_id", "order_id", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.order_id) for r in spark.sql("SELECT * FROM attributed").collect()}
+
+    bc = spark.read.schema(CSCHEMA).json(cdir).alias("c")
+    bp = spark.read.schema(PSCHEMA).json(pdir).alias("p")
+    want = {
+        (r.click_id, r.order_id)
+        for r in bc.join(bp, F.expr(cond)).select("click_id", "order_id").collect()
+    }
+    assert got == want == {(10, 100), (11, 101), (20, 200)}
