@@ -160,3 +160,24 @@ def test_pack_by_cumsum_invariants(spark):
     again = pack_by_cumsum(df.repartition(11), "lang", "doc_id", "n_chars", 1000).toPandas()
     m = packed.merge(again, on=["lang", "doc_id"], suffixes=("_a", "_b"))
     assert (m["shard_a"] == m["shard_b"]).all()
+
+
+def test_salted_join_row_identical_and_spreads_hot_key(spark):
+    from utils_infra_spark.operators.skew import salted_join
+
+    # 90% of fact rows hit one hot key; dim has multiple attrs per key
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id") % 20).cast("bigint").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
+    got = salted_join(fact, dim, "k", salt_buckets=8).toPandas()
+    want = fact.join(dim, "k").toPandas()
+    key = ["k", "payload", "attr"]
+    assert got.sort_values(key).reset_index(drop=True)[key].equals(
+        want.sort_values(key).reset_index(drop=True)[key]
+    )
+    # the hot key's fact rows actually scatter across several buckets
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    n_buckets = fact.where(F.col("k") == 7).select(salt.alias("s")).distinct().count()
+    assert n_buckets >= 6

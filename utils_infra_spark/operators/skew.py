@@ -51,3 +51,34 @@ def salted_aggregate(
             merge_expr = merge_expr.cast("long")
         merge_exprs.append(merge_expr.alias(name))
     return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the dim side ``salt_buckets``
+    times and scatter the fact side across the replicas, so one hot
+    key's rows spread over ``salt_buckets`` tasks instead of stalling
+    one.
+
+    The fact salt is DETERMINISTIC (hash of the whole row, not
+    rand()): re-runs and retried tasks land rows in the same bucket,
+    which keeps speculative execution and exactly-once sinks honest.
+    Cost: dim shuffles ``salt_buckets``× its size — use only when the
+    dim is too big to broadcast AND AQE's skew-join split (the
+    default remedy, on in session.py) can't help, e.g. when the skew
+    is in a single unsplittable key group of a sort-merge join.
+    Result is row-identical to the plain join (oracle-checked).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    fact_s = fact.withColumn("__salt", salt)
+    dim_r = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = fact_s.join(dim_r, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -248,3 +248,31 @@ def terrain_reproject_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "z", "x", "y", "src_tiles", F.round("min_elev", 1).alias("min_elev"), F.round("max_elev", 1).alias("max_elev")
     ).orderBy("z", "x", "y")
+
+
+@register(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR((o_totalprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-safe salted equi-join (§4 scale design): the dim side is replicated over "
+    "salt buckets and the fact side scattered deterministically across them, spreading a "
+    "hot key over salt_buckets tasks — the explicit fallback when the dim can't "
+    "broadcast and AQE's skew split can't bite. Must equal the plain join exactly "
+    "(oracle is the unsalted join).",
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import dsum
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "o_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
