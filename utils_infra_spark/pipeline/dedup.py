@@ -291,3 +291,26 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dataset_diff(
+    old: DataFrame, new: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Snapshot diff between two dataset versions (crawl N vs N+1):
+    classify every id as added / removed / changed / unchanged by
+    comparing content DIGESTS, not content — the full-outer join
+    shuffles (id, 16-byte md5) pairs only, so diffing two 100 TB
+    snapshots moves gigabytes, not the corpora. Returns
+    (id, status, old_digest, new_digest).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    o = old.select(F.col(id_col).alias("__id"), digest.alias("old_digest"))
+    n = new.select(F.col(id_col).alias("__id"), digest.alias("new_digest"))
+    joined = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col("__id").alias(id_col), status.alias("status"), "old_digest", "new_digest")

@@ -556,3 +556,54 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 50)
     )
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0
+    ), o AS (
+      SELECT doc_id, md5(text) AS old_digest FROM documents
+    ), n AS (
+      SELECT doc_id, md5(text) AS new_digest FROM v2
+    ), d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN old_digest = new_digest THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs FROM d GROUP BY status
+    """,
+    doc="Snapshot diff (crawl N vs N+1): classify ids added/removed/changed/unchanged by "
+    "comparing content digests — the full-outer join shuffles (id, md5) pairs only, so "
+    "diffing two 100 TB snapshots moves gigabytes, not documents. v2 here is derived "
+    "from the same table (deletions %13, edits %17, additions %19) so the diff is "
+    "oracle-checkable end to end.",
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import dataset_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" rev2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    diff = dataset_diff(docs, v2, "doc_id", ["text"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
