@@ -112,3 +112,55 @@ def test_merge_group_equals_batch_replay_any_split(events, split):
             else:
                 assert got_v == want_v, (k, c, got_v, want_v)
         assert state["ts"] == want[k]["ts"]
+
+
+# ------------------------------------------------------- as-of join property
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=12
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_backward_join ≡ pandas merge_asof (backward, inclusive,
+    greatest-tiebreak-wins on equal timestamps) on arbitrary inputs."""
+    from utils_infra_spark.operators.temporal import asof_backward_join
+
+    ldf = pd.DataFrame(left, columns=["k", "ts"]).assign(lid=range(len(left)))
+    rrows = [(k, t, i) for i, (k, t) in enumerate(right)]
+    rdf = pd.DataFrame(rrows, columns=["k", "ts", "tb"])
+
+    sl = spark.createDataFrame(ldf, "k: long, ts: long, lid: long")
+    sr = spark.createDataFrame(rdf, "k: long, ts: long, tb: long") if len(rdf) else (
+        spark.createDataFrame([], "k: long, ts: long, tb: long")
+    )
+    got = (
+        asof_backward_join(sl, sr, "k", "ts", "ts", ["tb"], tiebreak="tb")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    if len(rdf):
+        # merge_asof keeps the LAST right row among equal ts values;
+        # sorting right by (ts, tb) makes that the greatest tiebreak
+        want = pd.merge_asof(
+            ldf.sort_values("ts", kind="stable"),
+            rdf.sort_values(["ts", "tb"], kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("lid").reset_index(drop=True)
+        want_tb = want["tb"]
+    else:
+        want_tb = pd.Series([float("nan")] * len(ldf))
+
+    for g, w in zip(got["matched_tb"], want_tb):
+        g_null, w_null = pd.isna(g), pd.isna(w)
+        assert g_null == w_null and (g_null or int(g) == int(w)), (left, right, got, want_tb)
