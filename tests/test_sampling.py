@@ -181,3 +181,30 @@ def test_salted_join_row_identical_and_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
     n_buckets = fact.where(F.col("k") == 7).select(salt.alias("s")).distinct().count()
     assert n_buckets >= 6
+
+
+def test_weighted_sample_monotone_and_stable(spark):
+    from utils_infra_spark.pipeline.sampling import weighted_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("w")
+    )
+    kept = set(r.doc_id for r in weighted_sample(df, "doc_id", F.col("w")).collect())
+    # stability under repartition
+    again = set(
+        r.doc_id for r in weighted_sample(df.repartition(9), "doc_id", F.col("w")).collect()
+    )
+    assert kept == again
+    # weight 0 rows never kept; weight ~1 rows kept ~always
+    zero_w = {r.doc_id for r in df.where(F.col("w") == 0).collect()}
+    assert not (kept & zero_w)
+    hi = {r.doc_id for r in df.where(F.col("w") >= 0.99).collect()}
+    assert len(kept & hi) / len(hi) > 0.9
+    # monotone: doubling every weight only ADDS rows
+    kept2 = set(
+        r.doc_id
+        for r in weighted_sample(df, "doc_id", F.least(F.col("w") * 2, F.lit(1.0))).collect()
+    )
+    assert kept <= kept2
+    # overall rate ~ mean weight (~0.495)
+    assert 0.4 < len(kept) / 3000 < 0.6

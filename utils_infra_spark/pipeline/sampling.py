@@ -190,3 +190,17 @@ def pack_by_cumsum(
     return df.withColumn(
         "shard", F.floor((cum - F.col(size_col)) / F.lit(float(capacity))).cast("bigint")
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep each row with
+    probability ``weight`` (a Column in [0, 1] — e.g. a quality
+    score), decided by comparing the row's md5 prefix against the
+    row's own threshold. The quality-weighted resampling step of a
+    training pipeline, with the same guarantees as
+    :func:`deterministic_sample`: no RNG state, no shuffle, stable
+    under re-partitioning and re-runs, and monotone — raising a row's
+    weight can only keep it, never drop it.
+    """
+    thresh = F.least(F.floor(weight * _BUCKETS).cast("int"), F.lit(_BUCKETS - 1))
+    return df.where(hash_prefix(id_col) < F.format_string("%04x", thresh))

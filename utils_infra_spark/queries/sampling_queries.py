@@ -216,3 +216,25 @@ def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("lang", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(least(floor(least(n_chars/500.0, 1.0) * 65536), 65535) AS INT))
+    """,
+    doc="Quality-weighted deterministic sampling: each document kept with probability "
+    "min(n_chars/500, 1) — longer (here: 'higher-quality') docs oversampled — by "
+    "comparing the row's md5 prefix to its OWN threshold. Same scale contract as the "
+    "uniform sample: narrow filter, no shuffle, stable under re-partitioning, and "
+    "monotone in the weight.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "n_chars")
