@@ -164,3 +164,35 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for g, w in zip(got["matched_tb"], want_tb):
         g_null, w_null = pd.isna(g), pd.isna(w)
         assert g_null == w_null and (g_null or int(g) == int(w)), (left, right, got, want_tb)
+
+
+# ------------------------------------------------------ range join property
+
+_points = st.lists(st.integers(-50, 50), min_size=1, max_size=15)
+_ivals = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(0, 30)), min_size=0, max_size=10
+)
+
+
+@given(points=_points, ivals=_ivals, bin_width=st.sampled_from([1, 3, 7, 16]))
+@settings(max_examples=15, deadline=None)
+def test_range_join_matches_quadratic_reference(spark, points, ivals, bin_width):
+    """range_join_binned ≡ the naive all-pairs containment check for
+    every bin width, including negative coordinates and empty/zero-
+    width intervals ([s, s) matches nothing)."""
+    from utils_infra_spark.operators.temporal import range_join_binned
+
+    pdf = [(i, p) for i, p in enumerate(points)]
+    idf = [(j, s, s + ln) for j, (s, ln) in enumerate(ivals)]
+    sp = spark.createDataFrame(pdf, "pid: long, p: long")
+    si = spark.createDataFrame(idf, "iid: long, s: long, e: long") if idf else (
+        spark.createDataFrame([], "iid: long, s: long, e: long")
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(sp, si, "p", "s", "e", bin_width=bin_width).collect()
+    }
+    want = {
+        (i, j) for i, p in pdf for j, s, e in idf if s <= p < e
+    }
+    assert got == want, (points, ivals, bin_width)
