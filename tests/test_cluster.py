@@ -1,0 +1,88 @@
+"""Connected components (pipeline/cluster.py) vs a pure-Python
+union-find reference, over adversarial graph shapes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from utils_infra_spark.pipeline.cluster import cluster_documents, connected_components
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def _check(spark, edges):
+    nodes = sorted({n for e in edges for n in e})
+    expected = _union_find(nodes, edges)
+    df = spark.createDataFrame([(a, b) for a, b in edges], "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_chain_converges_logarithmically(spark):
+    # a 64-node path is the worst case for naive min-label
+    # propagation (64 rounds); the alternating algorithm must finish
+    # well inside max_iter=25 or raise.
+    _check(spark, [(i, i + 1) for i in range(64)])
+
+
+def test_cliques_and_singleton_edges(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
+    edges += [(10, 11), (12, 13), (11, 12)]  # chain merging two pairs
+    edges += [(20, 20), (21, 20)]  # self-loop dropped, pair kept
+    _check(spark, edges)
+
+
+def test_duplicate_and_reversed_edges(spark):
+    _check(spark, [(1, 2), (2, 1), (1, 2), (3, 2), (2, 3), (5, 4)])
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_sparse_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_cluster_documents_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(8)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "src long, dst long")
+    out = cluster_documents(docs, edges, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["cluster_id"] == by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 0
+    assert by_id[5]["cluster_id"] == by_id[6]["cluster_id"] == 5
+    for i in (3, 4, 7):  # singletons: own cluster, size 1, kept
+        assert by_id[i]["cluster_id"] == i and by_id[i]["cluster_size"] == 1
+        assert by_id[i]["is_representative"]
+    assert by_id[0]["cluster_size"] == 3 and by_id[0]["is_representative"]
+    assert not by_id[1]["is_representative"] and not by_id[2]["is_representative"]
+    # exactly one representative per cluster
+    reps = [r for r in out if r["is_representative"]]
+    assert len(reps) == len({r["cluster_id"] for r in out})
+
+
+def test_empty_edges_all_singletons(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = cluster_documents(docs, edges, "doc_id").collect()
+    assert all(r["cluster_size"] == 1 and r["is_representative"] for r in out)

@@ -607,3 +607,79 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = dataset_diff(docs, v2, "doc_id", ["text"])
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ------------------------------------------------------- dup clustering
+@register(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS grams
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    jp AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.4
+    ),
+    pp AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND substr(a.text, 1, 32) = substr(b.text, 1, 32)
+    ),
+    edges AS (SELECT src, dst FROM jp UNION SELECT src, dst FROM pp),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.comp, d.doc_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(cc.comp, d.doc_id)) AS cluster_size,
+           d.doc_id = COALESCE(cc.comp, d.doc_id) AS is_representative
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+    doc=(
+        "Near-dup CLUSTER resolution: union of two pair detectors "
+        "(exact n-gram Jaccard >= 0.4 bucketed by lang; shared 32-char "
+        "prefix) -> alternating large-star/small-star connected "
+        "components -> one representative per cluster. The oracle "
+        "computes the same closure with a recursive CTE. 100 TB: each "
+        "CC round shuffles ~16 B/edge candidate pairs, never documents; "
+        "O(log^2 n) rounds even on chain-shaped dup graphs."
+    ),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.cluster import cluster_documents
+    from ..pipeline.dedup import jaccard, shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        spread(docs.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(shingles_from_tokens("toks", 3)).alias("grams"),
+            F.size("toks").alias("ntok"),
+        )
+        .where(F.col("ntok") >= 3)
+    )
+    a, b = spread(base).alias("a"), F.broadcast(base).alias("b")
+    jp = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 6) >= 0.4)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    pp = (
+        pa.join(pb, (F.col("pa.pfx") == F.col("pb.pfx")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("src"), F.col("pb.doc_id").alias("dst"))
+    )
+    return cluster_documents(docs.select("doc_id"), jp.union(pp), "doc_id")
