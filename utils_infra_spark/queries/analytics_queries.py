@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregations import dsum
+from ..operators.aggregations import davg, dsum
 from ..operators.temporal import asof_backward_join, range_join_binned, scalar_subquery
 from ..sources import load_table
 from . import register
@@ -462,4 +462,129 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum("distinct_in_bucket").alias("n_users"),
         F.sum("user_days_in_bucket").alias("user_days"),
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH thr AS (
+      SELECT l_partkey,
+             0.5 * ROUND(CAST(SUM(CAST(FLOOR((l_quantity)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+                         / COUNT(l_quantity), 6) AS lim
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+      GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem JOIN thr ON lineitem.l_partkey = thr.l_partkey
+    WHERE l_quantity < lim
+    """,
+    doc="Q17 shape (correlated scalar subquery decorrelated): revenue of below-half-average-quantity "
+    "lineitems for one brand. Plan: brand filter broadcasts a small partkey set into the scan, the "
+    "per-part threshold aggregates ONLY those parts (map-side combine), and the threshold joins back "
+    "on partkey — the 100 TB lineitem is read once and never shuffled unfiltered. Thresholds use the "
+    "order-independent fixed-point average so the boundary predicate agrees bit-for-bit with the oracle.",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    branded = li.join(F.broadcast(brand_parts), li["l_partkey"] == brand_parts["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = branded.groupBy("l_partkey").agg((F.lit(0.5) * davg("l_quantity", "a")).alias("lim"))
+    return (
+        branded.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(dsum("l_extendedprice", "s"))
+        .select(F.round(F.col("s") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "top_supplier_by_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="Q15 shape (view + scalar-subquery max): quarter revenue per supplier, keep the max. The "
+    "1-row max broadcasts back over the aggregate (no second shuffle); fixed-point totals make the "
+    "equality-with-max exact — double sums would make 'equals max' partitioning-dependent.",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = scalar_subquery(rev, F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "sole_late_supplier_orders",
+    oracle="""
+    WITH po AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+             MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM po JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="Q21 shape (EXISTS + NOT-EXISTS decorrelated to one grouped pass): suppliers solely "
+    "responsible for a late multi-supplier order. The two correlated existence tests collapse into "
+    "per-order distinct counts — ONE shuffle on orderkey instead of two self-joins of the 100 TB "
+    "fact; the blamed supplier falls out of the same aggregate (min over the 1-element late set).",
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
