@@ -161,3 +161,22 @@ def test_ivf_assign_covers_all_vectors_once(spark, sf_dir):
     out = ivf_assign(emb, _ivf_centroids(), vec_col="embedding", id_col="vec_id")
     assert out.count() == emb.count()  # exactly one list per vector
     assert out.select("list_id").distinct().count() > 1  # codebook actually partitions
+
+
+def test_redact_pii_edge_cases(spark):
+    from utils_infra_spark.pipeline.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@sub.example.co.nz end"),
+        (2, "ip 192.168.001.1 and 8.8.8.8."),
+        (3, "call +64 21 123 4567 or 0800-838-383 now"),
+        (4, "clean text, no pii at all"),
+        (5, "combo x@y.io at 10.0.0.1 tel 021 555 0199"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r for r in df.select("id", redact_pii("t").alias("r"), *pii_counts("t")).collect()}
+    assert out[1]["r"] == "mail <EMAIL> end" and out[1]["n_email"] == 1
+    assert out[2]["r"] == "ip <IP> and <IP>." and out[2]["n_ip"] == 2
+    assert out[3]["r"] == "call <PHONE> or <PHONE> now" and out[3]["n_phone"] == 2
+    assert out[4]["r"] == rows[3][1] and out[4]["n_email"] == out[4]["n_ip"] == out[4]["n_phone"] == 0
+    assert out[5]["r"] == "combo <EMAIL> at <IP> tel <PHONE>"

@@ -115,3 +115,46 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
     token windows — robust to local edits, built from HOFs only.
     Convenience form; hot paths should use the _from_tokens variant."""
     return rolling_fingerprint_from_tokens(tokens(text), window)
+
+
+# PII scrubbing patterns. Deliberately restricted to syntax with
+# identical semantics in Java regex (Spark, JVM-side regexp_replace)
+# and RE2 (the DuckDB oracle): character classes, bounded repetition,
+# and \b word boundaries — no lookaround, no backrefs, no alternation
+# whose leftmost-first order could diverge.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholders. Order matters and is part of the contract:
+    email → ip → phone, so the phone pattern can never eat the digits
+    of an address already collapsed to a placeholder. Pure JVM-side
+    regexp_replace — codegen'd, no Python in the row path; at 100 TB
+    this is a narrow map over the corpus scan (zero shuffles).
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """(n_email, n_ip, n_phone) found in the ORIGINAL text — the audit
+    columns a redaction job reports alongside the scrubbed corpus."""
+    text = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("bigint").alias("n_ip"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"),
+                F.lit(PII_PHONE),
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("n_phone"),
+    ]
