@@ -86,3 +86,46 @@ def test_empty_edges_all_singletons(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     out = cluster_documents(docs, edges, "doc_id").collect()
     assert all(r["cluster_size"] == 1 and r["is_representative"] for r in out)
+
+
+# ---- prefix-filtered similarity join (pipeline/dedup.py) ----
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7])
+def test_prefix_filter_equals_quadratic(spark, threshold):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.dedup import jaccard, prefix_filter_pairs, shingles_from_tokens
+
+    rng = random.Random(threshold)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(4, 15)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # planted near-dup: small mutation
+            mutated = list(words)
+            mutated[rng.randrange(n)] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(docs, "text", "doc_id", threshold=threshold).collect()
+    }
+    base = docs.select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.split(F.trim("text"), r"\s+"), 3)).alias("g")
+    ).where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    a, b = base.alias("a"), base.alias("b")
+    exp = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.g"), F.col("b.g")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .collect()
+    }
+    assert got == exp
