@@ -588,3 +588,117 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(FLOOR((o_totalprice)*1000000 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/1000000
+             AS running_total
+    FROM orders
+    """,
+    doc="Running cumulative revenue per customer (window sum, explicit ROWS frame, orderkey "
+    "tiebreak for a total order). Fixed-point accumulation makes every prefix sum exact — a "
+    "double running sum would drift differently per engine. One shuffle on custkey; frames "
+    "evaluate inside the sorted partition.",
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(q).over(w).cast("double") / F.lit(1000000.0)).alias("running_total"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events
+    GROUP BY FLOOR(value / 25.0)
+    ORDER BY bin
+    """,
+    doc="Fixed-width value histogram: bin id from floor arithmetic (identical double semantics "
+    "in both engines — no width_bucket dialect dependence). Map-side combine ships (bin, "
+    "partial count/min/max) — a 100 TB histogram shuffles a few dozen rows per task.",
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        ev.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .select("bin", (F.col("bin") * 25.0).alias("bin_lo"), "n", "lo", "hi")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "quality_decile_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+             + least(ROUND(CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','to','is'))) AS DOUBLE) / len(t), 6) * 4, 1.0) * 0.3
+             + CASE WHEN ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6) BETWEEN 2.5 AND 12.0 THEN 0.3 ELSE 0.0 END, 6)
+             AS quality
+      FROM toks WHERE len(t) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, quality, ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+      FROM scored
+    )
+    SELECT decile, COUNT(*) AS n, ROUND(MIN(quality), 6) AS q_min, ROUND(MAX(quality), 6) AS q_max
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    doc="Quality-decile curriculum binning: ntile(10) over a TOTAL order (score, doc_id) — both "
+    "engines define ntile identically given a total order; a score-only ordering would make bucket "
+    "boundaries nondeterministic. The global sort is a range-partitioned exchange; at 100 TB swap "
+    "ntile for approx-quantile cutpoints broadcast back (same output contract).",
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    stopwords = ["the", "a", "of", "to", "is"]
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score("text", stopwords), 6).alias("quality")
+    ).where(F.size(F.split(F.trim("text"), r"\s+")) > 0)
+    ranked = scored.select(
+        "doc_id", "quality", F.ntile(10).over(Window.orderBy("quality", "doc_id")).alias("decile")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("quality"), 6).alias("q_min"),
+            F.round(F.max("quality"), 6).alias("q_max"),
+        )
+        .orderBy("decile")
+    )
