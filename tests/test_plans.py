@@ -198,3 +198,28 @@ def test_chunking_generates_after_scan_partition(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_token_chunks")
     assert "Generate" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_prefix_filter_join_no_nested_loop(spark, sf_dir):
+    # the whole point of prefix filtering: candidates come from an
+    # EQUI-join on rare shingles, never a quadratic nested loop.
+    plan = plan_of(spark, sf_dir, "jaccard_prefix_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_total_single_window_exchange(spark, sf_dir):
+    # one hash exchange on custkey feeds the window; no global sort.
+    plan = plan_of(spark, sf_dir, "running_customer_revenue")
+    assert plan.count("Exchange") <= 2  # custkey hash + AQE read
+    assert "Window" in plan
+
+
+def test_histogram_partial_aggregates(spark, sf_dir):
+    # map-side combine: a partial HashAggregate must appear below the
+    # exchange so the shuffle carries (bin, partials), not rows.
+    plan = plan_of(spark, sf_dir, "event_value_histogram")
+    # formatted explain prints root-first, so the partial aggregate
+    # (map side) must appear AFTER the shuffle exchange in the text.
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.rindex("HashAggregate") > plan.index("Exchange")
