@@ -129,3 +129,37 @@ def test_prefix_filter_equals_quadratic(spark, threshold):
         .collect()
     }
     assert got == exp
+
+
+# ---- count-min sketch (pipeline/sketch.py) ----
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.sketch import cms_estimate, cms_merge, count_min_sketch
+
+    rng = random.Random(5)
+    items = [(f"item{rng.randrange(30)}",) for _ in range(2000)]
+    df = spark.createDataFrame(items, "t string")
+    W, D = 64, 4  # narrow width forces collisions → nonzero overestimates
+    sketch = count_min_sketch(df, "t", width=W, depth=D)
+    assert sketch.count() <= W * D
+    exact = df.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact, "t", width=W, depth=D).collect()
+    assert all(r["cms_est"] >= r["n"] for r in est)  # one-sided error
+    assert {r["t"] for r in est} == {t for t, in items}
+
+    # mergeability: CMS(a ∪ b) == merge(CMS(a), CMS(b)) cell-for-cell
+    half = len(items) // 2
+    a = spark.createDataFrame(items[:half], "t string")
+    b = spark.createDataFrame(items[half:], "t string")
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            count_min_sketch(a, "t", width=W, depth=D),
+            count_min_sketch(b, "t", width=W, depth=D),
+        ).collect()
+    }
+    whole = {(r["row_idx"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    assert merged == whole

@@ -90,10 +90,14 @@ def test_minhash_leaves_no_cached_rdds(spark, sf_dir):
     from utils_infra_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # delta, not absolute: other operators in the shared session
+    # (connected_components) legitimately hold a checkpointed edge set
+    # alive for their result's lineage.
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     out = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.4)
     out.collect()
-    persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    assert persistent.size() == 0, f"{persistent.size()} cached RDDs leaked"
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, f"{after - before} cached RDDs leaked by minhash"
     plan = plan_of_df(spark, out)
     assert "InMemoryRelation" not in plan
 

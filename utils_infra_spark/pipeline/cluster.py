@@ -87,7 +87,12 @@ def connected_components(
 
     Raises RuntimeError if the edge set has not stabilized after
     ``max_iter`` alternating rounds (log² n bound ⇒ 25 rounds covers
-    any graph that fits on hardware)."""
+    any graph that fits on hardware).
+
+    Memory note: intermediate rounds are unpersisted as they are
+    superseded, but the FINAL converged edge set stays checkpointed —
+    it is the returned frame's lineage (bounded by the edge count,
+    ~16 B/edge, freed when the result is garbage-collected)."""
     e = _normalize(edges, src, dst).localCheckpoint(eager=True)
     sig = _digest(e)
     for _ in range(max_iter):

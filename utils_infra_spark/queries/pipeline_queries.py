@@ -772,3 +772,56 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.5)
+
+
+# ------------------------------------------------------- count-min sketch
+@register(
+    "token_counts_cms",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+    ),
+    exact AS (SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t),
+    cells AS (
+      SELECT r.i AS row_idx,
+             CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t), 1, 8) AS BIGINT) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM tok, range(0, 4) r(i)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.t, MIN(c.cnt) AS cms_est
+      FROM exact e
+      JOIN range(0, 4) r(i) ON TRUE
+      JOIN cells c
+        ON c.row_idx = r.i
+       AND c.bucket = CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || e.t), 1, 8) AS BIGINT) % 512
+      GROUP BY e.t
+    )
+    SELECT e.t AS token, e.exact_n, s.cms_est, s.cms_est - e.exact_n AS overestimate
+    FROM exact e JOIN est s ON s.t = e.t
+    """,
+    doc=(
+        "Count-min sketch (width 512, depth 4) over the corpus token "
+        "stream, point-queried for every distinct token and compared "
+        "against exact counts. Hashing is md5-derived so the DuckDB "
+        "oracle reproduces the sketch cell-for-cell; overestimate >= 0 "
+        "always (one-sided CMS error). The sketch is a <= d*w-row "
+        "MERGEABLE DataFrame — per-shard partials union+re-sum, so a "
+        "100 TB corpus reduces to a few-KB structure through one "
+        "map-side-combined shuffle."
+    ),
+)
+def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import cms_estimate, count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs.select("text"), min_bytes=0).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    sketch = count_min_sketch(tok, "token", width=512, depth=4)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    out = cms_estimate(sketch, exact, "token", width=512, depth=4)
+    return out.select(
+        "token", "exact_n", "cms_est", (F.col("cms_est") - F.col("exact_n")).alias("overestimate")
+    )
