@@ -825,3 +825,112 @@ def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "token", "exact_n", "cms_est", (F.col("cms_est") - F.col("exact_n")).alias("overestimate")
     )
+
+
+# ------------------------------------------------------- BM25 retrieval
+@register(
+    "bm25_search",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(FLOOR(len(toks)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+                   / COUNT(*), 6) AS avgdl
+      FROM d
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+      WHERE t IN ('join', 'scan', 'filter')
+      GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term, ROUND(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+      FROM dfreq, stats
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR((idf.idf * tf.tf * 2.2 /
+                         (tf.tf + 1.2 * (0.25 + 0.75 * len(d.toks) / stats.avgdl)))*1000000 + 0.5)
+                  AS BIGINT) AS cq
+      FROM tf JOIN idf ON tf.term = idf.term
+              JOIN d ON d.doc_id = tf.doc_id, stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(cq) AS DOUBLE)/1000000 AS score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc=(
+        "BM25 retrieval (k1=1.2, b=0.75) for a fixed term query, top-10. "
+        "Scale shape: the corpus scan keeps only query-term tokens "
+        "(broadcast literal set) -> (doc, term, tf) aggregate; df/N/avgdl "
+        "are tiny broadcast scalars; per-term contributions quantize to "
+        "fixed-point BEFORE the per-doc sum so the score is "
+        "order-independent (double addition is not associative across "
+        "partitionings); idf rounds to 6dp to absorb engine ln() ulps."
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.temporal import scalar_subquery
+
+    TERMS = ["join", "scan", "filter"]
+    K1, B = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = scalar_subquery(
+        dl,
+        F.struct(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.floor(F.col("dl") * 1000000.0 + 0.5).cast("decimal(38,0)")).cast("double") / 1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avgdl"),
+        ).alias("s"),
+    ).select("s.n", "s.avgdl")
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(TERMS))
+        .groupBy("doc_id", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    F.col("idf")
+                    * F.col("tf")
+                    * F.lit(K1 + 1)
+                    / (F.col("tf") + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("cq"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg((F.sum("cq").cast("double") / 1000000.0).alias("score"))
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select("doc_id", "score", F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 10)
+    )
