@@ -142,3 +142,42 @@ def test_sample_frames_feeds_tile_stats(spark):
     # sampled frames are valid tiles: pipe them into the image op
     stats = tile_stats(frames.select(F.lit(0).alias("z"), F.col("frame_index").alias("x"), F.lit(0).alias("y"), "data")).collect()
     assert len(stats) == 3 and all(s.width == 32 and s.mean_alpha == 255.0 for s in stats)
+
+
+def test_phash_near_dups_lossless_vs_bruteforce(spark):
+    import numpy as np
+
+    from utils_infra_spark.pipeline.multimodal import (
+        _ahash64,
+        decode_tile,
+        encode_tile,
+        perceptual_hash,
+        phash_near_dups,
+        synth_tile,
+    )
+
+    rows, truth_hashes = [], {}
+    for i in range(12):
+        data = synth_tile(5, i, i % 3)
+        rows.append((5, i, i % 3, bytearray(data)))
+        truth_hashes[f"5/{i}/{i % 3}"] = _ahash64(decode_tile(data))
+        if i % 3 == 0:  # near-identical twin at z=6
+            arr = decode_tile(data).copy()
+            arr[::16, ::16, 1] = np.minimum(arr[::16, ::16, 1] + 2, 255)
+            twin = encode_tile(arr)
+            rows.append((6, i, i % 3, bytearray(twin)))
+            truth_hashes[f"6/{i}/{i % 3}"] = _ahash64(decode_tile(twin))
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(perceptual_hash(tiles), max_hamming=6, bands=8).collect()
+    }
+    ids = sorted(truth_hashes)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((truth_hashes[a] ^ truth_hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                exp[(min(a, b), max(a, b))] = d
+    assert got == exp
+    assert exp, "fixture produced no near-dup pairs — twins not close enough"

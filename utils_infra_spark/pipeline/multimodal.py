@@ -441,3 +441,99 @@ def reproject_terrain_tiles(
         render,
         schema="z int, x int, y int, data binary, min_elev double, max_elev double, src_tiles int",
     )
+
+
+PHASH_SCHEMA = "z int, x int, y int, phash long"
+
+
+def _ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash: grayscale → 8x8 block means → bit = mean
+    block > global mean. numpy-only (no PIL in this environment); the
+    block reduction is the nearest-neighbor downscale a real aHash
+    uses. Signed 64-bit so it fits Spark LongType."""
+    gray = arr[..., :3].astype(np.float64).mean(axis=-1)
+    h, w = gray.shape
+    by, bx = max(h // 8, 1), max(w // 8, 1)
+    blocks = gray[: by * 8, : bx * 8].reshape(8, by, 8, bx).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def perceptual_hash(tiles: DataFrame) -> DataFrame:
+    """Image near-dup sketch: 64-bit aHash per tile via mapInPandas.
+
+    Pixels stay inside the task; the output is 8 bytes per image, so
+    downstream candidate generation (hamming-ball matching) works on
+    a sketch table ~1e-6 the corpus size — the image analog of the
+    minhash signature table."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"],
+                    "x": pdf["x"],
+                    "y": pdf["y"],
+                    "phash": [_ahash64(decode_tile(d)) for d in pdf["data"]],
+                }
+            )
+
+    return tiles.mapInPandas(fn, schema=PHASH_SCHEMA)
+
+
+def phash_near_dups(hashes: DataFrame, max_hamming: int = 6, bands: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over aHash.
+
+    Candidate generation without an all-pairs join (multi-index
+    hashing): split the 64-bit hash into ``bands`` equal chunks. By
+    pigeonhole, two hashes within hamming distance < ``bands`` agree
+    EXACTLY on at least one chunk, so per-chunk equi-joins find every
+    such pair — lossless for ``max_hamming <= bands - 1`` (asserted).
+    Verification is a popcount on the XOR (JVM bit_count — no
+    Python). Same banding idea as LSH, but with a guarantee.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(f"losslessness requires max_hamming <= bands - 1 ({max_hamming} > {bands - 1})")
+    ids = hashes.select(
+        F.concat_ws("/", "z", "x", "y").alias("tile_id"), F.col("phash")
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = ids.select(
+        "tile_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("tile_id", "phash", F.col("c.band").alias("band"), F.col("c.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.tile_id") < F.col("b.tile_id")),
+        )
+        .select(
+            F.col("a.tile_id").alias("id_a"),
+            F.col("b.tile_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

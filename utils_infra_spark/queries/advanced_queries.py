@@ -276,3 +276,51 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
     )
+
+
+@register(
+    "image_phash_near_dups",
+    oracle=None,  # aHash over fake-codec binary tiles; losslessness vs brute-force hamming is asserted in tests/test_multimodal.py
+    doc=(
+        "Image near-dup detection as a judged query: synthesize tiles "
+        "(with planted almost-identical twins), aHash each to 64 bits "
+        "via mapInPandas, then find pairs within hamming distance 6 by "
+        "multi-index chunk joins (lossless by pigeonhole — no "
+        "all-pairs). The sketch table is 8 B/image: the image analog "
+        "of minhash-LSH, with pixels never leaving the scan task."
+    ),
+)
+def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from ..pipeline.multimodal import decode_tile, encode_tile, perceptual_hash, phash_near_dups, synth_tile
+
+    keys = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.lit(7).alias("z"),
+            (F.col("s_suppkey") % 16).cast("int").alias("x"),
+            (F.col("s_suppkey") % 8).cast("int").alias("y"),
+        )
+        .distinct()
+    )
+
+    def make_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"z": [], "x": [], "y": [], "data": []}
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                z, x, y = int(z), int(x), int(y)
+                base = synth_tile(z, x, y)
+                rows["z"].append(z); rows["x"].append(x); rows["y"].append(y)
+                rows["data"].append(base)
+                if x % 4 == 0:  # planted twin: tiny perturbation, stored at z+1
+                    arr = decode_tile(base).copy()
+                    arr[::16, ::16, 0] = np.minimum(arr[::16, ::16, 0] + 3, 255)
+                    rows["z"].append(z + 1); rows["x"].append(x); rows["y"].append(y)
+                    rows["data"].append(encode_tile(arr))
+            yield pd.DataFrame(rows)
+
+    tiles = spread(keys, min_bytes=0).mapInPandas(make_tiles, schema="z int, x int, y int, data binary")
+    return phash_near_dups(perceptual_hash(tiles), max_hamming=6, bands=8).orderBy("id_a", "id_b")
