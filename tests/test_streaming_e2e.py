@@ -324,3 +324,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in bc.join(bp, F.expr(cond)).select("click_id", "order_id").collect()
     }
     assert got == want == {(10, 100), (11, 101), (20, 200)}
+
+
+def test_stream_cms_foreachbatch_merge_equals_batch(spark, tmp_path):
+    """Streaming sketch maintenance: per-micro-batch count-min
+    sketches merged in foreachBatch must equal the batch CMS of all
+    data — the mergeability that lets a 100 TB/day stream keep a
+    few-KB running frequency structure."""
+    import json as _json
+    import os as _os
+
+    from utils_infra_spark.pipeline.sketch import cms_merge, count_min_sketch
+
+    src = str(tmp_path / "cms_src")
+    _os.makedirs(src, exist_ok=True)
+    tokens = [f"tok{i % 17}" for i in range(400)]
+    for b in range(3):  # 3 files → availableNow splits into micro-batches
+        with open(_os.path.join(src, f"b{b}.json"), "w") as f:
+            for t in tokens[b::3]:
+                f.write(_json.dumps({"t": t}) + "\n")
+
+    W, D = 32, 4
+    merged: dict = {"df": None}
+
+    def merge_batch(batch_df, batch_id):
+        sk = count_min_sketch(batch_df, "t", width=W, depth=D)
+        # driver-side collect of <= W*D cells per batch: the sketch is
+        # the SMALL side by design — this is metadata, not data.
+        rows = sk.collect()
+        pdf = spark.createDataFrame(rows, "row_idx int, bucket bigint, cnt bigint")
+        merged["df"] = pdf if merged["df"] is None else cms_merge(merged["df"], pdf).localCheckpoint(eager=True)
+
+    stream = spark.readStream.schema("t string").json(src)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "cms_ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    batch_all = spark.createDataFrame([(t,) for t in tokens], "t string")
+    expected = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(batch_all, "t", width=W, depth=D).collect()
+    }
+    got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged["df"].collect()}
+    assert got == expected
