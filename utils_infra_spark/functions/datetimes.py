@@ -12,6 +12,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_micros(df, colname: str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00 for ``df[colname]``,
+    whether the column is TIMESTAMP or TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet timestamps
+    without UTC-adjustment read as on Spark 4), so the NTZ path
+    differences against an NTZ epoch literal — pure wall-clock
+    arithmetic, no timezone conversion, identical results whatever the
+    session TZ. The dtype probe is plan-time only (no job runs).
+    """
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, F.col(colname))
+    return F.unix_micros(F.col(colname))
+
+
 def parse_compact_ts(col: Column | str) -> Column:
     """'YYYYMMDDHHMMSS' (ref ais-proxy/server.js:1218-1227)."""
     col = F.col(col) if isinstance(col, str) else col

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.datetimes import epoch_micros
 from ..operators.aggregations import davg, dsum
 from ..operators.temporal import asof_backward_join, range_join_binned, scalar_subquery
 from ..sources import load_table
@@ -59,9 +60,10 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_in_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hours12 = 12 * 3600 * 1_000_000
-    ivals = ev.groupBy(F.col("user_id").alias("owner")).agg(F.min(F.unix_micros("ts")).alias("t0"))
+    ts_us = epoch_micros(ev, "ts")
+    ivals = ev.groupBy(F.col("user_id").alias("owner")).agg(F.min(ts_us).alias("t0"))
     ivals = ivals.withColumn("t1", F.col("t0") + F.lit(hours12))
-    points = ev.select(F.unix_micros("ts").alias("pt"), "event_id", "value")
+    points = ev.select(ts_us.alias("pt"), "event_id", "value")
     joined = range_join_binned(points, ivals, "pt", "t0", "t1", bin_width=3600 * 1_000_000)
     return joined.groupBy("owner").agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
 
@@ -363,9 +365,10 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gaps = ev.select(
-        "user_id", (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap")
-    ).where(F.col("gap").isNotNull())
+    ts_us = epoch_micros(ev, "ts")
+    gaps = ev.select("user_id", (ts_us - F.lag(ts_us).over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
     return gaps.groupBy("user_id").agg(
         F.count("gap").alias("n_gaps"),
         F.max("gap").alias("max_gap_us"),
