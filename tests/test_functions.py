@@ -239,3 +239,25 @@ def test_morton_key_known_values_and_locality(spark):
     # locality: a unit step in x or y changes the key by a bounded
     # amount within a 2x2 quad (keys of a quad are contiguous)
     assert {out[(0, 0)], out[(1, 0)], out[(0, 1)], out[(1, 1)]} == {0, 1, 2, 3}
+
+
+def test_top_n_per_group_both_branches(spark):
+    from utils_infra_spark.operators.windows import top_n_per_group
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 7)], "k string, v int"
+    )
+    from pyspark.sql import functions as F
+
+    grouped = {
+        (r.k, r.v): r.rnk
+        for r in top_n_per_group(df, ["k"], [F.desc("v")], 2).collect()
+    }
+    assert grouped == {("a", 3): 1, ("a", 2): 2, ("b", 9): 1, ("b", 7): 2}
+
+    # global branch: same rows+ranks as a window would give, but via
+    # orderBy().limit() (plan shape asserted in test_plans)
+    global_top = top_n_per_group(df, [], [F.desc("v")], 3).collect()
+    assert [(r.k, r.v, r.rnk) for r in global_top] == [
+        ("b", 9, 1), ("b", 7, 2), ("a", 3, 3)
+    ]

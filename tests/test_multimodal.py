@@ -11,6 +11,7 @@ import sqlite3
 import numpy as np
 import pytest
 
+from utils_infra_spark.pipeline import multimodal
 from utils_infra_spark.pipeline.multimodal import (
     constant_tile,
     decode_elevation,
@@ -30,14 +31,39 @@ def tiles(spark):
     return spark.createDataFrame(rows, "z int, x int, y int, data binary")
 
 
-def test_codec_roundtrip():
+@pytest.mark.parametrize(
+    "fmt",
+    [
+        "frgb",
+        pytest.param(
+            "png",
+            marks=pytest.mark.skipif(
+                not multimodal.HAVE_PIL, reason="PIL not installed in this container"
+            ),
+        ),
+    ],
+)
+def test_codec_roundtrip(fmt):
     arr = np.arange(64 * 64 * 4, dtype=np.uint8).reshape(64, 64, 4)
-    assert (decode_tile(encode_tile(arr)) == arr).all()
+    assert (decode_tile(encode_tile(arr, fmt=fmt)) == arr).all()
 
 
 def test_codec_rejects_foreign_format():
-    with pytest.raises(NotImplementedError):
+    # Truncated/garbage bytes: the stub raises NotImplementedError;
+    # a real codec (PIL seam) raises its own decode error. Either way
+    # the failure is loud, never a silent wrong array.
+    with pytest.raises(Exception):
         decode_tile(b"\x89PNG1234567890")
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_tile(b"\x89PNG1234567890")
+
+
+def test_png_encode_requires_pil():
+    if multimodal.HAVE_PIL:
+        pytest.skip("PIL installed; guard not reachable")
+    with pytest.raises(NotImplementedError):
+        encode_tile(np.zeros((4, 4, 4), dtype=np.uint8), fmt="png")
 
 
 def test_tile_stats(spark, tiles):

@@ -227,3 +227,24 @@ def test_histogram_partial_aggregates(spark, sf_dir):
     # (map side) must appear AFTER the shuffle exchange in the text.
     assert "partial_count" in plan or "partial" in plan.lower()
     assert plan.rindex("HashAggregate") > plan.index("Exchange")
+
+
+def test_bm25_topk_takes_ordered_no_global_window_sort(spark, sf_dir):
+    """Top-10 ranking must be TakeOrderedAndProject (parallel partial
+    heaps), not a row_number over an unpartitioned window funneling
+    every scored doc through one task."""
+    plan = plan_of(spark, sf_dir, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    # the only Window left runs over the already-limited 10-row frame,
+    # i.e. downstream of the TakeOrdered, never over the scored set
+    take_pos = plan.index("TakeOrderedAndProject")
+    win_pos = plan.find("Window")
+    assert win_pos == -1 or win_pos < take_pos  # formatted plans list parents first
+
+
+def test_global_topn_takes_ordered(spark, sf_dir):
+    """top_n_per_group with partition=[] routes through
+    orderBy().limit(n), so the heavy input never crosses a
+    single-partition window Exchange."""
+    plan = plan_of(spark, sf_dir, "top_customers_by_balance")
+    assert "TakeOrderedAndProject" in plan

@@ -20,9 +20,11 @@ def epoch_micros(df, colname: str) -> Column:
     without UTC-adjustment read as on Spark 4), so the NTZ path
     differences against an NTZ epoch literal — pure wall-clock
     arithmetic, no timezone conversion, identical results whatever the
-    session TZ. The dtype probe is plan-time only (no job runs).
+    session TZ. The dtype probe is plan-time only (no job runs) and
+    case-insensitive, matching Spark's default column resolution.
     """
-    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+    dtypes = {k.lower(): v for k, v in df.dtypes}
+    if dtypes.get(colname.lower()) == "timestamp_ntz":
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
         return F.timestamp_diff("MICROSECOND", epoch, F.col(colname))
     return F.unix_micros(F.col(colname))

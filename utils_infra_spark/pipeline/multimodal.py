@@ -30,29 +30,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FAKE_CODEC_MAGIC = b"FRGB"  # NOTE:CODEC deterministic fake in lieu of PNG
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# NOTE:CODEC — auto-detect a real codec at import. When PIL is on the
+# executors' PYTHONPATH, PNG bytes decode/encode natively and the same
+# pipeline code is production-ready; the FRGB stub stays the fallback
+# (and the only path in this container, which has no image libs).
+try:  # pragma: no cover - exercised only where PIL is installed
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 TILE_SCHEMA = "z int, x int, y int, data binary"
 TILE_META_SCHEMA = "z int, x int, y int, width int, height int, mean_r double, mean_g double, mean_b double, mean_alpha double"
 
 
-def encode_tile(arr: np.ndarray) -> bytes:
-    """NOTE:CODEC encode an (h, w, 4) uint8 RGBA array; swap for a
-    real PNG encoder in production."""
+def encode_tile(arr: np.ndarray, fmt: str = "frgb") -> bytes:
+    """NOTE:CODEC encode an (h, w, 4) uint8 RGBA array.
+
+    ``fmt='frgb'`` (default) is the deterministic stub container —
+    byte-stable everywhere, so it stays the default for oracle-hashed
+    fixtures. ``fmt='png'`` uses PIL when present (production path).
+    """
     h, w, c = arr.shape
     assert c == 4, "RGBA expected"
+    if fmt == "png":
+        if not HAVE_PIL:
+            raise NotImplementedError("fmt='png' requires PIL, which is not installed")
+        import io
+
+        buf = io.BytesIO()
+        _PILImage.fromarray(arr.astype(np.uint8), mode="RGBA").save(buf, format="PNG")
+        return buf.getvalue()
     return FAKE_CODEC_MAGIC + struct.pack("<II", w, h) + arr.astype(np.uint8).tobytes()
 
 
 def decode_tile(data: bytes) -> np.ndarray:
-    """NOTE:CODEC decode; raises on foreign formats the way a real
-    decoder would."""
-    if data[:4] != FAKE_CODEC_MAGIC:
-        raise NotImplementedError(
-            "real image codecs (PNG/JPEG) unavailable in this environment; "
-            "binary column is not FAKE_CODEC formatted"
-        )
-    w, h = struct.unpack("<II", data[4:12])
-    return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 4)
+    """NOTE:CODEC decode to (h, w, 4) uint8 RGBA. Understands the FRGB
+    stub always and PNG/JPEG whenever PIL is importable; raises on
+    formats no available codec handles, the way a real decoder would."""
+    if data[:4] == FAKE_CODEC_MAGIC:
+        w, h = struct.unpack("<II", data[4:12])
+        return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 4)
+    if HAVE_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(bytes(data))) as im:
+            return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+    raise NotImplementedError(
+        "real image codecs (PNG/JPEG) unavailable in this environment; "
+        "binary column is not FAKE_CODEC formatted"
+    )
 
 
 def synth_tile(z: int, x: int, y: int, size: int = 64) -> bytes:

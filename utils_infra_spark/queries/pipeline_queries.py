@@ -929,8 +929,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg((F.sum("cq").cast("double") / 1000000.0).alias("score"))
+    # Top-10 via orderBy().limit() -> TakeOrderedAndProject: every
+    # partition computes a local top-10, the driver merges 10-row
+    # heaps — vs a row_number over an UNpartitioned window, which
+    # would funnel every scored doc through one task at 100 TB. The
+    # rank is derived from the already-limited 10-row frame, where a
+    # global window is free.
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.select("doc_id", "score", F.row_number().over(w).cast("int").alias("rnk"))
-        .where(F.col("rnk") <= 10)
-    )
+    return top.select("doc_id", "score", F.row_number().over(w).cast("int").alias("rnk"))
