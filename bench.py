@@ -2,11 +2,22 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Timing methodology: per query, force full execution with a
-count-style action over the materialized result (write to noop would
-hide collect cost; .count() after .cache() would double-count —
-we use df.write.format('noop') which executes the full plan exactly
-once with no driver collect bottleneck).
+Timing methodology: per query, force full execution with
+df.write.format('noop') — executes the full plan exactly once with
+no driver collect bottleneck. Each query runs three times: run 1
+pays whole-stage-codegen compile + JIT (a per-plan-shape constant
+that amortizes to zero on real workloads); warm = min of the two
+steady-state runs, damping shared-host CPU noise (identical warm
+runs measured up to ±80% apart on this VM) without hiding real cost.
+
+The same process then runs the DuckDB oracle SQL for every
+oracle-backed headline query with the SAME 3-run/min-of-2 rule, so
+every BENCH artifact carries its own paired baseline measured in the
+same minute on the same host: `duck_total`, `duck_queries`, and
+`ratio_warm` = spark-oracle-subset-warm / duck-warm. The session is
+tuned by `tune_for_input` (shuffle partitions + AQE gated on actual
+input bytes — see utils_infra_spark/session.py and docs/SCALE.md's
+floor table).
 """
 
 from __future__ import annotations
@@ -16,7 +27,7 @@ import os
 import time
 
 from utils_infra_spark.queries import REGISTRY, _load
-from utils_infra_spark.session import get_spark
+from utils_infra_spark.session import get_spark, tune_for_input
 
 # headline set: one per operator family + the heavy pipeline ops
 HEADLINE = [
@@ -40,11 +51,57 @@ HEADLINE = [
     "token_histogram",
 ]
 
+RUNS = 3  # run 1 = cold (codegen+JIT), warm = min of the rest
+
+
+def _time_spark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            # drop per-query persisted intermediates (e.g. LSH
+            # sketches) so runs and queries are timed independently
+            spark.catalog.clearCache()
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(min(runs[1:]), 3)
+    return warm, cold
+
+
+def _time_duckdb(sf_dir: str) -> dict[str, float]:
+    """Paired baseline: the oracle SQL for each oracle-backed headline
+    query, same 3-run/min-of-2 rule, same process, same minute."""
+    import duckdb
+
+    from utils_infra_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            runs.append(time.perf_counter() - t0)
+        warm[name] = round(min(runs[1:]), 4)
+    con.close()
+    return warm
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("utils-infra-bench")
+    input_bytes = tune_for_input(spark, sf_dir)
     _load()
 
     # JVM/codegen warmup + parquet footer cache so q1 isn't charged
@@ -55,28 +112,11 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    # Each query runs three times: run 1 pays whole-stage-codegen
-    # compile + JIT (a per-plan-shape constant that amortizes to zero
-    # on real workloads — at 100 TB a query runs minutes, not
-    # milliseconds); warm = min of the two steady-state runs, which
-    # damps shared-host CPU noise (identical warm runs measured up to
-    # ±80% apart on this VM) without hiding any real cost. Headline
-    # value = warm total; cold totals reported alongside.
-    warm: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            # drop per-query persisted intermediates (e.g. LSH
-            # sketches) so runs and queries are timed independently
-            spark.catalog.clearCache()
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(min(runs[1:]), 3)
+    warm, cold = _time_spark(spark, sf_dir)
+    duck = _time_duckdb(sf_dir)
 
+    spark_oracle_total = round(sum(v for k, v in warm.items() if k in duck), 3)
+    duck_total = round(sum(duck.values()), 3)
     print(
         json.dumps(
             {
@@ -87,6 +127,16 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "sf": sf,
+                # --- paired baseline (same host, same process, same minute) ---
+                "duck_total": duck_total,
+                "duck_queries": duck,
+                "spark_oracle_subset_total": spark_oracle_total,
+                "ratio_warm": round(spark_oracle_total / duck_total, 2) if duck_total else None,
+                "input_bytes": input_bytes,
+                "tuned_confs": {
+                    k: spark.conf.get(k)
+                    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+                },
             }
         )
     )

@@ -1,0 +1,43 @@
+"""Tests for sf-aware session tuning (utils_infra_spark/session.py).
+
+tune_for_input gates latency-oriented knobs on measured input bytes so
+the same code path is a no-op on production-sized inputs: tiny input →
+8 shuffle partitions + AQE off (the per-query constant at sf<=0.1 is
+scheduling + AQE stage materialization, docs/SCALE.md); large input →
+cluster defaults untouched.
+"""
+
+from __future__ import annotations
+
+from utils_infra_spark.session import TINY_INPUT_BYTES, tune_for_input
+
+
+def _reset(spark):
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tiny_input_gets_latency_knobs(spark, sf_dir):
+    _reset(spark)
+    measured = tune_for_input(spark, sf_dir)
+    assert 0 < measured < TINY_INPUT_BYTES  # sf0.001 is ~450 KB
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    _reset(spark)
+
+
+def test_large_input_keeps_cluster_defaults(spark, sf_dir):
+    _reset(spark)
+    measured = tune_for_input(spark, sf_dir, tiny_bytes=1)
+    assert measured > 1
+    # threshold of 1 byte means "never tiny": confs untouched
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    _reset(spark)
+
+
+def test_empty_dir_is_noop(spark, tmp_path):
+    _reset(spark)
+    assert tune_for_input(spark, str(tmp_path)) == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    _reset(spark)

@@ -9,8 +9,40 @@ tables, Arrow enabled for the pandas-UDF surface.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Below this many input bytes the workload is latency-bound, not
+# throughput-bound: per-task scheduling + AQE's sequential stage
+# materialization dominate actual work (measured floor table in
+# docs/SCALE.md). 256 MB ≈ a couple of parquet row groups per core
+# on local[32] — far below anything a real cluster run would see.
+TINY_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def tune_for_input(spark: SparkSession, data_dir: str, *, tiny_bytes: int = TINY_INPUT_BYTES) -> int:
+    """Adapt runtime-settable session knobs to the measured input size.
+
+    Gates on actual bytes on disk (not the scale-factor name) so the
+    same call is a no-op on production-sized inputs:
+
+    - tiny input (< ``tiny_bytes``): 8 shuffle partitions instead of
+      32 (shuffles carry KBs; 32 tasks = 32 schedulings of ~nothing)
+      and AQE off (each AQE stage materializes as its own job — a
+      sequential driver round-trip per shuffle that exists to re-plan
+      statistics a 15 MB input doesn't need). Measured at sf0.1:
+      2.4x faster warm headline total (docs/SCALE.md).
+    - otherwise: leave the cluster-oriented defaults from
+      :func:`get_spark` untouched (AQE on, partitions sized to cores).
+
+    Returns the measured input bytes so callers can log the decision.
+    """
+    total = sum(f.stat().st_size for f in Path(data_dir).glob("**/*.parquet"))
+    if total and total < tiny_bytes:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    return total
 
 
 def get_spark(app_name: str = "utils-infra-spark", cpus: int | None = None) -> SparkSession:
