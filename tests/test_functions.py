@@ -261,3 +261,40 @@ def test_top_n_per_group_both_branches(spark):
     assert [(r.k, r.v, r.rnk) for r in global_top] == [
         ("b", 9, 1), ("b", 7, 2), ("a", 3, 3)
     ]
+
+
+def test_point_in_polygon_sql_twin_matches_column_builder(spark):
+    # the SQL-text twin must agree with the Column builder everywhere,
+    # including the concave notch and edge-adjacent points
+    from utils_infra_spark.functions.geo import point_in_polygon_sql, ring_sql
+
+    coords = [(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)]
+    ring_col = F.array(*[F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")) for x, y in coords])
+    ring_txt = ring_sql(coords)
+    pts = spark.createDataFrame(
+        [(5.0, 5.0), (2.0, 8.0), (8.0, 2.0), (-1.0, -1.0), (3.9, 9.9), (4.1, 9.9)],
+        "lon double, lat double",
+    )
+    both = pts.select(
+        point_in_polygon(F.col("lon"), F.col("lat"), ring_col).alias("a"),
+        F.expr(point_in_polygon_sql("lon", "lat", ring_txt)).alias("b"),
+    ).collect()
+    for r in both:
+        assert r.a == r.b
+
+
+def test_mercator_sql_twins_match_column_builders(spark):
+    from utils_infra_spark.functions.geo import mercator_x, mercator_x_sql, mercator_y, mercator_y_sql
+
+    pts = spark.createDataFrame(
+        [(-179.5, -84.9), (0.0, 0.0), (174.8, -41.3), (179.5, 84.9)],
+        "lon double, lat double",
+    )
+    rows = pts.select(
+        mercator_x("lon").alias("x_col"),
+        F.expr(mercator_x_sql("lon")).alias("x_sql"),
+        mercator_y("lat").alias("y_col"),
+        F.expr(mercator_y_sql("lat")).alias("y_sql"),
+    ).collect()
+    for r in rows:
+        assert r.x_col == r.x_sql and r.y_col == r.y_sql

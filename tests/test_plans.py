@@ -248,3 +248,31 @@ def test_global_topn_takes_ordered(spark, sf_dir):
     single-partition window Exchange."""
     plan = plan_of(spark, sf_dir, "top_customers_by_balance")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prepared_plan_cache_reserves_same_object(spark, sf_dir):
+    # the registry memoizes built plans per (session, input, query):
+    # a DataFrame is an immutable logical plan, so re-serving it is
+    # semantically a no-op that skips only driver-side rebuild cost
+    q = REGISTRY["pricing_summary"]
+    a = q.plan(spark, sf_dir)
+    b = q.plan(spark, sf_dir)
+    assert a is b
+    # distinct inputs never share a cache slot
+    c = q.plan(spark, "/root/testdata/sf0.01")
+    assert c is not a
+    # the cached plan still executes correctly
+    assert a.count() > 0
+
+
+def test_warm_reexecution_launches_fresh_job(spark, sf_dir):
+    # prepared-plan warm runs must be real re-executions: Spark has no
+    # result cache, and the bench's warm numbers depend on that fact
+    st = spark.sparkContext.statusTracker()
+    df = REGISTRY["pricing_summary"].plan(spark, sf_dir)
+    a = df.toPandas()
+    before = set(st.getJobIdsForGroup())
+    b = df.toPandas()
+    after = set(st.getJobIdsForGroup())
+    assert after - before, "second toPandas did not launch a Spark job"
+    assert a.equals(b)

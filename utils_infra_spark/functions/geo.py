@@ -29,6 +29,16 @@ def mercator_y(lat: Column | str) -> Column:
     return (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi)) / F.lit(2.0)
 
 
+def mercator_x_sql(lon: str) -> str:
+    """SQL-text twin of :func:`mercator_x` (one Py4J call via F.expr)."""
+    return f"(({lon} + 180.0D) / 360.0D)"
+
+
+def mercator_y_sql(lat: str) -> str:
+    """SQL-text twin of :func:`mercator_y` (one Py4J call via F.expr)."""
+    return f"((1.0D - ln(tan(radians({lat})) + 1.0D / cos(radians({lat}))) / {math.pi!r}D) / 2.0D)"
+
+
 def slippy_tile(lon: Column | str, lat: Column | str, z: int) -> tuple[Column, Column]:
     """lat/lon → slippy tile (x, y) at zoom z
     (ref create_nationalmap_mbtiles.py:15-20)."""
@@ -151,6 +161,34 @@ def point_in_polygon(lon: Column, lat: Column, ring: Column) -> Column:
 
     hits = F.aggregate(idx, F.lit(0), lambda acc, i: acc + crosses(i))
     return (hits % 2) == 1
+
+
+def ring_sql(coords: list[tuple[float, float]]) -> str:
+    """A polygon ring as a SQL literal ``array<struct<x,y>>`` string."""
+    pts = ", ".join(f"named_struct('x', {float(x)!r}D, 'y', {float(y)!r}D)" for x, y in coords)
+    return f"array({pts})"
+
+
+def point_in_polygon_sql(lon: str, lat: str, ring: str) -> str:
+    """SQL-text twin of :func:`point_in_polygon` — the identical
+    ray-cast fold built as ONE expression string (one Py4J round-trip
+    via ``F.expr``) instead of ~40 Column calls.
+
+    ``lon``/``lat``/``ring`` are SQL fragments substituted verbatim —
+    pass column names or literals (``ring_sql``); an expensive ring
+    expression should be aliased to an attribute first, since it
+    appears several times in the text (Catalyst constant-folds
+    literal rings either way).
+    """
+    # SQL array indexing is 0-based (element_at is the 1-based form)
+    xi, yi = f"{ring}[i].x", f"{ring}[i].y"
+    xj, yj = f"{ring}[i+1].x", f"{ring}[i+1].y"
+    straddles = f"(({yi} > {lat}) != ({yj} > {lat}))"
+    x_int = f"(({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi})"
+    return (
+        f"((aggregate(sequence(0, size({ring}) - 2), 0, (acc, i) -> "
+        f"acc + (CASE WHEN {straddles} AND ({lon} < {x_int}) THEN 1 ELSE 0 END)) % 2) = 1)"
+    )
 
 
 def bilinear_interpolate(grid: Column, lon: Column, lat: Column, *, west: float, south: float, dlon: float, dlat: float) -> Column:

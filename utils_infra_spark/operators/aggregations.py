@@ -51,6 +51,24 @@ def dsum(col: str | Column, alias: str, scale: int = 6) -> Column:
     return (F.sum(_quantize(col, scale).cast(_ACC)).cast("double") / F.lit(float(10**scale))).alias(alias)
 
 
+def dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
+    """SQL-text twin of :func:`dsum` — the identical expression built
+    as ONE string (one Py4J round-trip via ``F.expr``) instead of ~8
+    Column calls. Driver-latency-sensitive builders (headline queries,
+    wide aggregate lists) use this form; semantics and generated plan
+    are the same.
+    """
+    m = float(10**scale)
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r}D + 0.5D) AS {_ACC})) AS DOUBLE) / {m!r}D AS {alias}"
+
+
+def davg_sql(expr: str, alias: str, scale: int = 6, qscale: int = 6) -> str:
+    """SQL-text twin of :func:`davg` (see :func:`dsum_sql`)."""
+    m = float(10**qscale)
+    total = f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r}D + 0.5D) AS {_ACC})) AS DOUBLE) / {m!r}D"
+    return f"CAST(ROUND({total} / COUNT({expr}), {scale}) AS DOUBLE) AS {alias}"
+
+
 def davg(col: str | Column, alias: str, scale: int = 6, qscale: int = 6) -> Column:
     """Order-independent average: fixed-point sum / count, rounded.
 

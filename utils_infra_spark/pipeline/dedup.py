@@ -162,7 +162,11 @@ def minhash_near_duplicates(
     # projection below the explode; the k aggregate expressions then
     # re-hash the attribute long — inlining xxhash64(shingle) into
     # each agg would string-hash every shingle k times
-    minh_aggs = [F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("hh"))).alias(f"h{i}") for i in range(num_hashes)]
+    # expression STRINGS, not Column chains: each F.expr is one Py4J
+    # round-trip vs ~4 per Column-composed aggregate — driver-side plan
+    # construction is O(num_hashes) JVM calls either way, but the
+    # constant is ~4x smaller (measured ~2-4 ms per round-trip here)
+    minh_aggs = [F.expr(f"min(xxhash64('mh{i}', hh)) AS h{i}") for i in range(num_hashes)]
     # explode_OUTER, deliberately: plain explode plants a
     # `size(sh) > 0` filter that Catalyst pushes below the spread()
     # exchange, inlining the whole shingle expression into the

@@ -15,10 +15,37 @@ cast to bigint to match DuckDB's default integer width.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _app_id(spark: SparkSession) -> str:
+    """applicationId with the Py4J roundtrip paid once per session.
+
+    The property call is a JVM roundtrip (~ms); it is on the plan-cache
+    hot path, so memoize it on the session object itself — attribute
+    lifetime == session lifetime, no stale-id risk after a restart.
+    """
+    cached = getattr(spark, "_uis_app_id", None)
+    if cached is None:
+        cached = spark.sparkContext.applicationId
+        spark._uis_app_id = cached
+    return cached
+
+
+# Prepared-plan cache: (appId, sf_dir, query name) -> DataFrame.
+# A DataFrame is an immutable logical plan, so re-serving the same
+# object for the same (session, input, query) is semantically a no-op
+# — it skips only the driver-side plan RE-construction (Python → JVM
+# expression building, ~0.05-0.5 s per query under Py4J latency; see
+# docs/SCALE.md). The same idea as load_table's table cache, one
+# level up: any engine that fields repeated named queries keeps a
+# prepared-plan cache keyed by query identity. Keyed by applicationId
+# so a stopped/rebuilt session never serves plans bound to a dead JVM.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 @dataclass
@@ -27,6 +54,15 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
     doc: str = ""
+
+    def plan(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Build (or re-serve) this query's DataFrame via the plan cache."""
+        key = (_app_id(spark), os.path.abspath(sf_dir), self.name)
+        cached = _PLAN_CACHE.get(key)
+        if cached is None:
+            cached = self.fn(spark, sf_dir)
+            _PLAN_CACHE[key] = cached
+        return cached
 
 
 REGISTRY: dict[str, Query] = {}
@@ -42,7 +78,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.plan for name, q in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -15,12 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geo import (
-    mercator_x,
-    mercator_y,
+    mercator_x_sql,
+    mercator_y_sql,
     morton_key,
     morton_key_sql,
-    point_in_polygon,
-    tms_flip,
+    point_in_polygon_sql,
+    ring_sql,
 )
 from ..sources import load_table
 from . import register
@@ -49,20 +49,24 @@ Z = 6  # zoom level for the tile-cover queries
     doc="Slippy-tile cover + TMS y-flip as pure arithmetic (ref create_nationalmap_mbtiles.py:15-20,104; terrain-proxy/server.js:52-60).",
 )
 def mercator_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # built from the SQL-text twins (functions/geo.py::mercator_*_sql)
+    # — same expressions, ~5 Py4J round-trips instead of ~60
     li = load_table(spark, sf_dir, "lineitem")
-    pts = li.select(
+    pts = li.selectExpr(
         "l_orderkey",
         "l_linenumber",
-        ((F.col("l_partkey") % 360) - 180 + 0.5).alias("lon"),
-        ((F.col("l_suppkey") % 140) - 70 + 0.5).alias("lat"),
+        "(l_partkey % 360) - 180 + 0.5 AS lon",
+        "(l_suppkey % 140) - 70 + 0.5 AS lat",
     )
     n = float(2**Z)
-    tiles = pts.select(
-        F.floor(mercator_x("lon") * n).cast("bigint").alias("tile_x"),
-        F.floor(mercator_y("lat") * n).cast("bigint").alias("tile_y"),
+    tiles = pts.selectExpr(
+        f"CAST(FLOOR({mercator_x_sql('lon')} * {n!r}D) AS BIGINT) AS tile_x",
+        f"CAST(FLOOR({mercator_y_sql('lat')} * {n!r}D) AS BIGINT) AS tile_y",
     )
-    return tiles.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n")).select(
-        "tile_x", "tile_y", tms_flip("tile_y", Z).cast("bigint").alias("tms_y"), "n"
+    return (
+        tiles.groupBy("tile_x", "tile_y")
+        .agg(F.expr("COUNT(1) AS n"))
+        .selectExpr("tile_x", "tile_y", f"CAST({2**Z - 1} - tile_y AS BIGINT) AS tms_y", "n")
     )
 
 
@@ -87,28 +91,26 @@ def mercator_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J5 point-in-polygon via HOF ray-cast vs broadcast polygons; first-match-wins priority (ref power-outages/region-mapper.js:18-59). Oracle uses the equivalent box predicates for these rectilinear test polygons.",
 )
 def point_in_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # built from the SQL-text twin (functions/geo.py::
+    # point_in_polygon_sql) — identical ray-cast fold, ~4 Py4J
+    # round-trips instead of ~150 for the two literal rings
     cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
+    pts = cust.selectExpr(
         "c_custkey",
-        ((F.col("c_custkey") % 60) - 30 + 0.25).alias("lon"),
-        ((F.col("c_custkey") % 40) - 20 + 0.25).alias("lat"),
+        "(c_custkey % 60) - 30 + 0.25 AS lon",
+        "(c_custkey % 40) - 20 + 0.25 AS lat",
     )
-
-    def ring_lit(coords: list[tuple[float, float]]):
-        return F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in coords])
-
-    core = ring_lit([(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)])
-    outer = ring_lit([(-15, -15), (15, -15), (15, 15), (-15, 15), (-15, -15)])
-    in_core = point_in_polygon(F.col("lon"), F.col("lat"), core)
-    in_outer = point_in_polygon(F.col("lon"), F.col("lat"), outer)
+    core = ring_sql([(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)])
+    outer = ring_sql([(-15, -15), (15, -15), (15, 15), (-15, 15), (-15, -15)])
+    in_core = point_in_polygon_sql("lon", "lat", core)
+    in_outer = point_in_polygon_sql("lon", "lat", outer)
     # first-match-wins priority: ring (outer minus core) checked first,
     # like the reference's ordered feature scan
     region = (
-        F.when(in_outer & ~in_core, F.lit("ring"))
-        .when(in_core, F.lit("core"))
-        .otherwise(F.lit("outside"))
+        f"CASE WHEN {in_outer} AND NOT {in_core} THEN 'ring' "
+        f"WHEN {in_core} THEN 'core' ELSE 'outside' END AS region"
     )
-    return pts.select("c_custkey", "lon", "lat", region.alias("region"))
+    return pts.selectExpr("c_custkey", "lon", "lat", region)
 
 
 @register(
