@@ -6,21 +6,26 @@ Timing methodology: per query, execute the full plan AND deliver the
 result to the client with df.toPandas() (Arrow transfer) — the same
 work DuckDB's paired run does with fetch. Each query runs RUNS times
 through the registry's prepared-plan cache (queries/__init__.py):
-run 1 is cold — it pays Python→JVM plan construction (a pure
-Py4J-latency constant, 0.05–0.5 s/query on this host), JVM-side
-analysis + optimization + physical planning, and whole-stage-codegen
-compile + JIT; warm runs re-execute the SAME Dataset, whose
-QueryExecution is computed once per plan — prepared-statement
-semantics, so warm measures physical execution + result delivery
-(scan → shuffle → agg — all the O(data) work). warm = min of the
-non-cold runs, damping shared-host CPU noise (identical warm runs
-measured up to ±80% apart on this VM). Cold totals are reported
-alongside so every constant stays visible.
+run 1 is cold — it additionally pays Python→JVM plan construction (a
+pure Py4J-latency constant, 0.05–0.5 s/query on this host) and
+whole-stage-codegen compile + JIT. Every run — warm included —
+executes a FRESH Dataset over the cached logical plan
+(`.select("*")` forces a new QueryExecution): JVM-side analysis,
+optimization, physical planning, scans, shuffle map work, broadcast
+builds, and result delivery are all re-done per run, verified by a
+task-count test (re-serving the SAME Dataset would silently reuse
+shuffle outputs and skip the map stages — prepared-statement reuse
+must never skip O(data) work). warm = min of the non-cold runs,
+damping shared-host CPU noise (identical warm runs measured up to
+±80% apart on this VM). Cold totals are reported alongside so every
+constant stays visible.
 
-The same process then runs the DuckDB oracle SQL for every
-oracle-backed headline query with the SAME RUNS/min-of-rest rule, so
-every BENCH artifact carries its own paired baseline measured in the
-same minute on the same host: `duck_total`, `duck_queries`, and
+The same process runs the DuckDB oracle SQL for every oracle-backed
+headline query with the SAME RUNS/min-of-rest rule, INTERLEAVED per
+query (RUNS Spark executions, then immediately RUNS DuckDB
+executions, seconds apart) so a host-load change mid-bench hits both
+engines equally. Every BENCH artifact carries its own paired
+baseline: `duck_total`, `duck_queries`, `loadavg_1m` (before/after), and
 `ratio_warm` = spark-oracle-subset-warm / duck-warm. `floor_sec`
 records the same-process cost of a 1-task no-op Spark job — the hard
 per-query scheduling constant that bounds any Spark result at tiny
@@ -63,27 +68,14 @@ HEADLINE = [
 RUNS = 4  # run 1 = cold (plan build + codegen + JIT), warm = min of the rest
 
 
-def _time_spark(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    warm: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        runs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            q.plan(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-            # drop per-query persisted intermediates (e.g. LSH
-            # sketches) so runs and queries are timed independently
-            spark.catalog.clearCache()
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(min(runs[1:]), 3)
-    return warm, cold
-
-
-def _time_duckdb(sf_dir: str) -> dict[str, float]:
-    """Paired baseline: the oracle SQL for each oracle-backed headline
-    query, same RUNS/min-of-rest rule, same process, same minute."""
+def _time_interleaved(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
+    """Per query: RUNS Spark executions immediately followed by RUNS
+    DuckDB executions of the oracle SQL — seconds apart, so both
+    engines see the same host weather. (The first artifact design
+    ran all Spark then all DuckDB; a load spike that ended mid-run
+    inflated one side by 4-8x and made the ratio meaningless.)"""
     import duckdb
 
     from utils_infra_spark.sources.tables import TABLE_NAMES
@@ -92,18 +84,32 @@ def _time_duckdb(sf_dir: str) -> dict[str, float]:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        if q.oracle is None:
-            continue
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            con.execute(q.oracle).df()
+            # select("*") = fresh QueryExecution over the cached
+            # logical plan: full re-plan AND full re-execution (no
+            # shuffle-output or broadcast reuse across runs)
+            q.plan(spark, sf_dir).select("*").toPandas()
             runs.append(time.perf_counter() - t0)
-        warm[name] = round(min(runs[1:]), 4)
+            # drop per-query persisted intermediates (e.g. LSH
+            # sketches) so runs and queries are timed independently
+            spark.catalog.clearCache()
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(min(runs[1:]), 3)
+        if q.oracle is not None:
+            druns = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).df()
+                druns.append(time.perf_counter() - t0)
+            duck[name] = round(min(druns[1:]), 4)
     con.close()
-    return warm
+    return warm, cold, duck
 
 
 def main() -> None:
@@ -121,17 +127,18 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    warm, cold = _time_spark(spark, sf_dir)
-    duck = _time_duckdb(sf_dir)
+    load_before = os.getloadavg()[0]
+    warm, cold, duck = _time_interleaved(spark, sf_dir)
+    load_after = os.getloadavg()[0]
 
     # hard per-query floor on this host: a 1-task job that does no
-    # work, executed the same way the queries are (cached Dataset,
-    # Arrow result fetch)
+    # work, executed the same way the queries are (fresh
+    # QueryExecution per run, Arrow result fetch)
     floor_df = spark.range(1)
     floor_runs = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        floor_df.toPandas()
+        floor_df.select("*").toPandas()
         floor_runs.append(time.perf_counter() - t0)
     floor_sec = round(min(floor_runs[1:]), 4)
 
@@ -153,6 +160,7 @@ def main() -> None:
                 "spark_oracle_subset_total": spark_oracle_total,
                 "ratio_warm": round(spark_oracle_total / duck_total, 2) if duck_total else None,
                 "floor_sec": floor_sec,
+                "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
                 "input_bytes": input_bytes,
                 "tuned_confs": {
                     k: spark.conf.get(k)

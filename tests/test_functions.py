@@ -298,3 +298,23 @@ def test_mercator_sql_twins_match_column_builders(spark):
     ).collect()
     for r in rows:
         assert r.x_col == r.x_sql and r.y_col == r.y_sql
+
+
+def test_point_in_polygon_unrolled_matches_hof_fold(spark):
+    # the plan-time-literal unrolling must agree with the HOF fold on
+    # a concave ring, on an open (unclosed) ring, and near edges
+    from utils_infra_spark.functions.geo import point_in_polygon_unrolled_sql
+
+    coords = [(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)]
+    ring_col = F.array(*[F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")) for x, y in coords])
+    pts = spark.createDataFrame(
+        [(5.0, 5.0), (2.0, 8.0), (8.0, 2.0), (-1.0, -1.0), (3.9, 9.9), (4.1, 9.9), (9.9, 3.9)],
+        "lon double, lat double",
+    )
+    rows = pts.select(
+        point_in_polygon(F.col("lon"), F.col("lat"), ring_col).alias("a"),
+        F.expr(point_in_polygon_unrolled_sql("lon", "lat", coords)).alias("b"),
+        F.expr(point_in_polygon_unrolled_sql("lon", "lat", coords[:-1])).alias("b_open"),
+    ).collect()
+    for r in rows:
+        assert r.a == r.b == r.b_open

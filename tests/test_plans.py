@@ -265,14 +265,40 @@ def test_prepared_plan_cache_reserves_same_object(spark, sf_dir):
     assert a.count() > 0
 
 
-def test_warm_reexecution_launches_fresh_job(spark, sf_dir):
-    # prepared-plan warm runs must be real re-executions: Spark has no
-    # result cache, and the bench's warm numbers depend on that fact
+def test_fresh_select_reexecutes_map_stages(spark, sf_dir):
+    """bench.py's warm rule: a fresh QueryExecution per run
+    (`select("*")`) re-runs ALL stages. Re-executing the HELD Dataset
+    would reuse shuffle outputs and silently skip the scan/map stages
+    — this test pins both behaviors so the bench never regresses into
+    measuring reduce-only work.
+    """
     st = spark.sparkContext.statusTracker()
+
+    def completed_tasks_since(prev: set[int]) -> tuple[int, set[int]]:
+        ids = set(st.getJobIdsForGroup())
+        total = 0
+        for j in ids - prev:
+            info = st.getJobInfo(j)
+            if info is None:
+                continue
+            total += sum(
+                (st.getStageInfo(s).numCompletedTasks if st.getStageInfo(s) else 0)
+                for s in info.stageIds
+            )
+        return total, ids
+
     df = REGISTRY["pricing_summary"].plan(spark, sf_dir)
-    a = df.toPandas()
-    before = set(st.getJobIdsForGroup())
-    b = df.toPandas()
-    after = set(st.getJobIdsForGroup())
-    assert after - before, "second toPandas did not launch a Spark job"
+    seen = set(st.getJobIdsForGroup())
+    a = df.select("*").toPandas()
+    full, seen = completed_tasks_since(seen)
+    b = df.select("*").toPandas()
+    again, seen = completed_tasks_since(seen)
+    assert again == full, f"fresh select skipped stages: {again} vs {full} tasks"
+    # contrast: re-running the held Dataset reuses its shuffle outputs
+    # — the second run completes fewer tasks (map stages skipped)
+    df.toPandas()
+    _, seen = completed_tasks_since(seen)
+    df.toPandas()
+    held_again, seen = completed_tasks_since(seen)
+    assert held_again < full, f"expected shuffle reuse on held Dataset ({held_again} vs {full})"
     assert a.equals(b)

@@ -169,6 +169,33 @@ def ring_sql(coords: list[tuple[float, float]]) -> str:
     return f"array({pts})"
 
 
+def point_in_polygon_unrolled_sql(lon: str, lat: str, coords: list[tuple[float, float]]) -> str:
+    """Ray-cast against a ring KNOWN AT PLAN TIME, unrolled per edge.
+
+    Spark's higher-order functions are CodegenFallback — the
+    ``aggregate()`` fold in :func:`point_in_polygon` evaluates every
+    edge of every row interpreted (~10x slower than generated code).
+    When the polygon is a literal (the overwhelmingly common case:
+    config-driven region lists, broadcast boundary sets), the fold
+    unrolls into a flat sum of per-edge CASE expressions that
+    whole-stage codegen compiles like any other arithmetic. Identical
+    even-odd semantics, same results (twin-equivalence test).
+    """
+    pts = [(float(x), float(y)) for x, y in coords]
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])  # close an open ring, like size(ring)-2 does
+    terms = []
+    for (xi, yi), (xj, yj) in zip(pts, pts[1:]):
+        if yi == yj:
+            continue  # horizontal edge can never straddle lat
+        straddles = f"(({yi!r}D > {lat}) != ({yj!r}D > {lat}))"
+        x_int = f"(({xj!r}D - {xi!r}D) * ({lat} - {yi!r}D) / ({yj!r}D - {yi!r}D) + {xi!r}D)"
+        terms.append(f"(CASE WHEN {straddles} AND ({lon} < {x_int}) THEN 1 ELSE 0 END)")
+    if not terms:
+        return "false"
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
 def point_in_polygon_sql(lon: str, lat: str, ring: str) -> str:
     """SQL-text twin of :func:`point_in_polygon` — the identical
     ray-cast fold built as ONE expression string (one Py4J round-trip

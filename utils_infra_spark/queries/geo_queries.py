@@ -19,8 +19,7 @@ from ..functions.geo import (
     mercator_y_sql,
     morton_key,
     morton_key_sql,
-    point_in_polygon_sql,
-    ring_sql,
+    point_in_polygon_unrolled_sql,
 )
 from ..sources import load_table
 from . import register
@@ -91,19 +90,18 @@ def mercator_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J5 point-in-polygon via HOF ray-cast vs broadcast polygons; first-match-wins priority (ref power-outages/region-mapper.js:18-59). Oracle uses the equivalent box predicates for these rectilinear test polygons.",
 )
 def point_in_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # built from the SQL-text twin (functions/geo.py::
-    # point_in_polygon_sql) — identical ray-cast fold, ~4 Py4J
-    # round-trips instead of ~150 for the two literal rings
     cust = load_table(spark, sf_dir, "customer")
     pts = cust.selectExpr(
         "c_custkey",
         "(c_custkey % 60) - 30 + 0.25 AS lon",
         "(c_custkey % 40) - 20 + 0.25 AS lat",
     )
-    core = ring_sql([(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)])
-    outer = ring_sql([(-15, -15), (15, -15), (15, 15), (-15, 15), (-15, -15)])
-    in_core = point_in_polygon_sql("lon", "lat", core)
-    in_outer = point_in_polygon_sql("lon", "lat", outer)
+    core = [(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)]
+    outer = [(-15, -15), (15, -15), (15, 15), (-15, 15), (-15, -15)]
+    # rings are plan-time literals → unrolled per edge into codegen'd
+    # arithmetic (the HOF fold is CodegenFallback, ~10x slower)
+    in_core = point_in_polygon_unrolled_sql("lon", "lat", core)
+    in_outer = point_in_polygon_unrolled_sql("lon", "lat", outer)
     # first-match-wins priority: ring (outer minus core) checked first,
     # like the reference's ordered feature scan
     region = (
