@@ -78,6 +78,19 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def shingles_from_tokens_sql(toks: str, k: int = 3) -> str:
+    """SQL-text twin of :func:`shingles_from_tokens` — the identical
+    expression as ONE string (one Py4J round-trip via ``F.expr``
+    instead of ~10 × k calls; see docs/SCALE.md on driver latency).
+    ``toks`` is a SQL fragment (pass an aliased attribute)."""
+    gram = ", ".join([f"element_at({toks}, i + {j})" for j in range(k)])
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), i -> concat_ws(' ', {gram})) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as array<string>, via sequence+transform —
     no explode, no UDF; stays inside one projection. Convenience form;
@@ -141,11 +154,12 @@ def minhash_near_duplicates(
         # spread FIRST (the scan side is narrow), tokenize into an
         # aliased attribute, then shingle from the attribute — so the
         # heavy compute runs after the exchange, once per row, on
-        # every core.
+        # every core. Built from the SQL-text twin: ~6 Py4J
+        # round-trips instead of ~60.
         return (
-            spread(frame.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")), min_bytes=0)
-            .select("doc_id", F.split(F.trim("__text"), r"\s+").alias("__toks"))
-            .select("doc_id", shingles_from_tokens("__toks", k_shingle).alias("sh"))
+            spread(frame.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
+            .selectExpr("doc_id", r"split(trim(__text), '\\s+') AS __toks")
+            .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
         )
 
     # Sketch path avoids higher-order functions entirely — HOF lambdas
@@ -180,15 +194,15 @@ def minhash_near_duplicates(
         .groupBy("doc_id")
         .agg(*minh_aggs)
     )
-    band_entries = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_entries.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(f"band{b}"), *parts).alias("key"))
+    band_entries = ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
+            b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
         )
+        for b in range(bands)
+    )
     sketch = (
-        sig_df.select("doc_id", F.explode_outer(F.array(*band_entries)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        sig_df.select("doc_id", F.expr(f"explode_outer(array({band_entries}))").alias("bk"))
+        .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
     )
 
     # pair expansion in-row: ids per bucket, then two generates with
