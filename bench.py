@@ -161,6 +161,9 @@ def main() -> None:
                 "ratio_warm": round(spark_oracle_total / duck_total, 2) if duck_total else None,
                 "floor_sec": floor_sec,
                 "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
+                "methodology": "prepared-plan; fresh QueryExecution per run (full re-exec, "
+                "task-count-tested); Arrow delivery both engines; per-query interleaved "
+                f"pairing; warm=min of {RUNS - 1} non-cold runs",
                 "input_bytes": input_bytes,
                 "tuned_confs": {
                     k: spark.conf.get(k)

@@ -180,3 +180,28 @@ def test_redact_pii_edge_cases(spark):
     assert out[3]["r"] == "call <PHONE> or <PHONE> now" and out[3]["n_phone"] == 2
     assert out[4]["r"] == rows[3][1] and out[4]["n_email"] == out[4]["n_ip"] == out[4]["n_phone"] == 0
     assert out[5]["r"] == "combo <EMAIL> at <IP> tel <PHONE>"
+
+
+def test_shingles_sql_twin_matches_column_builder(spark):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.dedup import shingles_from_tokens, shingles_from_tokens_sql
+
+    texts = [
+        ("a b c d e",),
+        ("one two",),          # shorter than k
+        ("x",),                # single token
+        ("  padded   spaces  here now ",),
+        ("exactly three toks",),
+    ]
+    df = (
+        spark.createDataFrame(texts, "text string")
+        .selectExpr("text", r"split(trim(text), '\\s+') AS toks")
+    )
+    for k in (2, 3, 5):
+        rows = df.select(
+            shingles_from_tokens("toks", k).alias("a"),
+            F.expr(shingles_from_tokens_sql("toks", k)).alias("b"),
+        ).collect()
+        for r in rows:
+            assert r.a == r.b, (k, r)
