@@ -302,3 +302,15 @@ def test_fresh_select_reexecutes_map_stages(spark, sf_dir):
     held_again, seen = completed_tasks_since(seen)
     assert held_again < full, f"expected shuffle reuse on held Dataset ({held_again} vs {full})"
     assert a.equals(b)
+
+
+def test_grouping_sets_single_aggregate_pass(spark, sf_dir):
+    """GROUPING SETS expands map-side (Expand) with the customer dim
+    broadcast — one shuffle total, same contract as rollup/cube."""
+    plan = plan_of(spark, sf_dir, "grouping_sets_segment_priority")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(exchanges) == 1, exchanges

@@ -152,6 +152,37 @@ def cube_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_segment_priority",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR((o_totalprice)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+    doc="OLAP GROUPING SETS: per-segment and per-priority subtotals + grand total "
+    "in ONE aggregation pass (the shape ROLLUP/CUBE cannot express: no cross "
+    "cells). Spark expands the sets map-side like rollup/cube - one shuffle.",
+)
+def grouping_sets_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"], []], "c_mktsegment", "o_orderpriority"
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+@register(
     "urgent_fulfilled_setops",
     oracle="""
     WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

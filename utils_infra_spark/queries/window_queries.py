@@ -39,6 +39,39 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_1h_user_value",
+    oracle="""
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ep,
+           CAST(SUM(CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)/1000000 AS rolling_value_1h
+    FROM events
+    """,
+    doc="W3 range-frame window: per-user rolling 1-hour value sum over event "
+    "time (RANGE BETWEEN INTERVAL PRECEDING), the per-entity rate/volume "
+    "tracker shape - unlike the bucketed sliding window, every row gets its "
+    "own trailing frame. Fixed-point sum, so the frame accumulation is "
+    "order-independent and hash-matches the oracle exactly.",
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetimes import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", epoch_micros(ev, "ts").alias("ep"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    rolling = (
+        (F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")).over(w))
+        .cast("double") / F.lit(1e6)
+    ).alias("rolling_value_1h")
+    return ev.select("user_id", "ep", rolling)
+
+
+@register(
     "last_nonnull_state_events",
     oracle="""
     WITH sparse AS (
