@@ -736,3 +736,46 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+@register(
+    "purchase_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type='click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 12 HOUR GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type='purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+    SELECT 'view' AS stage, COUNT(*) AS users FROM v
+    UNION ALL SELECT 'view>click', COUNT(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    """,
+    doc="Ordered conversion funnel: first view -> first click within 12h -> "
+    "first purchase within 12h of that click, counted per completed stage. "
+    "Each stage is a keyed aggregate joined to the previous stage's firsts - "
+    "per-stage shuffles carry (user, ts) only, and the event scan prunes to "
+    "one event_type per stage (pushed filter), so the funnel runs as three "
+    "lean passes rather than one sessionization of everything.",
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where("event_type = 'view'").groupBy("user_id").agg(F.expr("MIN(ts) AS t1"))
+    c = (
+        ev.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where("ts > t1 AND ts <= t1 + INTERVAL 12 HOUR")
+        .groupBy("user_id")
+        .agg(F.expr("MIN(ts) AS t2"))
+    )
+    p = (
+        ev.where("event_type = 'purchase'")
+        .join(c, "user_id")
+        .where("ts > t2 AND ts <= t2 + INTERVAL 12 HOUR")
+        .groupBy("user_id")
+        .agg(F.expr("MIN(ts) AS t3"))
+    )
+    return (
+        v.agg(F.expr("'view' AS stage"), F.expr("COUNT(1) AS users"))
+        .unionByName(c.agg(F.expr("'view>click' AS stage"), F.expr("COUNT(1) AS users")))
+        .unionByName(p.agg(F.expr("'view>click>purchase' AS stage"), F.expr("COUNT(1) AS users")))
+    )
+

@@ -938,3 +938,33 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.select("doc_id", "score", F.row_number().over(w).cast("int").alias("rnk"))
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    doc="Fuzzy record linkage via blocking: first-token blocking key bounds the "
+    "candidate pairs (equi-join, never all-pairs), then exact edit distance "
+    "verifies intra-block - the classic blocking+verify shape that scales to "
+    "100 TB because pair count is O(sum of block sizes squared), tunable by "
+    "key choice, with the shuffle carrying only (block, id, name).",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.selectExpr("p_partkey", "p_name", "split_part(p_name, ' ', 1) AS blk")
+    a = p.selectExpr("p_partkey AS id_a", "p_name AS name_a", "blk")
+    b = p.selectExpr("p_partkey AS id_b", "p_name AS name_b", "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
