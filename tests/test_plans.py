@@ -314,3 +314,20 @@ def test_grouping_sets_single_aggregate_pass(spark, sf_dir):
         ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_fuzzy_pairs_equi_join_on_block_key(spark, sf_dir):
+    """Blocking must run as an equi join on the block key — a regression
+    to a nested-loop join over the levenshtein predicate would be
+    all-pairs at 100 TB."""
+    plan = plan_of(spark, sf_dir, "fuzzy_part_name_pairs")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "blk" in plan
+
+
+def test_funnel_pushes_stage_type_filters(spark, sf_dir):
+    """Each funnel stage scans only its own event_type: the equality
+    filter must reach the parquet scan."""
+    plan = plan_of(spark, sf_dir, "purchase_funnel")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "event_type" in ln]
+    assert len(pushed) >= 3, f"expected >=3 pushed event_type filters, got {len(pushed)}"
