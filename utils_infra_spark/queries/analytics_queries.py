@@ -779,3 +779,64 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(p.agg(F.expr("'view>click>purchase' AS stage"), F.expr("COUNT(1) AS users")))
     )
 
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="Event-sequence bigram transitions: per-user LEAD over event time "
+    "(event_id tiebreak for determinism), counted globally - the Markov-"
+    "transition shape for behavioral analytics. One shuffle on user_id for "
+    "the window, map-side combine on the (from, to) count.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.expr("COUNT(1) AS n"))
+    )
+
+
+@register(
+    "weekly_retention",
+    oracle="""
+    WITH wk AS (SELECT user_id,
+                       CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+                FROM events),
+    coh AS (SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY user_id)
+    SELECT c.cohort, CAST(w.w - c.cohort AS BIGINT) AS offset_w,
+           COUNT(DISTINCT w.user_id) AS users
+    FROM wk w JOIN coh c ON w.user_id = c.user_id
+    GROUP BY c.cohort, offset_w
+    """,
+    doc="Cohort retention: users bucketed into their first active week "
+    "(day-arithmetic weeks from a fixed epoch so both engines agree on "
+    "boundaries), then distinct-active counts per (cohort, week offset). "
+    "Two keyed aggregates + one join on user_id - the cohort table is tiny "
+    "relative to activity and broadcasts at scale.",
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.selectExpr(
+        "user_id",
+        "CAST(FLOOR(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT) AS w",
+    )
+    coh = wk.groupBy("user_id").agg(F.expr("MIN(w) AS cohort"))
+    return (
+        wk.join(coh, "user_id")
+        .selectExpr("user_id", "cohort", "CAST(w - cohort AS BIGINT) AS offset_w")
+        .groupBy("cohort", "offset_w")
+        .agg(F.expr("COUNT(DISTINCT user_id) AS users"))
+    )
+
