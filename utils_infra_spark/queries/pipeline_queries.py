@@ -968,3 +968,37 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
+@register(
+    "column_profile_events",
+    oracle="""
+    WITH cols AS (
+      SELECT 'value' AS col, CAST(value AS DOUBLE) AS v FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+      UNION ALL SELECT 'event_id', CAST(event_id AS DOUBLE) FROM events)
+    SELECT col, COUNT(*) AS n_rows, COUNT(*) - COUNT(v) AS n_null,
+           COUNT(DISTINCT v) AS n_distinct,
+           CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
+    FROM cols GROUP BY col
+    """,
+    doc="Single-scan column profiling (data-quality report): stack() unpivots "
+    "the numeric columns in ONE pass over the fact table, then one grouped "
+    "aggregate computes per-column rows/nulls/distincts/min/max - the "
+    "dataset-card profile a training-data pipeline emits per snapshot. At "
+    "100 TB this is one scan + one shuffle keyed by column name (bounded "
+    "cardinality), vs one job per column for the naive loop.",
+)
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.selectExpr(
+        "stack(3, 'value', CAST(value AS DOUBLE), "
+        "'user_id', CAST(user_id AS DOUBLE), "
+        "'event_id', CAST(event_id AS DOUBLE)) AS (col, v)"
+    )
+    return cols.groupBy("col").agg(
+        F.expr("COUNT(1) AS n_rows"),
+        F.expr("COUNT(1) - COUNT(v) AS n_null"),
+        F.expr("COUNT(DISTINCT v) AS n_distinct"),
+        F.expr("CAST(MIN(v) AS DOUBLE) AS min_v"),
+        F.expr("CAST(MAX(v) AS DOUBLE) AS max_v"),
+    )
+
