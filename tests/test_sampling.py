@@ -208,3 +208,18 @@ def test_weighted_sample_monotone_and_stable(spark):
     assert kept <= kept2
     # overall rate ~ mean weight (~0.495)
     assert 0.4 < len(kept) / 3000 < 0.6
+
+
+def test_mixture_resample_rate_one_keeps_everything(spark, sf_dir):
+    # rate >= 1.0 must keep ALL rows — split_threshold caps at "ffff",
+    # which would silently drop ids whose md5 prefix IS "ffff"
+    from utils_infra_spark.pipeline.sampling import mixture_resample
+    from utils_infra_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(docs, "lang", "doc_id", {}, default_rate=1.0)
+    assert kept.count() == docs.count()
+    # and per-group rates only affect their own group
+    en_only = mixture_resample(docs, "lang", "doc_id", {"en": 0.0}, default_rate=1.0)
+    assert en_only.where("lang = 'en'").count() == 0
+    assert en_only.where("lang != 'en'").count() == docs.where("lang != 'en'").count()

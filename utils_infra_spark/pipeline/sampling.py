@@ -76,6 +76,32 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.where(hash_prefix(id_col) < split_threshold(rate))
 
 
+def mixture_resample(
+    df: DataFrame, group_col: str, id_col: str, rates: dict[str, float], default_rate: float = 1.0
+) -> DataFrame:
+    """Deterministic per-group resampling to hit a target source mix —
+    the data-mixing step of a pretraining pipeline (downsample the
+    over-represented web crawl, keep the rare sources whole). Each
+    group gets its own md5-prefix threshold, so membership is a narrow
+    pushdown-able filter: no RNG state, no shuffle, stable under
+    re-partitioning and re-runs, and the same document never flips
+    between mixes when only OTHER groups' rates change.
+    """
+    def thr_str(rate: float) -> str:
+        # "g" sorts above every hex digit: rate >= 1.0 keeps ALL rows
+        # (split_threshold caps at "ffff", which would drop the
+        # 1/65536 of ids whose prefix IS "ffff")
+        return "g" if rate >= 1.0 else split_threshold(rate)
+
+    thr = None
+    for g, rate in rates.items():
+        cond = F.col(group_col) == g
+        t = F.lit(thr_str(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(thr_str(default_rate)) if thr is None else thr.otherwise(F.lit(thr_str(default_rate)))
+    return df.where(hash_prefix(id_col) < thr)
+
+
 def stratified_topk(
     df: DataFrame, stratum: str, id_col: str, k: int, *, rank_alias: str = "rn"
 ) -> DataFrame:

@@ -238,3 +238,30 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
     return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "n_chars")
+
+@register(
+    "mixture_resample_documents",
+    oracle="""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE WHEN lang = 'en' THEN '4ccc' ELSE 'g' END)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+    doc="Data-mixing resample: downsample the over-represented source "
+    "('en' to a 0.3 rate) while keeping rare sources whole, by per-group "
+    "md5-prefix thresholds - deterministic, shuffle-free, pushdown-able, "
+    "and stable per document when other groups' rates change (the "
+    "pretraining-mixture step). Output is the per-source census of the kept "
+    "mix.",
+)
+def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(docs, "lang", "doc_id", {"en": 0.3}, default_rate=1.0)
+    return kept.groupBy("lang").agg(
+        F.expr("COUNT(1) AS n_docs"), F.expr("CAST(SUM(n_chars) AS BIGINT) AS total_chars")
+    )
+
