@@ -331,3 +331,98 @@ def test_funnel_pushes_stage_type_filters(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "purchase_funnel")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "event_type" in ln]
     assert len(pushed) >= 3, f"expected >=3 pushed event_type filters, got {len(pushed)}"
+
+
+def test_cached_input_fresh_select_reexecutes(spark, sf_dir):
+    """Extends the fresh-QueryExecution honesty rule to the warm-path
+    input cache (sources/tables.py:cache_base_tables). Input caching
+    prepays ONLY parquet decode — a fresh select over the cached copy
+    must still run its full task counts (scan of every cached
+    partition + shuffle map + reduce), or the bench would be timing
+    reduce-only work again. Also pins the plan/parallelism shape:
+    the cached mode scans ExistingRDD (no parquet scan) at the
+    repartitioned width, and results are identical to parquet mode.
+    """
+    from utils_infra_spark.sources.tables import (
+        cache_base_tables,
+        set_input_mode,
+        uncache_base_tables,
+    )
+
+    st = spark.sparkContext.statusTracker()
+
+    def completed_tasks_since(prev: set[int]) -> tuple[int, set[int]]:
+        ids = set(st.getJobIdsForGroup())
+        total = 0
+        for j in ids - prev:
+            info = st.getJobInfo(j)
+            if info is None:
+                continue
+            total += sum(
+                (st.getStageInfo(s).numCompletedTasks if st.getStageInfo(s) else 0)
+                for s in info.stageIds
+            )
+        return total, ids
+
+    parquet_res = REGISTRY["pricing_summary"].plan(spark, sf_dir).toPandas()
+    # force every table into >1 cached partition so the map-stage
+    # parallelism assertion is meaningful even at sf0.001 sizes
+    placed = cache_base_tables(spark, sf_dir, partitions=4, min_split_bytes=0)
+    assert placed["lineitem"] == 4
+    set_input_mode("cached")
+    try:
+        df = REGISTRY["pricing_summary"].plan(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan
+        seen = set(st.getJobIdsForGroup())
+        a = df.select("*").toPandas()
+        full, seen = completed_tasks_since(seen)
+        b = df.select("*").toPandas()
+        again, seen = completed_tasks_since(seen)
+        # full re-execution per run — identical task counts, and at
+        # least the 4 cached lineitem partitions' scan tasks
+        assert again == full, f"fresh select over cached input skipped stages: {again} vs {full}"
+        assert full >= 4, f"expected >=4 map tasks over the cached partitions, got {full}"
+        assert a.equals(b)
+        # cached copy answers exactly like the parquet scan
+        cols = list(parquet_res.columns)
+        assert (
+            a.sort_values(cols).reset_index(drop=True).equals(
+                parquet_res.sort_values(cols).reset_index(drop=True)
+            )
+        )
+    finally:
+        set_input_mode("parquet")
+        uncache_base_tables(spark)
+
+
+def test_input_cache_survives_clear_cache(spark, sf_dir):
+    """bench.py calls spark.catalog.clearCache() between runs to drop
+    per-query persisted intermediates; the base-table input cache
+    lives at the RDD layer (localCheckpoint) precisely so that sweep
+    cannot silently evict it mid-bench."""
+    from utils_infra_spark.sources.tables import (
+        cache_base_tables,
+        load_table,
+        set_input_mode,
+        uncache_base_tables,
+    )
+
+    cache_base_tables(spark, sf_dir, partitions=2, min_split_bytes=0)
+    set_input_mode("cached")
+    try:
+        before = load_table(spark, sf_dir, "orders").count()
+        spark.catalog.clearCache()
+        df = load_table(spark, sf_dir, "orders")
+        # still the block-manager copy (not silently rebuilt parquet)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "ExistingRDD" in plan
+        assert df.count() == before
+    finally:
+        set_input_mode("parquet")
+        uncache_base_tables(spark)

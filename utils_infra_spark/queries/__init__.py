@@ -16,36 +16,33 @@ cast to bigint to match DuckDB's default integer width.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _app_id(spark: SparkSession) -> str:
-    """applicationId with the Py4J roundtrip paid once per session.
-
-    The property call is a JVM roundtrip (~ms); it is on the plan-cache
-    hot path, so memoize it on the session object itself — attribute
-    lifetime == session lifetime, no stale-id risk after a restart.
-    """
-    cached = getattr(spark, "_uis_app_id", None)
-    if cached is None:
-        cached = spark.sparkContext.applicationId
-        spark._uis_app_id = cached
-    return cached
+from utils_infra_spark.sources.tables import input_mode as tables_input_mode
 
 
-# Prepared-plan cache: (appId, sf_dir, query name) -> DataFrame.
-# A DataFrame is an immutable logical plan, so re-serving the same
-# object for the same (session, input, query) is semantically a no-op
-# — it skips only the driver-side plan RE-construction (Python → JVM
-# expression building, ~0.05-0.5 s per query under Py4J latency; see
-# docs/SCALE.md). The same idea as load_table's table cache, one
-# level up: any engine that fields repeated named queries keeps a
-# prepared-plan cache keyed by query identity. Keyed by applicationId
-# so a stopped/rebuilt session never serves plans bound to a dead JVM.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Prepared-plan cache: session -> {(sf_dir, input mode, query name)
+# -> DataFrame}. A DataFrame is an immutable logical plan, so
+# re-serving the same object for the same (session, input, query) is
+# semantically a no-op — it skips only the driver-side plan
+# RE-construction (Python → JVM expression building, ~0.05-0.5 s per
+# query under Py4J latency; see docs/SCALE.md). The same idea as
+# load_table's table cache, one level up: any engine that fields
+# repeated named queries keeps a prepared-plan cache keyed by query
+# identity. Keyed WEAKLY on the session OBJECT (not applicationId —
+# spark.newSession() siblings share an appId but not confs/temp
+# views, and a dict keyed by appId would both cross-serve them and
+# grow unboundedly); entries die with their session. The input mode
+# is part of the key because "parquet" and "cached" modes bind the
+# same query name to different table scans (sources/tables.py).
+# Constraint (documented, not checked): data under sf_dir is
+# immutable for the session's lifetime — a cached plan pins the file
+# listing captured at first build.
+_PLAN_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 @dataclass
@@ -57,11 +54,14 @@ class Query:
 
     def plan(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """Build (or re-serve) this query's DataFrame via the plan cache."""
-        key = (_app_id(spark), os.path.abspath(sf_dir), self.name)
-        cached = _PLAN_CACHE.get(key)
+        per = _PLAN_CACHE.get(spark)
+        if per is None:
+            per = _PLAN_CACHE[spark] = {}
+        key = (os.path.abspath(sf_dir), tables_input_mode(), self.name)
+        cached = per.get(key)
         if cached is None:
             cached = self.fn(spark, sf_dir)
-            _PLAN_CACHE[key] = cached
+            per[key] = cached
         return cached
 
 
