@@ -367,7 +367,7 @@ def test_cached_input_fresh_select_reexecutes(spark, sf_dir):
     parquet_res = REGISTRY["pricing_summary"].plan(spark, sf_dir).toPandas()
     # force every table into >1 cached partition so the map-stage
     # parallelism assertion is meaningful even at sf0.001 sizes
-    placed = cache_base_tables(spark, sf_dir, partitions=4, min_split_bytes=0)
+    placed = cache_base_tables(spark, sf_dir, partitions=4, bytes_per_split=1)
     assert placed["lineitem"] == 4
     set_input_mode("cached")
     try:
@@ -411,7 +411,7 @@ def test_input_cache_survives_clear_cache(spark, sf_dir):
         uncache_base_tables,
     )
 
-    cache_base_tables(spark, sf_dir, partitions=2, min_split_bytes=0)
+    cache_base_tables(spark, sf_dir, partitions=2, bytes_per_split=1)
     set_input_mode("cached")
     try:
         before = load_table(spark, sf_dir, "orders").count()
@@ -426,3 +426,15 @@ def test_input_cache_survives_clear_cache(spark, sf_dir):
     finally:
         set_input_mode("parquet")
         uncache_base_tables(spark)
+
+
+def test_enrich_customer_nation_literal_map_no_join(spark, sf_dir):
+    """The 25x5-row snowflake micro-dims bake into create_map literals
+    (operators/joins.py:literal_lookup_maps): the plan must be a pure
+    projection over the customer scan — no join operator, no broadcast
+    build, no exchange. A regression to a per-execution broadcast
+    join is ~0.1 s of pure fixed overhead for a 25-row lookup."""
+    plan = plan_of(spark, sf_dir, "enrich_customer_nation")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "keys:" in plan or "map(" in plan.lower() or "Project" in plan

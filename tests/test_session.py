@@ -21,7 +21,7 @@ def test_tiny_input_gets_latency_knobs(spark, sf_dir):
     _reset(spark)
     measured = tune_for_input(spark, sf_dir)
     assert 0 < measured < TINY_INPUT_BYTES  # sf0.001 is ~450 KB
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     _reset(spark)
 

@@ -24,6 +24,44 @@ def broadcast_lookup(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def literal_lookup_maps(
+    dim: DataFrame, key: str, value_cols: list[str], *, max_rows: int = 100
+) -> dict[str, Column] | None:
+    """J4 micro-dim twin (the reference's in-code static mapping
+    tables, SURVEY §1.1): collect a ≤``max_rows`` dimension ONCE at
+    plan-build time and bake it into the plan as ``create_map``
+    literals. Lookup via ``maps[col][fact_key]`` carries LEFT-join
+    semantics exactly (missing or null key → NULL) with ZERO join in
+    the plan — no broadcast build, no exchange, no join operator; the
+    enrichment is a pure whole-stage-codegen projection over the fact
+    scan. Below ~100 rows even a broadcast hash join is pure fixed
+    overhead per execution (build + exchange setup measured ~0.1 s on
+    a 25-row dim), while a 25-entry literal map probe is nanoseconds
+    per row at any scale — and the fact side still gets full
+    pushdown/pruning since the plan is scan+project.
+
+    Returns None when the dim exceeds ``max_rows`` — callers fall
+    back to :func:`broadcast_lookup` (the collect saw at most
+    ``max_rows``+1 rows, so the guard never pulls a big dim to the
+    driver).
+    """
+    rows = dim.select(key, *dict.fromkeys(value_cols)).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    vtypes = dict(dim.select(*dict.fromkeys(value_cols)).dtypes)
+    maps: dict[str, Column] = {}
+    for vc in value_cols:
+        entries: list[Column] = []
+        for r in rows:
+            if r[key] is None:
+                continue  # a NULL key never equi-matches in a join either
+            v = r[vc]
+            entries.append(F.lit(r[key]))
+            entries.append(F.lit(v) if v is not None else F.lit(None).cast(vtypes[vc]))
+        maps[vc] = F.create_map(*entries)
+    return maps
+
+
 def enrich_coalesce(
     base: DataFrame,
     enrich: DataFrame,

@@ -126,7 +126,11 @@ def brute_force_topk(
     # per-task Python round-trip (~30 ms each, measured ≈ 1 s at 32
     # tasks — 100x the matmul itself at small inputs). At 100 TB the
     # scan arrives in thousands of splits and parallelism is free.
-    ccols = [F.col(id_col).alias("cand_id"), _vec(vec_col).alias("cv")] + (
+    # The vector ships RAW (no _vec element-cast): Spark's HOF
+    # transform is CodegenFallback — an interpreted eval per element
+    # per run — while the kernel's astype(float64) is the same exact
+    # widening done by one vectorized numpy pass on the Arrow batch.
+    ccols = [F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")] + (
         [F.col(bucket_col).alias("cb")] if bucket_col else []
     )
     c = candidates.select(*ccols)
@@ -199,8 +203,11 @@ def bucketed_pairs(
             }
         )
 
+    # raw vector into the Arrow batch — the kernel's astype(float64)
+    # is the exact same widening _vec would do, minus the interpreted
+    # per-element HOF (see brute_force_topk)
     base = df.select(
-        F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), _vec(vec_col).alias("v")
+        F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("v")
     )
     return base.groupBy("bucket").applyInPandas(
         score_bucket,

@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 
 from ..operators import filters
 from ..operators.aggregations import DEC, davg, dsum, dsum_sql, pivot_counts, ratio_pct, value_counts
-from ..operators.joins import anti_join, broadcast_lookup, enrich_coalesce, latest_wins, semi_join
+from ..operators.joins import (
+    anti_join,
+    broadcast_lookup,
+    enrich_coalesce,
+    latest_wins,
+    literal_lookup_maps,
+    semi_join,
+)
 from ..operators.setops import union_all
 from ..operators.windows import top_n_per_group
 from ..sources import load_table
@@ -347,8 +354,24 @@ def enrich_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = broadcast_lookup(nation, region, on=nation["n_regionkey"] == region["r_regionkey"]).select(
         "n_nationkey", "n_name", "r_name"
     )
-    return broadcast_lookup(cust, dim, on=cust["c_nationkey"] == dim["n_nationkey"]).select(
-        "c_custkey", "c_name", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"), "c_acctbal"
+    # snowflake micro-dims (25 nations x 5 regions) bake into literal
+    # maps: zero joins in the plan, lookup is a codegen'd projection
+    # with LEFT-join null semantics (operators/joins.py)
+    maps = literal_lookup_maps(dim, "n_nationkey", ["n_name", "r_name"])
+    if maps is None:  # dim outgrew the literal budget: broadcast join
+        return broadcast_lookup(cust, dim, on=cust["c_nationkey"] == dim["n_nationkey"]).select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            "c_acctbal",
+        )
+    return cust.select(
+        "c_custkey",
+        "c_name",
+        maps["n_name"][F.col("c_nationkey")].alias("nation_name"),
+        maps["r_name"][F.col("c_nationkey")].alias("region_name"),
+        "c_acctbal",
     )
 
 

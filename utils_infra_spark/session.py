@@ -27,9 +27,11 @@ def tune_for_input(spark: SparkSession, data_dir: str, *, tiny_bytes: int = TINY
     Gates on actual bytes on disk (not the scale-factor name) so the
     same call is a no-op on production-sized inputs:
 
-    - tiny input (< ``tiny_bytes``): 4 shuffle partitions instead of
-      32 (shuffles carry KBs; 32 tasks = 32 schedulings of ~nothing;
-      measured p4 ≈ p2 ≈ 8% under p8 on the honest-rule A/B)
+    - tiny input (< ``tiny_bytes``): 8 shuffle partitions instead of
+      32 (shuffles carry KBs; 32 tasks = 32 schedulings of ~nothing.
+      Under the r4 single-partition-scan regime p4 ≈ p2 won; with the
+      r5 block-manager input cache feeding parallel map sides, the
+      cached-mode A/B measured p8 ~15% under p4 and ~10% under p16)
       and AQE off (each AQE stage materializes as its own job — a
       sequential driver round-trip per shuffle that exists to re-plan
       statistics a 15 MB input doesn't need). Measured at sf0.1:
@@ -41,7 +43,7 @@ def tune_for_input(spark: SparkSession, data_dir: str, *, tiny_bytes: int = TINY
     """
     total = sum(f.stat().st_size for f in Path(data_dir).glob("**/*.parquet"))
     if total and total < tiny_bytes:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     return total
 

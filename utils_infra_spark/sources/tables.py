@@ -106,16 +106,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# below this size a table stays in ONE cached partition — per-task
-# scheduling (~ms) would cost more than scanning the rows
-_CACHE_SPLIT_MIN_BYTES = 256 * 1024
+# cached-copy split sizing: one block-manager partition per this many
+# parquet bytes (clamped to [1, defaultParallelism]). Byte-proportional
+# so the big JVM-scanned facts fan out across cores while small tables
+# — exactly the ones whose consumers are single-matmul Python kernels
+# (embeddings/documents) — stay in few partitions, where an extra task
+# is a pure per-task Arrow round-trip (~10-30 ms) with no work to
+# amortize it. Measured: the 2k-row embeddings table cached at 32
+# partitions made the top-k kernel 1.4x SLOWER than the 1-partition
+# parquet scan it replaced; at 1 partition it is 1.5x faster.
+_CACHE_BYTES_PER_SPLIT = 512 * 1024
 
 
 def cache_base_tables(
     spark: SparkSession,
     sf_dir: str,
     partitions: int | None = None,
-    min_split_bytes: int | None = None,
+    bytes_per_split: int | None = None,
 ) -> dict[str, int]:
     """Materialize repartitioned in-memory copies of the base tables.
 
@@ -134,15 +141,16 @@ def cache_base_tables(
     only the parquet-decode step is prepaid, exactly as it is for an
     OS-page-cached DuckDB re-run.
 
-    Tables under ``_CACHE_SPLIT_MIN_BYTES`` stay in one partition
-    (per-task scheduling would dominate). Returns {table: partitions}.
+    Split count is byte-proportional — one partition per
+    ``bytes_per_split`` of parquet, clamped to [1, ``partitions``]
+    (see _CACHE_BYTES_PER_SPLIT). Returns {table: partitions}.
     Idempotent per (session, sf_dir). At 100 TB this is simply never
     called — the gate lives in bench.py's tiny-input branch.
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    if min_split_bytes is None:
-        min_split_bytes = _CACHE_SPLIT_MIN_BYTES
+    if bytes_per_split is None:
+        bytes_per_split = _CACHE_BYTES_PER_SPLIT
     per = _per_session(_INPUT_CACHE, spark)
     placed: dict[str, int] = {}
     for name in TABLE_NAMES:
@@ -154,7 +162,7 @@ def cache_base_tables(
             size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
         except OSError:
             size = 0
-        n = partitions if size >= min_split_bytes else 1
+        n = max(1, min(partitions, size // max(1, bytes_per_split)))
         df = load_table(spark, sf_dir, name)
         per[key] = df.repartition(n).localCheckpoint(eager=True)
         placed[name] = n
