@@ -438,3 +438,25 @@ def test_enrich_customer_nation_literal_map_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "keys:" in plan or "map(" in plan.lower() or "Project" in plan
+
+
+def test_fact_join_strategy_follows_input_size(spark, sf_dir):
+    """order_revenue_top10's fact-to-fact join picks its physical
+    strategy from tune_for_input's measurement (the decision AQE
+    would make, but AQE is off in the tiny regime): untuned/at-scale
+    sessions get the spill-safe sort-merge; a measured-tiny session
+    gets shuffled-hash (two sorts of KB-sized sides are pure
+    overhead). Neither regime may broadcast the orders⋈cust
+    intermediate into the lineitem join."""
+    from utils_infra_spark.session import TINY_INPUT_CONF
+
+    spark.conf.unset(TINY_INPUT_CONF)
+    try:
+        plan = plan_of(spark, sf_dir, "order_revenue_top10")
+        assert "SortMergeJoin" in plan
+        spark.conf.set(TINY_INPUT_CONF, "true")
+        plan = plan_of(spark, sf_dir, "order_revenue_top10")
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.unset(TINY_INPUT_CONF)

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregations import dsum
+from ..session import is_tiny_input
 from ..sources import load_table
 from . import register
 
@@ -211,14 +212,18 @@ def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # fact-to-fact join: hint merge (sort-merge) rather than letting the
-    # planner broadcast the orders⋈cust intermediate — materializing an
-    # unbounded intermediate through the driver is both slower here
-    # (measured ~2x) and a gamble at 100 TB; dim lookups elsewhere still
-    # broadcast. AQE coalesces the shuffle at small sf.
+    # fact-to-fact join: never let the planner broadcast the
+    # orders⋈cust INTERMEDIATE (measured slower even at sf0.1 — the
+    # joined relation re-materializes through the driver per
+    # execution — and a gamble at 100 TB). Strategy by measured input
+    # size, the choice AQE would make where it's enabled: tiny input →
+    # shuffled hash (both sides are KBs; SMJ's two sorts are pure
+    # overhead, measured ~1.4x slower); at scale → sort-merge
+    # (spill-safe when a build partition can't fit memory).
+    fact_hint = "shuffle_hash" if is_tiny_input(spark) else "merge"
     return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(li.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+        .join(li.hint(fact_hint), li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -250,9 +255,14 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # fact-to-fact li⋈orders: merge hint (see order_revenue_top10)
+    # li⋈orders carries NO hint: every non-broadcast side here is a
+    # FILTERED BASE TABLE, so Catalyst's size estimate is the file
+    # size — at small sf it broadcasts the filtered orders (no shuffle
+    # of lineitem at all, measured fastest), at 100 TB the same
+    # estimate keeps sort-merge. Only intermediates need protecting
+    # from mis-broadcast (see order_revenue_top10).
     return (
-        li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])

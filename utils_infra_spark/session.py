@@ -42,10 +42,35 @@ def tune_for_input(spark: SparkSession, data_dir: str, *, tiny_bytes: int = TINY
     Returns the measured input bytes so callers can log the decision.
     """
     total = sum(f.stat().st_size for f in Path(data_dir).glob("**/*.parquet"))
-    if total and total < tiny_bytes:
+    tiny = bool(total and total < tiny_bytes)
+    if tiny:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # record the measurement so plan builders can make the same
+    # size-based choices AQE would have made (AQE is off in the tiny
+    # regime precisely because its per-stage jobs cost more than they
+    # save there) — see is_tiny_input
+    spark.conf.set(TINY_INPUT_CONF, str(tiny).lower())
     return total
+
+
+# session-conf key recording tune_for_input's measurement
+TINY_INPUT_CONF = "spark.utils_infra.tiny_input"
+
+
+def is_tiny_input(spark: SparkSession) -> bool:
+    """True iff tune_for_input measured this session's input as tiny.
+
+    Plan builders use this for the ONE decision class Catalyst's
+    static planner gets wrong without AQE: physical join strategy on
+    a tiny input (e.g. shuffled-hash instead of sort-merge when both
+    sides are KBs and a sort is pure overhead). Defaults to False —
+    an untuned session always gets the spill-safe at-scale plans.
+    """
+    try:
+        return spark.conf.get(TINY_INPUT_CONF, "false") == "true"
+    except Exception:
+        return False
 
 
 def get_spark(app_name: str = "utils-infra-spark", cpus: int | None = None) -> SparkSession:
