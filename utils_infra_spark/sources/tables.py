@@ -230,6 +230,18 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
                 return df
         except Exception:
             pass  # streaming/unresolvable plans: keep the exchange
+        # size-gated callers (min_bytes > 0) in a session whose whole
+        # input tune_for_input measured as tiny: the file-size gate
+        # can't see a block-manager scan, but the session measurement
+        # already answered the same question — below the gate the
+        # exchange is pure latency (token_histogram A/B: 1 cached
+        # partition 0.15 s vs repartition(32) 0.25 s). Compute-heavy
+        # callers pass min_bytes=0 and keep their exchange.
+        if min_bytes > 0:
+            from utils_infra_spark.session import is_tiny_input
+
+            if is_tiny_input(df.sparkSession):
+                return df
     if files:
         # many-splits layout: already parallel, shuffle adds nothing
         if len(files) >= partitions:
