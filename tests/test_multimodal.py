@@ -33,15 +33,7 @@ def tiles(spark):
 
 @pytest.mark.parametrize(
     "fmt",
-    [
-        "frgb",
-        pytest.param(
-            "png",
-            marks=pytest.mark.skipif(
-                not multimodal.HAVE_PIL, reason="PIL not installed in this container"
-            ),
-        ),
-    ],
+    ["frgb", "png"],  # png always available: PIL seam or pure-numpy codec
 )
 def test_codec_roundtrip(fmt):
     arr = np.arange(64 * 64 * 4, dtype=np.uint8).reshape(64, 64, 4)
@@ -49,21 +41,24 @@ def test_codec_roundtrip(fmt):
 
 
 def test_codec_rejects_foreign_format():
-    # Truncated/garbage bytes: the stub raises NotImplementedError;
-    # a real codec (PIL seam) raises its own decode error. Either way
-    # the failure is loud, never a silent wrong array.
+    # Truncated/garbage bytes must fail LOUD (never a silent wrong
+    # array): a valid-prefix-but-corrupt PNG raises from whichever
+    # codec handles PNG; a format nothing handles (JPEG without PIL)
+    # raises NotImplementedError.
     with pytest.raises(Exception):
         decode_tile(b"\x89PNG1234567890")
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            decode_tile(b"\x89PNG1234567890")
+            decode_tile(b"\xff\xd8\xff\xe0jpegjpegjpeg")
 
 
-def test_png_encode_requires_pil():
-    if multimodal.HAVE_PIL:
-        pytest.skip("PIL installed; guard not reachable")
-    with pytest.raises(NotImplementedError):
-        encode_tile(np.zeros((4, 4, 4), dtype=np.uint8), fmt="png")
+def test_png_encode_without_pil_is_real_png():
+    # The no-PIL path emits a genuine PNG stream (signature + CRC'd
+    # chunks), not a renamed stub — decodable by ANY png reader.
+    arr = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
+    data = encode_tile(arr, fmt="png")
+    assert data[:8] == multimodal.PNG_MAGIC
+    assert (decode_tile(data) == arr).all()
 
 
 def test_tile_stats(spark, tiles):

@@ -23,8 +23,17 @@ def epoch_micros(df, colname: str) -> Column:
     session TZ. The dtype probe is plan-time only (no job runs) and
     case-insensitive, matching Spark's default column resolution.
     """
-    dtypes = {k.lower(): v for k, v in df.dtypes}
-    if dtypes.get(colname.lower()) == "timestamp_ntz":
+    pairs = df.dtypes
+    dtypes = {k.lower(): v for k, v in pairs}
+    if len(dtypes) != len(pairs):
+        # columns differing only by case (possible under
+        # spark.sql.caseSensitive=true): the folded map would resolve
+        # last-one-wins against the wrong column — use exact match
+        dtypes = dict(pairs)
+        probe = dtypes.get(colname)
+    else:
+        probe = dtypes.get(colname.lower())
+    if probe == "timestamp_ntz":
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
         return F.timestamp_diff("MICROSECOND", epoch, F.col(colname))
     return F.unix_micros(F.col(colname))

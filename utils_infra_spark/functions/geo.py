@@ -182,6 +182,8 @@ def point_in_polygon_unrolled_sql(lon: str, lat: str, coords: list[tuple[float, 
     even-odd semantics, same results (twin-equivalence test).
     """
     pts = [(float(x), float(y)) for x, y in coords]
+    if not pts:
+        return "false"  # empty ring contains nothing (degenerate input)
     if pts[0] != pts[-1]:
         pts.append(pts[0])  # close an open ring, like size(ring)-2 does
     terms = []

@@ -5,13 +5,15 @@ Design: media rides as an opaque ``binary`` column with typed
 metadata (width/height/format or sample_rate/duration). All pixel
 work happens in Arrow-batched ``mapInPandas`` stages over numpy —
 the Spark-side plumbing (schemas, batch iteration, partitioning) is
-real and tested. The CODEC is the only stub: this container has no
-image libs, so tiles use a deterministic raw RGBA format
-(``FAKE_CODEC_MAGIC`` header + width/height + raw bytes). Swapping
-``decode_tile``/``encode_tile`` for PIL/libvips is a 2-line change
-marked NOTE:CODEC below; every operator is written against the
-decoded ``(h, w, 4) uint8`` array, exactly as it would be with a
-real codec.
+real and tested. Codec ladder (NOTE:CODEC below): PIL when
+importable (full PNG/JPEG), else the in-repo pure-numpy PNG codec
+(pipeline/png.py — a real interchange format, so the pipelines
+exercise genuine PNG bytes even in this container), else the
+deterministic raw-RGBA stub (``FAKE_CODEC_MAGIC`` header +
+width/height + raw bytes), which stays the default for
+oracle-hashed fixtures because its bytes are codec-independent.
+Every operator is written against the decoded ``(h, w, 4) uint8``
+array, identical under all three codecs.
 
 Scale notes: tiles partition naturally by quadkey/zoom prefix
 (functions.geo.quadkey); pixel ops are embarrassingly parallel; the
@@ -58,13 +60,18 @@ def encode_tile(arr: np.ndarray, fmt: str = "frgb") -> bytes:
     h, w, c = arr.shape
     assert c == 4, "RGBA expected"
     if fmt == "png":
-        if not HAVE_PIL:
-            raise NotImplementedError("fmt='png' requires PIL, which is not installed")
-        import io
+        if HAVE_PIL:
+            import io
 
-        buf = io.BytesIO()
-        _PILImage.fromarray(arr.astype(np.uint8), mode="RGBA").save(buf, format="PNG")
-        return buf.getvalue()
+            buf = io.BytesIO()
+            _PILImage.fromarray(arr.astype(np.uint8), mode="RGBA").save(buf, format="PNG")
+            return buf.getvalue()
+        # no PIL: the in-repo pure-numpy codec (pipeline/png.py) — a
+        # real PNG stream (filter 0 + zlib), interchangeable with any
+        # external reader
+        from .png import png_encode
+
+        return png_encode(arr.astype(np.uint8))
     return FAKE_CODEC_MAGIC + struct.pack("<II", w, h) + arr.astype(np.uint8).tobytes()
 
 
@@ -80,9 +87,23 @@ def decode_tile(data: bytes) -> np.ndarray:
 
         with _PILImage.open(io.BytesIO(bytes(data))) as im:
             return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+    if bytes(data[:8]) == PNG_MAGIC:
+        # pure-numpy PNG reader (pipeline/png.py): depth-8 PNGs decode
+        # without PIL; normalize every colour type to RGBA
+        from .png import png_decode
+
+        a = png_decode(data)
+        if a.ndim == 2:  # greyscale
+            a = np.stack([a, a, a, np.full_like(a, 255)], axis=-1)
+        elif a.shape[2] == 2:  # grey + alpha
+            g = a[..., 0]
+            a = np.stack([g, g, g, a[..., 1]], axis=-1)
+        elif a.shape[2] == 3:  # RGB
+            a = np.concatenate([a, np.full_like(a[..., :1], 255)], axis=-1)
+        return np.ascontiguousarray(a, dtype=np.uint8)
     raise NotImplementedError(
-        "real image codecs (PNG/JPEG) unavailable in this environment; "
-        "binary column is not FAKE_CODEC formatted"
+        "no codec for this format in this environment (JPEG etc. need "
+        "PIL); binary column is not FAKE_CODEC or PNG formatted"
     )
 
 
