@@ -440,23 +440,37 @@ def test_enrich_customer_nation_literal_map_no_join(spark, sf_dir):
     assert "keys:" in plan or "map(" in plan.lower() or "Project" in plan
 
 
-def test_fact_join_strategy_follows_input_size(spark, sf_dir):
-    """order_revenue_top10's fact-to-fact join picks its physical
-    strategy from tune_for_input's measurement (the decision AQE
-    would make, but AQE is off in the tiny regime): untuned/at-scale
-    sessions get the spill-safe sort-merge; a measured-tiny session
-    gets shuffled-hash (two sorts of KB-sized sides are pure
-    overhead). Neither regime may broadcast the orders⋈cust
-    intermediate into the lineitem join."""
-    from utils_infra_spark.session import TINY_INPUT_CONF
-
-    spark.conf.unset(TINY_INPUT_CONF)
+def test_order_revenue_semi_filter_and_size_driven_join(spark, sf_dir):
+    """order_revenue_top10 expresses its customer join as a broadcast
+    LEFT SEMI (c_custkey is the PK and no customer column survives, so
+    the join is purely a filter on orders — one whole fact-side wide
+    join removed). The one remaining join, li ⋈ orders, has filtered
+    BASE TABLES on both sides, so its strategy comes from Catalyst's
+    file-size estimates: broadcast at KB scale; with broadcast off the
+    fallback must be the spill-safe sort-merge, never a plan that
+    materializes an intermediate through the driver."""
+    plan = plan_of(spark, sf_dir, "order_revenue_top10")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(spark, sf_dir, "order_revenue_top10")
-        assert "SortMergeJoin" in plan
-        spark.conf.set(TINY_INPUT_CONF, "true")
-        plan = plan_of(spark, sf_dir, "order_revenue_top10")
-        assert "ShuffledHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
-        spark.conf.unset(TINY_INPUT_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_nation_revenue_micro_dims_are_literal_maps(spark, sf_dir):
+    """nation_revenue folds the 25x5-row nation⋈region snowflake into
+    create_map literals: at most TWO join operators may remain in the
+    plan (li⋈orders, ⋈customer) — a regression to broadcast-joining
+    the micro-dims re-adds two per-execution BroadcastExchange builds
+    (each its own job, ~40-60 ms of scheduling for a 25-row build)."""
+    plan = plan_of(spark, sf_dir, "nation_revenue")
+    import re
+
+    # formatted explain shows each operator twice (tree + numbered
+    # detail); count the numbered detail headers only
+    joins = re.findall(r"\(\d+\) (?:\w*HashJoin|SortMergeJoin)", plan)
+    assert len(joins) <= 2, joins

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregations import dsum
-from ..session import is_tiny_input
+from ..operators.joins import literal_lookup_maps
 from ..sources import load_table
 from . import register
 
@@ -208,22 +208,27 @@ def derived_key_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H-Q3-shaped 3-way join + agg + top-k: the fact-to-fact shuffle-join plan the 100 TB tier must get right.",
 )
 def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    # c_custkey is the customer PK, so the inner join to customer is
+    # purely a FILTER on orders — expressed as a broadcast LEFT SEMI
+    # (the filtered segment is a fraction of an already-small dim; no
+    # customer column survives into the output). That removes a whole
+    # fact-side wide join: the only remaining join is li ⋈ orders,
+    # where both sides are (filtered) BASE TABLES, so Catalyst's
+    # file-size estimate picks broadcast at KB scale and spill-safe
+    # sort-merge at TB scale — and never sees a driver-materialized
+    # intermediate on the build side (the semi output's estimate stays
+    # the orders file size).
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    of = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # fact-to-fact join: never let the planner broadcast the
-    # orders⋈cust INTERMEDIATE (measured slower even at sf0.1 — the
-    # joined relation re-materializes through the driver per
-    # execution — and a gamble at 100 TB). Strategy by measured input
-    # size, the choice AQE would make where it's enabled: tiny input →
-    # shuffled hash (both sides are KBs; SMJ's two sorts are pure
-    # overhead, measured ~1.4x slower); at scale → sort-merge
-    # (spill-safe when a build partition can't fit memory).
-    fact_hint = "shuffle_hash" if is_tiny_input(spark) else "merge"
     return (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(li.hint(fact_hint), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(of, li["l_orderkey"] == of["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -261,13 +266,31 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of lineitem at all, measured fastest), at 100 TB the same
     # estimate keeps sort-merge. Only intermediates need protecting
     # from mis-broadcast (see order_revenue_top10).
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
-        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
-        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
-        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    # snowflake micro-dims (25 nations x 5 regions, fixed at ANY sf)
+    # bake into literal maps — two fewer BroadcastExchange builds per
+    # execution (each is its own job: ~40-60 ms of pure scheduling on
+    # a 25-row build). The pre-join of region into nation is INNER, so
+    # an unmatched nationkey looks up NULL and the where() reproduces
+    # inner-join drop semantics exactly.
+    dim = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    maps = literal_lookup_maps(dim, "n_nationkey", ["n_name", "r_name"])
+    if maps is None:  # dim outgrew the literal budget: broadcast join
+        enriched = joined.join(F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"]).select(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region"), revenue.alias("rev")
+        )
+    else:
+        enriched = joined.select(
+            maps["n_name"][F.col("c_nationkey")].alias("nation"),
+            maps["r_name"][F.col("c_nationkey")].alias("region"),
+            revenue.alias("rev"),
+        ).where(F.col("nation").isNotNull() & F.col("region").isNotNull())
+    return enriched.groupBy("nation", "region").agg(
+        dsum(F.col("rev"), "revenue"), F.count(F.lit(1)).alias("n_lineitems")
     )
 
 
