@@ -3,8 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Timing methodology: per query, execute the full plan AND deliver the
-result to the client with df.toPandas() (Arrow transfer) — the same
-work DuckDB's paired run does with fetch. Each query runs RUNS times
+result to the client as an Arrow table (df.toArrow()) — DuckDB's
+paired run fetches with .arrow(), the same columnar delivery (the
+earlier toPandas()/.df() pairing added an asymmetric-ish
+pandas-conversion tax on both engines; Arrow-to-Arrow is the
+narrower, equally-symmetric contract). Each query runs RUNS times
 through the registry's prepared-plan cache (queries/__init__.py):
 run 1 is cold — it additionally pays Python→JVM plan construction (a
 pure Py4J-latency constant, 0.05–0.5 s/query on this host) and
@@ -118,7 +121,7 @@ def _time_interleaved(
                 # select("*") = fresh QueryExecution over the cached
                 # logical plan: full re-plan AND full re-execution (no
                 # shuffle-output or broadcast reuse across runs)
-                q.plan(spark, sf_dir).select("*").toPandas()
+                q.plan(spark, sf_dir).select("*").toArrow()
                 spark_runs[name].append(round(time.perf_counter() - t0, 4))
                 # drop per-query persisted intermediates (e.g. LSH
                 # sketches) so runs and queries are timed independently
@@ -127,7 +130,7 @@ def _time_interleaved(
                 spark.catalog.clearCache()
                 if q.oracle is not None:
                     t0 = time.perf_counter()
-                    con.execute(q.oracle).df()
+                    con.execute(q.oracle).arrow()
                     duck_runs[name].append(round(time.perf_counter() - t0, 4))
             set_input_mode("parquet")
     con.close()
@@ -178,7 +181,7 @@ def main() -> None:
     floor_runs = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        floor_df.select("*").toPandas()
+        floor_df.select("*").toArrow()
         floor_runs.append(time.perf_counter() - t0)
     floor_sec = round(min(floor_runs[1:]), 4)
 
@@ -203,7 +206,8 @@ def main() -> None:
         "spark_runs": spark_runs,
         "duck_runs": duck_runs,
         "methodology": "prepared-plan; fresh QueryExecution per run (full re-exec, "
-        "task-count-tested); Arrow delivery both engines; per-run alternating "
+        "task-count-tested); Arrow-table delivery both engines (toArrow/.arrow); "
+        "per-run alternating "
         f"spark/duck pairing; {SWEEPS} time-separated sweeps x {RUNS} runs; "
         f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs"
         + ("; warm scans block-manager input cache (cold scans parquet)" if cached_input else ""),
