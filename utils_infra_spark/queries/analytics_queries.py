@@ -884,3 +884,52 @@ def _weekly_retention(spark: SparkSession, sf_dir: str, salt_buckets: int | None
         .agg(F.expr("COUNT(DISTINCT user_id) AS users"))
     )
 
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS em,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, em,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, COUNT(*) AS n_events,
+           (MAX(em) - MIN(em)) // 1000000 AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity closes a session): "
+    "LAG flags session starts, a running SUM numbers them, then per-session "
+    "stats. The batch analog of the streaming session window (T5) - the "
+    "reference keeps per-key activity state with a staleness TTL "
+    "(ais-proxy/server.js:193-208); this is the same boundary rule over "
+    "history. One shuffle on user_id feeds BOTH window passes (same "
+    "partitioning+ordering -> one sort), then one keyed aggregate on "
+    "(user_id, session_id); event_id tiebreak makes boundaries "
+    "deterministic under timestamp collisions.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", "ts", epoch_micros(ev, "ts").alias("em"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flag = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    sess = base.withColumn("new_sess", flag).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(MAX(em) - MIN(em)) DIV 1000000 AS duration_s"),
+    )
