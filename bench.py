@@ -68,7 +68,7 @@ HEADLINE = [
     "token_histogram",
 ]
 
-RUNS = 3  # spark runs per sweep; the very first is cold (plan build + codegen + JIT)
+RUNS = 4  # spark runs per sweep; the very first is cold (plan build + codegen + JIT)
 SWEEPS = 2  # full passes over the headline list, minutes apart
 
 
