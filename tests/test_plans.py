@@ -459,6 +459,18 @@ def test_order_revenue_semi_filter_and_size_driven_join(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # tiny-measured session: li ⋈ orders must be shuffled-hash (the
+    # broadcast build is a whole extra scheduling job at KB scale);
+    # the customer semi stays broadcast either way
+    from utils_infra_spark.session import TINY_INPUT_CONF
+
+    spark.conf.set(TINY_INPUT_CONF, "true")
+    try:
+        plan = plan_of(spark, sf_dir, "order_revenue_top10")
+        assert "ShuffledHashJoin" in plan
+        assert "LeftSemi" in plan
+    finally:
+        spark.conf.set(TINY_INPUT_CONF, "false")
 
 
 def test_nation_revenue_micro_dims_are_literal_maps(spark, sf_dir):

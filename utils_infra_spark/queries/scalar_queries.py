@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregations import dsum
 from ..operators.joins import literal_lookup_maps
+from ..session import is_tiny_input
 from ..sources import load_table
 from . import register
 
@@ -227,6 +228,16 @@ def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     of = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # tiny measured input: shuffled-hash instead of letting Catalyst
+    # broadcast the filtered orders side — the broadcast BUILD is its
+    # own scheduling job plus a hash of every surviving order row,
+    # which at KB scale costs more than the two 8-partition exchanges
+    # it avoids (A/B at sf0.1: 0.245 s broadcast vs 0.180 s SHJ warm).
+    # Untuned / at-scale sessions take Catalyst's stats-based choice
+    # (broadcast only while orders fits the threshold, else spill-safe
+    # sort-merge) — the same call AQE would make where it's enabled.
+    if is_tiny_input(spark):
+        of = of.hint("SHUFFLE_HASH")
     return (
         li.join(of, li["l_orderkey"] == of["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
