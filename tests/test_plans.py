@@ -399,6 +399,41 @@ def test_cached_input_fresh_select_reexecutes(spark, sf_dir):
         uncache_base_tables(spark)
 
 
+def test_cached_input_headline_equivalence(spark, sf_dir):
+    """Every headline query the bench times against the block-manager
+    input cache must answer EXACTLY as it does over the parquet scan —
+    otherwise the timed artifact measures a different computation.
+    Doubles as a partitioning-independence pin for the Arrow kernels
+    (top-k, bucketed pairs) and the minhash pipeline: the cached
+    copies are round-robin repartitioned, so any partition-order
+    sensitivity in a kernel or a quantization rule would surface here.
+    """
+    from bench import HEADLINE
+    from utils_infra_spark.sources.tables import (
+        cache_base_tables,
+        set_input_mode,
+        uncache_base_tables,
+    )
+
+    parquet_res = {}
+    for name in HEADLINE:
+        parquet_res[name] = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    cache_base_tables(spark, sf_dir, partitions=4, bytes_per_split=1)
+    set_input_mode("cached")
+    try:
+        for name in HEADLINE:
+            got = REGISTRY[name].fn(spark, sf_dir).toPandas()
+            want = parquet_res[name]
+            cols = list(want.columns)
+            assert list(got.columns) == cols, name
+            got = got.sort_values(cols).reset_index(drop=True)
+            want = want.sort_values(cols).reset_index(drop=True)
+            assert got.equals(want), f"{name}: cached-input result differs from parquet"
+    finally:
+        set_input_mode("parquet")
+        uncache_base_tables(spark)
+
+
 def test_input_cache_survives_clear_cache(spark, sf_dir):
     """bench.py calls spark.catalog.clearCache() between runs to drop
     per-query persisted intermediates; the base-table input cache
