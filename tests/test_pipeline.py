@@ -205,3 +205,68 @@ def test_shingles_sql_twin_matches_column_builder(spark):
         ).collect()
         for r in rows:
             assert r.a == r.b, (k, r)
+
+
+# ----------------------------------------------------- repetition signals
+def test_dup_line_and_paragraph_fractions(spark):
+    from utils_infra_spark.pipeline.text import (
+        dup_line_char_fraction,
+        dup_line_fraction,
+        dup_paragraph_fraction,
+        passes_repetition_filters,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\naa\nb"),          # 3 lines, 'aa' repeats: line frac 1/3, char frac 4/5
+            (2, "x\n\nx\n\nyy"),       # paragraphs x,x,yy: para frac 1/3
+            (3, "clean\ntext\nhere"),  # no repetition
+            (4, ""),                   # empty → all 0.0, passes
+        ],
+        "id int, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            dup_line_fraction("text").alias("lf"),
+            dup_paragraph_fraction("text").alias("pf"),
+            dup_line_char_fraction("text").alias("cf"),
+            passes_repetition_filters("text").alias("ok"),
+        ).collect()
+    }
+    assert abs(out[1].lf - 1 / 3) < 1e-6
+    assert abs(out[1].cf - 4 / 5) < 1e-6   # 'aa' twice = 4 chars of 5 total
+    assert not out[1].ok                   # 1/3 > 0.30 line threshold
+    assert abs(out[2].pf - 1 / 3) < 1e-6
+    assert out[3].lf == 0.0 and out[3].pf == 0.0 and out[3].cf == 0.0 and out[3].ok
+    assert out[4].lf == 0.0 and out[4].ok
+
+
+def test_top_ngram_stats(spark):
+    from utils_infra_spark.pipeline.text import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat sat"),  # top 2-gram 'the cat' x2, 7 chars, 19 total
+            (2, "one"),                  # too short for 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    assert out[1].top_gram == "the cat"
+    assert out[1].top_gram_count == 2
+    assert abs(out[1].top_gram_char_fraction - 2 * 7 / 19) < 1e-6
+    assert out[2].top_gram is None and out[2].top_gram_char_fraction == 0.0
+
+
+def test_top_ngram_stats_partition_independent(spark):
+    """max_by over (count, gram) structs must give the same winner
+    whatever the partitioning — the determinism contract."""
+    from utils_infra_spark.pipeline.text import top_ngram_stats
+
+    rows = [(i, "a b a b c d c d e") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {r.doc_id: (r.top_gram, r.top_gram_count) for r in top_ngram_stats(df.coalesce(1), "text", "doc_id").collect()}
+    many = {r.doc_id: (r.top_gram, r.top_gram_count) for r in top_ngram_stats(df.repartition(7), "text", "doc_id").collect()}
+    assert one == many
