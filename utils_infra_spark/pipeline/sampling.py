@@ -57,6 +57,13 @@ def assign_split(id_col: Column | str, fractions: dict[str, float]) -> Column:
     label takes the remainder (its fraction is implied — pass it for
     readability, it is not used). Every row gets exactly one label, and
     the same row gets the same label forever, on any engine.
+
+    Leakage-safe splitting: pass a GROUP key instead of the row id —
+    a URL domain, or the cluster id from
+    ``pipeline/cluster.py:connected_components`` over near-dup pairs
+    — and every member of the group lands in the same split, so
+    near-duplicates can never straddle train/validation. Still a
+    narrow projection: the group key is a row attribute, no shuffle.
     """
     labels = list(fractions)
     h = hash_prefix(id_col)
