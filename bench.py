@@ -159,10 +159,13 @@ def main() -> None:
     # warm runs will scan (the buffer-pool analog — docs/SCALE.md).
     # Build cost is measured and reported, not hidden. At production
     # input sizes this branch never runs and every scan is parquet.
-    from utils_infra_spark.session import TINY_INPUT_BYTES
+    # The gate IS tune_for_input's recorded measurement (not a local
+    # re-derivation), so the cached regime can never drift from the
+    # session tuning the artifact claims to pair with.
+    from utils_infra_spark.session import is_tiny_input
     from utils_infra_spark.sources.tables import cache_base_tables
 
-    cached_input = 0 < input_bytes < TINY_INPUT_BYTES
+    cached_input = input_bytes > 0 and is_tiny_input(spark)
     cache_partitions: dict[str, int] = {}
     cache_build_sec = 0.0
     if cached_input:

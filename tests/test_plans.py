@@ -521,3 +521,80 @@ def test_nation_revenue_micro_dims_are_literal_maps(spark, sf_dir):
     # detail); count the numbered detail headers only
     joins = re.findall(r"\(\d+\) (?:\w*HashJoin|SortMergeJoin)", plan)
     assert len(joins) <= 2, joins
+
+
+def test_literal_lookup_maps_empty_dim_falls_back(spark):
+    """A 0-row (or all-NULL-key) dim must return None — an
+    argument-less create_map() types as map<void,void> and any probe
+    against it fails analysis; the join path returns the correct
+    empty/all-NULL result instead."""
+    from utils_infra_spark.operators.joins import literal_lookup_maps
+
+    empty = spark.createDataFrame([], "k bigint, v string")
+    assert literal_lookup_maps(empty, "k", ["v"]) is None
+    all_null = spark.createDataFrame([(None, "x")], "k bigint, v string")
+    assert literal_lookup_maps(all_null, "k", ["v"]) is None
+
+
+def test_literal_map_inner_semantics_keep_null_values(spark):
+    """Key-membership (not value nullness) reproduces inner-join
+    drops: a dim row with matching keys but a NULL value must survive
+    and group under NULL, exactly as the broadcast join has it."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.operators.joins import literal_lookup_maps
+
+    dim = spark.createDataFrame([(1, None), (2, "b")], "k bigint, name string")
+    fact = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    maps = literal_lookup_maps(dim, "k", ["name"])
+    in_dim = F.array_contains(F.map_keys(maps["name"]), F.col("k"))
+    got = sorted(
+        (r.k, r.name)
+        for r in fact.where(in_dim).select("k", maps["name"][F.col("k")].alias("name")).collect()
+    )
+    want = sorted(
+        (r.k, r.name)
+        for r in fact.join(F.broadcast(dim), "k").select("k", "name").collect()
+    )
+    assert got == want == [(1, None), (2, "b")]
+
+
+def test_plan_cache_keys_on_tiny_input_measurement(spark, sf_dir):
+    """Builders bake size-gated physical hints into the plan, so the
+    prepared-plan cache must rebuild when the tune_for_input
+    measurement changes — not re-serve the stale strategy."""
+    from utils_infra_spark.session import TINY_INPUT_CONF
+
+    q = REGISTRY["order_revenue_top10"]
+    spark.conf.set(TINY_INPUT_CONF, "false")
+    try:
+        untuned = q.plan(spark, sf_dir)
+        spark.conf.set(TINY_INPUT_CONF, "true")
+        tuned = q.plan(spark, sf_dir)
+        assert tuned is not untuned
+        assert "ShuffledHashJoin" in plan_of_df(spark, tuned)
+        assert "ShuffledHashJoin" not in plan_of_df(spark, untuned)
+        # same measurement -> same prepared object
+        assert q.plan(spark, sf_dir) is tuned
+    finally:
+        spark.conf.set(TINY_INPUT_CONF, "false")
+
+
+def test_uncache_frees_block_manager_copies(spark, sf_dir):
+    """uncache_base_tables must free the actual checkpoint blocks:
+    the persistent-RDD set returns to its baseline (df.rdd.unpersist
+    on a derived RDD was a silent no-op)."""
+    from utils_infra_spark.sources.tables import (
+        _persistent_rdd_ids,
+        cache_base_tables,
+        set_input_mode,
+        uncache_base_tables,
+    )
+
+    base = _persistent_rdd_ids(spark)
+    cache_base_tables(spark, sf_dir, partitions=2, bytes_per_split=1)
+    set_input_mode("parquet")
+    after = _persistent_rdd_ids(spark)
+    assert after - base, "cache_base_tables left nothing persisted"
+    uncache_base_tables(spark)
+    assert _persistent_rdd_ids(spark) - base == set()

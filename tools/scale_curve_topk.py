@@ -19,11 +19,20 @@ import pyarrow.parquet as pq
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+if N % FILES != 0:
+    sys.exit(f"rows ({N}) must be divisible by files ({FILES}) so the corpus is exactly N rows")
 D = 64
 DATA = f"/tmp/scale_emb_{N}"
 
 if not os.path.exists(DATA):
-    os.makedirs(DATA)
+    # generate into a temp dir and rename so an interrupted run can
+    # never leave a partial corpus that later runs silently reuse
+    tmp = DATA + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     rng = np.random.default_rng(42)
     per = N // FILES
     for f in range(FILES):
@@ -36,7 +45,8 @@ if not os.path.exists(DATA):
                 "embedding": pa.FixedSizeListArray.from_arrays(flat, D).cast(pa.list_(pa.float32())),
             }
         )
-        pq.write_table(tbl, f"{DATA}/part{f:02d}.parquet")
+        pq.write_table(tbl, f"{tmp}/part{f:02d}.parquet")
+    os.rename(tmp, DATA)
     print(f"generated {N} rows in {FILES} files at {DATA}")
 
 import duckdb

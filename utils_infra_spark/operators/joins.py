@@ -48,13 +48,18 @@ def literal_lookup_maps(
     rows = dim.select(key, *dict.fromkeys(value_cols)).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         return None
+    # a NULL key never equi-matches in a join either
+    rows = [r for r in rows if r[key] is not None]
+    if not rows:
+        # an argument-less create_map() types as map<void,void> and any
+        # probe against it fails analysis — serve the join path instead,
+        # which returns the correct empty/all-NULL result
+        return None
     vtypes = dict(dim.select(*dict.fromkeys(value_cols)).dtypes)
     maps: dict[str, Column] = {}
     for vc in value_cols:
         entries: list[Column] = []
         for r in rows:
-            if r[key] is None:
-                continue  # a NULL key never equi-matches in a join either
             v = r[vc]
             entries.append(F.lit(r[key]))
             entries.append(F.lit(v) if v is not None else F.lit(None).cast(vtypes[vc]))

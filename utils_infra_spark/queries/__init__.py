@@ -54,10 +54,18 @@ class Query:
 
     def plan(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """Build (or re-serve) this query's DataFrame via the plan cache."""
+        from utils_infra_spark.session import is_tiny_input
+        from utils_infra_spark.sources.tables import prune_stopped_sessions
+
+        prune_stopped_sessions(_PLAN_CACHE)
         per = _PLAN_CACHE.get(spark)
         if per is None:
             per = _PLAN_CACHE[spark] = {}
-        key = (os.path.abspath(sf_dir), tables_input_mode(), self.name)
+        # the tiny-input measurement is part of the key: builders bake
+        # size-gated physical hints into the plan (e.g. the top-10
+        # shuffled-hash hint), so a plan built before tune_for_input
+        # ran must not be re-served after the measurement changes
+        key = (os.path.abspath(sf_dir), tables_input_mode(), is_tiny_input(spark), self.name)
         cached = per.get(key)
         if cached is None:
             cached = self.fn(spark, sf_dir)

@@ -284,8 +284,10 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bake into literal maps — two fewer BroadcastExchange builds per
     # execution (each is its own job: ~40-60 ms of pure scheduling on
     # a 25-row build). The pre-join of region into nation is INNER, so
-    # an unmatched nationkey looks up NULL and the where() reproduces
-    # inner-join drop semantics exactly.
+    # inner-drop semantics are reproduced by KEY MEMBERSHIP in the
+    # literal map (not value nullness: a dim row with a NULL name but
+    # matching keys survives an inner join and must group under NULL,
+    # exactly as the broadcast fallback below has it).
     dim = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]).select(
         "n_nationkey", "n_name", "r_name"
     )
@@ -295,11 +297,12 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.col("r_name").alias("region"), revenue.alias("rev")
         )
     else:
-        enriched = joined.select(
+        in_dim = F.array_contains(F.map_keys(maps["n_name"]), F.col("c_nationkey"))
+        enriched = joined.where(in_dim).select(
             maps["n_name"][F.col("c_nationkey")].alias("nation"),
             maps["r_name"][F.col("c_nationkey")].alias("region"),
             revenue.alias("rev"),
-        ).where(F.col("nation").isNotNull() & F.col("region").isNotNull())
+        )
     return enriched.groupBy("nation", "region").agg(
         dsum(F.col("rev"), "revenue"), F.count(F.lit(1)).alias("n_lineitems")
     )

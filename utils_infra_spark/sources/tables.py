@@ -54,6 +54,10 @@ _TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 # so `spark.catalog.clearCache()` between bench runs cannot drop it.
 _INPUT_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
+# session -> {"ids": set[int]} of the persistent RDD ids the input
+# cache created, so uncache_base_tables can free the real blocks
+_INPUT_CACHE_RDD_IDS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
 # Which copy load_table serves: "parquet" (default — pushdown-friendly
 # scans, the only mode that exists at 100 TB) or "cached" (block-
 # manager copy, opt-in for warm benchmark runs on tiny inputs where
@@ -74,7 +78,26 @@ def set_input_mode(mode: str) -> None:
     _input_mode = mode
 
 
+def prune_stopped_sessions(cache: weakref.WeakKeyDictionary) -> None:
+    """Evict entries whose session's SparkContext is stopped.
+
+    Weak keying alone cannot collect them: a cached DataFrame holds a
+    strong reference back to its session (``DataFrame._session``), so
+    a dict entry keeps its own key alive forever. Pruning on access
+    breaks that cycle for sessions that can never serve again (their
+    context is gone), bounding the caches to live sessions.
+    """
+    for sess in list(cache.keys()):
+        try:
+            stopped = sess._sc._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            cache.pop(sess, None)
+
+
 def _per_session(cache: weakref.WeakKeyDictionary, spark: SparkSession) -> dict:
+    prune_stopped_sessions(cache)
     per = cache.get(spark)
     if per is None:
         per = cache[spark] = {}
@@ -152,6 +175,7 @@ def cache_base_tables(
     if bytes_per_split is None:
         bytes_per_split = _CACHE_BYTES_PER_SPLIT
     per = _per_session(_INPUT_CACHE, spark)
+    ids = _per_session(_INPUT_CACHE_RDD_IDS, spark).setdefault("ids", set())
     placed: dict[str, int] = {}
     for name in TABLE_NAMES:
         key = (os.path.abspath(sf_dir), name)
@@ -164,22 +188,48 @@ def cache_base_tables(
             size = 0
         n = max(1, min(partitions, size // max(1, bytes_per_split)))
         df = load_table(spark, sf_dir, name)
+        before = _persistent_rdd_ids(spark)
         per[key] = df.repartition(n).localCheckpoint(eager=True)
+        # record which persistent RDDs this checkpoint created so
+        # uncache can free the actual blocks (df.rdd on the
+        # checkpointed frame derives a NEW un-persisted RDD — calling
+        # unpersist on it would be a silent no-op)
+        ids.update(_persistent_rdd_ids(spark) - before)
         placed[name] = n
     return placed
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of this context's persisted RDDs (JVM block-manager view)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+    except Exception:
+        return set()
+
+
 def uncache_base_tables(spark: SparkSession) -> None:
-    """Drop this session's block-manager copies (test hygiene)."""
+    """Drop this session's block-manager copies (test hygiene).
+
+    Unpersists the checkpointed RDDs by the ids recorded at
+    materialization time — the only handle that actually frees the
+    blocks (the previous ``df.rdd.unpersist()`` acted on a freshly
+    derived RDD that was never persisted).
+    """
     per = _INPUT_CACHE.get(spark)
-    if not per:
-        return
-    for df in per.values():
+    ids_entry = _INPUT_CACHE_RDD_IDS.get(spark)
+    ids = ids_entry.get("ids", set()) if ids_entry else set()
+    if ids:
         try:
-            df.rdd.unpersist()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                if rid in ids:
+                    jmap.get(rid).unpersist(False)
         except Exception:
             pass
-    per.clear()
+        ids.clear()
+    if per:
+        per.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -221,6 +271,20 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
     except Exception:  # multi-source / non-file plans: keep the exchange
         files = []
     if not files:
+        # size-gated callers (min_bytes > 0) in a session whose whole
+        # input tune_for_input measured as tiny: the file-size gate
+        # can't see a block-manager scan, but the session measurement
+        # already answered the same question — below the gate the
+        # exchange is pure latency (token_histogram A/B: 1 cached
+        # partition 0.15 s vs repartition(32) 0.25 s). Compute-heavy
+        # callers pass min_bytes=0 and keep their exchange. Checked
+        # FIRST — it is one conf read, while the partition probe below
+        # compiles the physical plan and materializes a Py4J RDD.
+        if min_bytes > 0:
+            from utils_infra_spark.session import is_tiny_input
+
+            if is_tiny_input(df.sparkSession):
+                return df
         # non-file scan (e.g. the block-manager input cache): if the
         # physical plan already carries >= `partitions` partitions the
         # exchange adds nothing — the cached copy was repartitioned at
@@ -230,18 +294,6 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
                 return df
         except Exception:
             pass  # streaming/unresolvable plans: keep the exchange
-        # size-gated callers (min_bytes > 0) in a session whose whole
-        # input tune_for_input measured as tiny: the file-size gate
-        # can't see a block-manager scan, but the session measurement
-        # already answered the same question — below the gate the
-        # exchange is pure latency (token_histogram A/B: 1 cached
-        # partition 0.15 s vs repartition(32) 0.25 s). Compute-heavy
-        # callers pass min_bytes=0 and keep their exchange.
-        if min_bytes > 0:
-            from utils_infra_spark.session import is_tiny_input
-
-            if is_tiny_input(df.sparkSession):
-                return df
     if files:
         # many-splits layout: already parallel, shuffle adds nothing
         if len(files) >= partitions:
