@@ -25,20 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 from utils_infra_spark.sources.tables import input_mode as tables_input_mode
 
 
-# Prepared-plan cache: session -> {(sf_dir, input mode, query name)
-# -> DataFrame}. A DataFrame is an immutable logical plan, so
-# re-serving the same object for the same (session, input, query) is
+# Prepared-plan cache: session -> {(sf_dir, input mode, tiny-input
+# measurement, query name) -> DataFrame}. A DataFrame is an immutable
+# logical plan, so re-serving the same object for the same key is
 # semantically a no-op — it skips only the driver-side plan
 # RE-construction (Python → JVM expression building, ~0.05-0.5 s per
 # query under Py4J latency; see docs/SCALE.md). The same idea as
 # load_table's table cache, one level up: any engine that fields
 # repeated named queries keeps a prepared-plan cache keyed by query
-# identity. Keyed WEAKLY on the session OBJECT (not applicationId —
+# identity. Keyed on the session OBJECT (not applicationId —
 # spark.newSession() siblings share an appId but not confs/temp
-# views, and a dict keyed by appId would both cross-serve them and
-# grow unboundedly); entries die with their session. The input mode
-# is part of the key because "parquet" and "cached" modes bind the
-# same query name to different table scans (sources/tables.py).
+# views, and a dict keyed by appId would cross-serve them); weak keys
+# plus prune_stopped_sessions on access bound the cache to live
+# sessions (weak keys alone can't — a cached DataFrame strongly
+# references its session). The input mode and tiny measurement are
+# part of the key because they bind the same query name to different
+# scans / physical hints (sources/tables.py, session.py).
 # Constraint (documented, not checked): data under sf_dir is
 # immutable for the session's lifetime — a cached plan pins the file
 # listing captured at first build.
