@@ -36,10 +36,12 @@ TABLE_NAMES = (
 # to every query is safe and skips the per-read file listing + footer
 # read (~80 ms each on the driver — pure fixed overhead that
 # multiplies by tables-per-query × queries-per-session). Keyed by
-# SESSION OBJECT identity (weakly — entries die with their session):
-# sibling sessions from spark.newSession() share an applicationId but
-# not confs/temp views, so an appId key could serve one session's
-# plan to another. Constraint (documented, not checked): the parquet
+# SESSION OBJECT identity — sibling sessions from spark.newSession()
+# share an applicationId but not confs/temp views, so an appId key
+# could serve one session's plan to another. Weak keys plus
+# prune_stopped_sessions on access bound the cache to live sessions
+# (weak keys alone can't: a cached DataFrame strongly references its
+# session). Constraint (documented, not checked): the parquet
 # under sf_dir is immutable for the session's lifetime — the cached
 # plan pins the file listing captured at first build.
 _TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
