@@ -318,3 +318,16 @@ def test_point_in_polygon_unrolled_matches_hof_fold(spark):
     ).collect()
     for r in rows:
         assert r.a == r.b == r.b_open
+
+
+def test_template_round_matches_js_math_round(spark):
+    """'{{x|round}}' must follow JS Math.round (half toward +Infinity,
+    ref display-proxy/index.html:1075): Math.round(-2.5) is -2, where
+    Spark's HALF_UP would give -3."""
+    from utils_infra_spark.plans.templates import compile_template
+
+    df = spark.createDataFrame(
+        [(1, -2.5), (2, 2.5), (3, -2.4), (4, 2.4)], "id int, x double"
+    )
+    out = {r.id: r.s for r in df.select("id", compile_template("{{x|round}}").alias("s")).collect()}
+    assert out == {1: "-2", 2: "3", 3: "-2", 4: "2"}

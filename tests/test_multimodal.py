@@ -129,8 +129,11 @@ def test_mbtiles_sink(spark, tiles, tmp_path):
     assert bytes(blob) == synth_tile(7, 1, 1)  # y=1 → row 126
     assert con.execute("SELECT value FROM metadata WHERE name='name'").fetchone() == ("test",)
     # idempotent resume: second write with INSERT OR IGNORE adds nothing
-    n2 = write_mbtiles(tiles, path)
+    n2 = write_mbtiles(tiles, path, metadata={"name": "test", "format": "frgb"})
     assert n2 == 16
+    # metadata stays single-valued per key across resume re-runs
+    # (INSERT OR REPLACE + unique index on name)
+    assert con.execute("SELECT count(*) FROM metadata WHERE name='name'").fetchone() == (1,)
     con.close()
 
 

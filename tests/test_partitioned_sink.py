@@ -81,3 +81,22 @@ def test_partitioned_write_salt_caps_files(spark, sf_dir, tmp_path):
         assert 1 <= len(files) <= 3, (d, files)
     n = spark.read.parquet(out).count()
     assert n == ev.count()
+
+
+def test_partitioned_write_accepts_struct_columns(spark, tmp_path):
+    """The whole-row salt must accept every column type (xxhash64) —
+    the earlier concat_ws salt crashed on struct/map columns."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.sinks.partitioned import write_partitioned_parquet
+
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("day"),
+        F.struct(F.col("id").alias("a"), (F.col("id") * 2).alias("b")).alias("props"),
+        F.col("id"),
+    )
+    out = str(tmp_path / "structed")
+    write_partitioned_parquet(df, out, ["day"], files_per_partition=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert back.where("props.a = 3").count() == 1

@@ -368,3 +368,43 @@ def test_stream_cms_foreachbatch_merge_equals_batch(spark, tmp_path):
     }
     got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged["df"].collect()}
     assert got == expected
+
+
+def test_stream_upsert_accepts_structtype_state_schema(spark, tmp_path):
+    """The StructType state_schema path must get the same appended
+    __ts_/__tb_ guard fields as the DDL-string path — a schema without
+    them mis-sizes state.update and mis-zips on restore."""
+    from pyspark.sql.types import StructType
+
+    src = str(tmp_path / "stream_src_st")
+    write_batches(src)
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    upserts = keyed_upsert_stream(
+        stream,
+        "mmsi",
+        "ts",
+        VALUE_COLS,
+        output_schema="mmsi int, ts timestamp, lat double, lon double, name string, ship_type double",
+        state_schema=StructType.fromDDL(
+            "ts timestamp, lat double, lon double, name string, ship_type double"
+        ),
+    )
+    q = (
+        upserts.writeStream.format("memory")
+        .queryName("upsert_states_structtype")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_st"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM upsert_states_structtype").toPandas()
+    final = updates.sort_values("ts", kind="stable").drop_duplicates("mmsi", keep="last").set_index("mmsi")
+    batch_df = spark.read.schema(SCHEMA).json(src)
+    want = keyed_upsert_batch(batch_df, "mmsi", "ts", VALUE_COLS).toPandas().set_index("mmsi")
+    assert sorted(final.index) == sorted(want.index) == [1, 2, 3]
+    for key in want.index:
+        for c in VALUE_COLS:
+            assert (final.loc[key, c] == want.loc[key, c]) or (
+                final.loc[key, c] != final.loc[key, c] and want.loc[key, c] != want.loc[key, c]
+            ), (key, c)

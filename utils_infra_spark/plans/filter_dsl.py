@@ -78,6 +78,15 @@ def parse_filter(expr: str) -> FilterNode:
 
     Mirrors ``parseFilter`` tak-cot-proxy/index.mjs:125-179: split on
     ' and ' first, then classify each term.
+
+    Grammar limits inherited from the reference (its splits are
+    quote-blind too): a quoted VALUE must not contain the token
+    ``' and '`` and an in-list element must not contain ``,`` — both
+    split before quotes are interpreted. Divergence, deliberately: the
+    reference console-warns and silently DROPS an unparseable term
+    (a malformed config filter weakens to a broader match); this
+    engine raises ValueError so a bad filter fails loudly instead of
+    returning wrong rows.
     """
     expr = expr.strip()
     parts = re.split(r"\s+and\s+", expr)

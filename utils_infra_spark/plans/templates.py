@@ -35,7 +35,11 @@ def _apply_modifier(col: Column, mod: str | None, arg: str | None, now: Column |
         # thousands grouping (format_number would add commas)
         return F.format_string(f"%.{int(arg or 0)}f", col.cast("double"))
     if mod == "round":
-        return F.round(col.cast("double"), 0).cast("long").cast("string")
+        # floor(x + 0.5), NOT F.round: the reference is JS Math.round
+        # (display-proxy/index.html:1075), which rounds halves toward
+        # +Infinity — Math.round(-2.5) = -2 — while Spark's HALF_UP
+        # rounds away from zero (-3)
+        return F.floor(col.cast("double") + F.lit(0.5)).cast("long").cast("string")
     if mod == "date":
         from ..functions.datetimes import nz_local
 

@@ -12,8 +12,8 @@ the reference's behavior: unique index on (z, x, y), TMS y-flip
 
 from __future__ import annotations
 
-import glob
 import os
+import shutil
 import sqlite3
 from collections.abc import Iterator
 
@@ -25,6 +25,7 @@ _SCHEMA_SQL = (
     "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles"
     " (zoom_level, tile_column, tile_row);"
     "CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT);"
+    "CREATE UNIQUE INDEX IF NOT EXISTS metadata_name ON metadata (name);"
 )
 
 
@@ -78,6 +79,14 @@ def write_mbtiles(
     not a plan flaw — for unbounded tile sets, shard the OUTPUT
     (one MBTiles per region/zoom) instead of asking one file to
     absorb a cluster's write rate.
+
+    Deployment contract: ``path`` must be a filesystem visible to BOTH
+    executors and driver — local disk in local mode (this sandbox), a
+    shared mount (NFS/FUSE-mounted object store) on a cluster. On a
+    multi-node cluster without a shared mount the shard handoff cannot
+    work (tasks write local files the driver can't ATTACH); stage
+    shards through shared storage or run the sink in a single-node
+    job, exactly as the reference's single-process script does.
     """
     shard_dir = path + ".shards"
     os.makedirs(shard_dir, exist_ok=True)
@@ -96,12 +105,15 @@ def write_mbtiles(
         con.commit()
         con.execute("DETACH DATABASE shard")
         os.remove(shard)
-    # unlisted leftovers (from task retries) are garbage — clean them
-    for stray in glob.glob(os.path.join(shard_dir, "shard-*.sqlite")):
-        os.remove(stray)
-    os.rmdir(shard_dir)
+    # unlisted leftovers (from task retries) are garbage — clean them,
+    # tolerating a zombie attempt still dropping files (the merge is
+    # already complete and correct; cleanup must not fail the write)
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    # REPLACE keeps metadata single-valued per key across resume
+    # re-runs (the tiles side gets the same via INSERT OR IGNORE +
+    # the unique index; re-running with new metadata updates it)
     for k, v in (metadata or {}).items():
-        con.execute("INSERT INTO metadata (name, value) VALUES (?, ?)", (k, v))
+        con.execute("INSERT OR REPLACE INTO metadata (name, value) VALUES (?, ?)", (k, v))
     con.commit()
     (total,) = con.execute("SELECT count(*) FROM tiles").fetchone()
     con.close()

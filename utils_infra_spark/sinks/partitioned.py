@@ -41,7 +41,10 @@ def write_partitioned_parquet(
     without the N×P file explosion), sort within write tasks for
     row-group stats, bound file size.
     """
-    salt = (F.crc32(F.concat_ws("\x00", *df.columns)) % files_per_partition).alias("__salt")
+    # whole-row salt via xxhash64 (accepts every column type, struct/
+    # map included — concat_ws-based salts crash on non-atomic
+    # columns) — the same deterministic spread operators/skew.py uses
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)).alias("__salt")
     keyed = df.withColumn("__salt", salt)
     arranged = keyed.repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
     if sort_cols:

@@ -124,10 +124,16 @@ def keyed_upsert_stream(
     automatically. Pass the same ``tiebreak`` to
     ``keyed_upsert_batch`` for parity on tied event times.
     """
+    guard_ddl = ", ".join(f"__ts_{c} timestamp" for c in value_cols)
+    if tiebreak is not None:
+        guard_ddl += ", " + ", ".join(f"__tb_{c} {tiebreak_type}" for c in value_cols)
     if isinstance(state_schema, str):
-        state_schema = state_schema + ", " + ", ".join(f"__ts_{c} timestamp" for c in value_cols)
-        if tiebreak is not None:
-            state_schema += ", " + ", ".join(f"__tb_{c} {tiebreak_type}" for c in value_cols)
+        state_schema = state_schema + ", " + guard_ddl
+    else:
+        # StructType path gets the same appended guard fields — the
+        # state tuple below always carries them, so a caller-provided
+        # StructType without them would mis-zip on restore
+        state_schema = StructType(list(state_schema.fields) + list(StructType.fromDDL(guard_ddl).fields))
 
     # state layout: ts, then value columns, then one per-field
     # event-time per value column (the newest-wins guard), then the
@@ -183,8 +189,26 @@ def sampled_side_effect(
             lambda df, bid: sampled_side_effect(df, bid, p=0.01, effect=fn)
         )
     """
-    sampled = batch_df.where(F.rand(seed + batch_id) < p)
-    n = sampled.count()
-    if n:
-        effect(sampled, batch_id)
+    # localCheckpoint the (tiny) sample so the count action and the
+    # effect's own action(s) scan the micro-batch source ONCE, not
+    # once each — this is the streaming hot path, every trigger; the
+    # checkpoint blocks are freed by id when the trigger is done
+    from ..sources.tables import _persistent_rdd_ids
+
+    spark = batch_df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    sampled = batch_df.where(F.rand(seed + batch_id) < p).localCheckpoint(eager=True)
+    new_ids = _persistent_rdd_ids(spark) - before
+    try:
+        n = sampled.count()
+        if n:
+            effect(sampled, batch_id)
+    finally:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                if rid in new_ids:
+                    jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
     return n
