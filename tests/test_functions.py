@@ -138,10 +138,13 @@ def test_valid_mmsi_branches(spark):
         (512000001, True),   # standard vessel, MID at 1-3
         (316001234, True),   # standard vessel
         (123456789, False),  # MID 123 not in set
-        (5120001, False),    # 7 digits — not 9
+        (5120001, True),     # 7 digits: short base station (ref accepts 7-9)
+        (51200001, True),    # 8 digits: short base station
+        (3160001, True),     # 7-digit short base station, CA MID
+        (985120001, False),  # '98' has no branch in the reference: standard MID 985 invalid
+        (123456, False),     # 6 digits — too short
         (51200000111, False),  # 11 digits
         (995123456, True),   # AtoN: '99' prefix, MID at 3-5
-        (985120001, True),   # craft-associated: '98' prefix
         (111512001, True),   # SAR aircraft: '111' prefix, MID at 4-6
         (111316000, True),   # SAR aircraft
         (111123456, False),  # SAR with bad MID
@@ -151,6 +154,16 @@ def test_valid_mmsi_branches(spark):
     got = {r.mmsi: r.ok for r in df.select("mmsi", valid_mmsi("mmsi", mids).alias("ok")).collect()}
     for mmsi, want in cases:
         assert got[mmsi] is want, (mmsi, got[mmsi], want)
+    # string-typed MMSIs keep leading zeros → prefixed branches
+    scases = [
+        ("005120001", True),   # coast station '00' + NZ MID
+        ("051200012", True),   # group call '0' + NZ MID
+        ("001230001", False),  # coast station with bad MID
+    ]
+    sdf = spark.createDataFrame([(m,) for m, _ in scases], "mmsi string")
+    sgot = {r.mmsi: r.ok for r in sdf.select("mmsi", valid_mmsi("mmsi", mids).alias("ok")).collect()}
+    for mmsi, want in scases:
+        assert sgot[mmsi] is want, (mmsi, sgot[mmsi], want)
 
 
 def test_nztm_known_point(spark):
@@ -331,3 +344,43 @@ def test_template_round_matches_js_math_round(spark):
     )
     out = {r.id: r.s for r in df.select("id", compile_template("{{x|round}}").alias("s")).collect()}
     assert out == {1: "-2", 2: "3", 3: "-2", 4: "2"}
+
+
+def test_point_in_polygon_open_ring_all_variants_agree(spark):
+    """An OPEN ring (no repeated first vertex) must include its
+    closing edge in every variant: HOF fold, SQL-text twin, and the
+    plan-time unrolled twin. Point (-5, 5) is OUTSIDE the open square
+    [(0,0),(10,0),(10,10),(0,10)] — without the closing (0,10)->(0,0)
+    edge the even-odd count is 1 and it reads inside."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.functions.geo import (
+        point_in_polygon,
+        point_in_polygon_sql,
+        point_in_polygon_unrolled_sql,
+        ring_sql,
+    )
+
+    open_sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    closed_sq = open_sq + [open_sq[0]]
+    pts = [(-5.0, 5.0, False), (5.0, 5.0, True), (15.0, 5.0, False), (5.0, -1.0, False)]
+    df = spark.createDataFrame([(x, y) for x, y, _ in pts], "x double, y double")
+    for coords in (open_sq, closed_sq):
+        ring = F.expr(ring_sql(coords))
+        got_hof = [r[0] for r in df.select(point_in_polygon(F.col("x"), F.col("y"), ring)).collect()]
+        got_sql = [r[0] for r in df.select(F.expr(point_in_polygon_sql("x", "y", ring_sql(coords)))).collect()]
+        got_unr = [r[0] for r in df.select(F.expr(point_in_polygon_unrolled_sql("x", "y", coords))).collect()]
+        want = [w for _, _, w in pts]
+        assert got_hof == got_sql == got_unr == want, (coords, got_hof, got_sql, got_unr)
+
+
+def test_asof_join_null_payload_field_survives(spark):
+    """The matched right ROW's legitimately-NULL field must come
+    through as NULL (merge_asof semantics) — not be skipped in favor
+    of an older right row's value."""
+    from utils_infra_spark.operators.temporal import asof_backward_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, t int")
+    right = spark.createDataFrame([(1, 1, 5.0), (1, 2, None)], "k int, t int, price double")
+    [row] = asof_backward_join(left, right, "k", "t", "t", ["price"]).collect()
+    assert row.matched_price is None

@@ -59,3 +59,16 @@ def test_template_ago_modifier(spark):
     now = F.lit("2026-02-20 12:00:00").cast("timestamp")
     out = df.select(compile_template("seen {{ts|ago}}", now=now).alias("s")).first().s
     assert out == "seen 30m ago"
+
+
+def test_extract_survives_void_elements(spark):
+    """<br>/<img> never close; counting them toward depth loses every
+    match from the first void tag onward."""
+    from utils_infra_spark.sources.html import extract_by_class
+
+    pages = spark.createDataFrame(
+        [(1, '<div class="row">Queenstown<br>120 customers</div><div class="row">Cromwell<img src="x.png"></div>')],
+        "page_id long, html string",
+    )
+    got = [r.text for r in extract_by_class(pages, "row").orderBy("element_index").collect()]
+    assert got == ["Queenstown 120 customers", "Cromwell"]

@@ -96,13 +96,27 @@ def test_normalize_any_union(raw):
 
 def test_unmatched_dead_letter(raw):
     corrupt = {r.corrupt_record for r in unmatched_records(raw).collect()}
-    # claimed-by-no-branch: garbage, unknown shape, non-numeric APRS
-    # callsign. INVALID_COORDS is claimed (minimal shape) but dropped
-    # by the validity filter — wrong VALUES, not an unknown FORMAT.
-    assert corrupt == {GARBAGE, UNKNOWN_SHAPE, APRS_ALPHA_CALL}
+    # dead letter = every payload that produced NO canonical row:
+    # unknown formats (garbage, unknown shape, non-numeric APRS
+    # callsign) AND known-shape payloads whose records all failed the
+    # validity filter (INVALID_COORDS) — so output ∪ dead-letter
+    # covers the input and nothing can vanish silently (T6)
+    assert corrupt == {GARBAGE, UNKNOWN_SHAPE, APRS_ALPHA_CALL, INVALID_COORDS}
 
 
 def test_canonical_schema(raw):
     from utils_infra_spark.sources.normalize import CANONICAL_FIELDS
 
     assert tuple(normalize_any(raw).columns) == CANONICAL_FIELDS
+
+
+def test_array_payload_with_leading_whitespace_routed(spark):
+    """A newline/tab-prefixed array payload must still hit the array
+    branch (trim() strips only 0x20 spaces)."""
+    df = spark.createDataFrame(
+        [('\n\t [{"mmsi": 512000042, "lat": -41.0, "lon": 174.0, "event_ts": "2024-01-15T08:30:00Z"}]',)],
+        "raw string",
+    )
+    rows = normalize_any(df).collect()
+    assert [r.mmsi for r in rows] == [512000042]
+    assert unmatched_records(df).count() == 0

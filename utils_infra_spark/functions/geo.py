@@ -145,16 +145,20 @@ def point_in_polygon(lon: Column, lat: Column, ring: Column) -> Column:
 
     ``ring`` is ``array<struct<x:double,y:double>>`` (closed or open).
     Classic even-odd rule: count edges whose (y-range straddles the
-    point) and (x-intersection right of the point).
+    point) and (x-intersection right of the point). Edges wrap via
+    ``(i+1) % n`` so an OPEN ring gets its closing edge; on a closed
+    ring the wrap edge is degenerate (identical endpoints → never
+    straddles) and contributes nothing.
     """
     n = F.size(ring)
-    idx = F.sequence(F.lit(0), n - F.lit(2))  # edge i: ring[i] → ring[i+1]
+    idx = F.sequence(F.lit(0), n - F.lit(1))  # edge i: ring[i] → ring[(i+1) % n]
 
     def crosses(i: Column) -> Column:
+        j = (i + 1) % n
         xi = F.element_at(ring, i + 1)["x"]
         yi = F.element_at(ring, i + 1)["y"]
-        xj = F.element_at(ring, i + 2)["x"]
-        yj = F.element_at(ring, i + 2)["y"]
+        xj = F.element_at(ring, j + 1)["x"]
+        yj = F.element_at(ring, j + 1)["y"]
         straddles = (yi > lat) != (yj > lat)
         x_int = (xj - xi) * (lat - yi) / (yj - yi) + xi
         return F.when(straddles & (lon < x_int), 1).otherwise(0)
@@ -185,7 +189,7 @@ def point_in_polygon_unrolled_sql(lon: str, lat: str, coords: list[tuple[float, 
     if not pts:
         return "false"  # empty ring contains nothing (degenerate input)
     if pts[0] != pts[-1]:
-        pts.append(pts[0])  # close an open ring, like size(ring)-2 does
+        pts.append(pts[0])  # close an open ring, like the runtime fold's modulo wrap does
     terms = []
     for (xi, yi), (xj, yj) in zip(pts, pts[1:]):
         if yi == yj:
@@ -209,13 +213,15 @@ def point_in_polygon_sql(lon: str, lat: str, ring: str) -> str:
     appears several times in the text (Catalyst constant-folds
     literal rings either way).
     """
-    # SQL array indexing is 0-based (element_at is the 1-based form)
+    # SQL array indexing is 0-based (element_at is the 1-based form);
+    # edges wrap via (i+1) % size so open rings get their closing edge
+    # (degenerate no-op on closed rings), matching point_in_polygon
     xi, yi = f"{ring}[i].x", f"{ring}[i].y"
-    xj, yj = f"{ring}[i+1].x", f"{ring}[i+1].y"
+    xj, yj = f"{ring}[(i+1) % size({ring})].x", f"{ring}[(i+1) % size({ring})].y"
     straddles = f"(({yi} > {lat}) != ({yj} > {lat}))"
     x_int = f"(({xj} - {xi}) * ({lat} - {yi}) / ({yj} - {yi}) + {xi})"
     return (
-        f"((aggregate(sequence(0, size({ring}) - 2), 0, (acc, i) -> "
+        f"((aggregate(sequence(0, size({ring}) - 1), 0, (acc, i) -> "
         f"acc + (CASE WHEN {straddles} AND ({lon} < {x_int}) THEN 1 ELSE 0 END)) % 2) = 1)"
     )
 

@@ -9,6 +9,8 @@ character classes it actually sees.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -45,9 +47,18 @@ def zero_pad(col: Column | str, width: int) -> Column:
 
 def extract_embedded_json(col: Column | str, var_name: str) -> Column:
     """Extract `window.<var> = {...};`-style embedded JSON from HTML
-    (S6; ref power-outages/scrapers/orion.js:5-38)."""
+    (S6; ref power-outages/scrapers/orion.js:5-38).
+
+    `(?s)` so the payload may span lines (the reference's `[\\s\\S]*?`
+    does the same — pretty-printed embedded JSON is the common case);
+    ``var_name`` is regex-escaped so names with metacharacters (e.g.
+    `$data`) match literally. Like the reference's non-greedy body,
+    a `};`/`];` INSIDE a string value still terminates the match —
+    the grammar contract is that the embedded value contains no
+    escaped terminator sequence.
+    """
     col = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(col, rf"{var_name}\s*=\s*(\[.*?\]|\{{.*?\}})\s*;", 1)
+    return F.regexp_extract(col, rf"(?s){re.escape(var_name)}\s*=\s*(\[.*?\]|\{{.*?\}})\s*;", 1)
 
 
 def callsign_fallback(callsign: Column | str, *fallbacks: Column | str) -> Column:

@@ -48,27 +48,32 @@ def prefix_in_set(col: Column | str, prefix_len: int, valid: Iterable[str]) -> C
 def valid_mmsi(col: Column | str, valid_mids: Iterable[str]) -> Column:
     """Full MMSI validation (F2; ref ais-proxy/server.js:77-94).
 
-    Reproduces the reference's five format branches over the string
-    form of the MMSI, with the MID (3-digit country code) checked
-    against the broadcast ITU set:
-      - standard vessel: 9 digits, MID at position 1-3
+    Reproduces the reference's branches over ``String(mmsi)`` — note a
+    numeric MMSI loses leading zeros in the reference too, so the
+    prefixed classes only arise from string inputs — with the MID
+    (3-digit country code) checked against the broadcast ITU set, in
+    the reference's branch order:
+      - AtoN:            9 digits starting '99', MID at 3-5
+      - SAR aircraft:    9 digits starting '111', MID at 4-6
       - coast station:   9 digits starting '00', MID at 3-5
       - group call:      9 digits starting '0' (single), MID at 2-4
-      - SAR aircraft:    9 digits starting '111', MID at 4-6
-      - AtoN / craft:    9 digits starting '99'/'98', MID at 3-5
-    Anything not 9 digits is invalid.
+      - standard vessel / short base station: 7-9 digits, MID at 1-3
+        (the reference accepts 7- and 8-digit short base stations)
+    Anything else is invalid.
     """
     col = F.col(col) if isinstance(col, str) else col
     s = col.cast("string")
     mids = list(valid_mids)
     nine = F.length(s) == 9
+    seven_to_nine = F.length(s).between(7, 9)
     mid_at = lambda pos: F.substring(s, pos, 3).isin(*mids)  # noqa: E731
-    return nine & (
-        F.when(s.startswith("111"), mid_at(4))
-        .when(s.startswith("00"), mid_at(3))
-        .when(s.startswith("99") | s.startswith("98"), mid_at(3))
-        .when(s.startswith("0"), mid_at(2))
-        .otherwise(mid_at(1))
+    return (
+        F.when(s.startswith("99") & nine, mid_at(3))
+        .when(s.startswith("111") & nine, mid_at(4))
+        .when(s.startswith("00") & nine, mid_at(3))
+        .when(s.startswith("0") & nine, mid_at(2))
+        .when(seven_to_nine, mid_at(1))
+        .otherwise(F.lit(False))
     )
 
 

@@ -9,6 +9,8 @@ Column expressions so they survive any scale.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +57,11 @@ def literal_lookup_maps(
         # probe against it fails analysis — serve the join path instead,
         # which returns the correct empty/all-NULL result
         return None
+    if len({r[key] for r in rows}) != len(rows):
+        # duplicate keys: create_map raises DUPLICATED_MAP_KEY at
+        # runtime under the default dedup policy, and a single-valued
+        # map could not reproduce the join's multi-row output anyway
+        return None
     vtypes = dict(dim.select(*dict.fromkeys(value_cols)).dtypes)
     maps: dict[str, Column] = {}
     for vc in value_cols:
@@ -76,6 +83,7 @@ def enrich_coalesce(
     zero_is_missing: tuple[str, ...] = (),
     provenance: str | None = None,
     provenance_values: tuple[str, str] = ("enriched", "base"),
+    provenance_for: str | None = None,
 ) -> DataFrame:
     """J1 (ref ais-proxy/server.js:594-610): left-join an enrichment
     dim and fill each field only where the base value is missing
@@ -83,13 +91,16 @@ def enrich_coalesce(
     reference's explicit null-vs-0 guard at server.js:601,608).
 
     fill_cols maps base column -> enrichment column. Optionally emits
-    a provenance column recording which side won the fill.
+    a provenance column recording which side won the fill: by default
+    'enriched' if ANY fill column took the enrichment value;
+    ``provenance_for`` narrows it to one named fill column (e.g. a
+    ``name_source`` column that tracks only the name field).
     """
     e = F.broadcast(enrich.select(key, *dict.fromkeys(fill_cols.values())))
     e = e.select([F.col(key)] + [F.col(c).alias(f"__e_{c}") for c in e.columns if c != key])
     joined = base.join(e, on=key, how="left")
     out_cols: list[Column] = []
-    prov: Column | None = None
+    fill_conds: dict[str, Column] = {}
     for c in base.columns:
         if c in fill_cols:
             base_val = F.col(c)
@@ -97,14 +108,17 @@ def enrich_coalesce(
                 base_val = F.nullif(base_val, F.lit(0))
             filled = F.coalesce(base_val, F.col(f"__e_{fill_cols[c]}"))
             out_cols.append(filled.alias(c))
-            if provenance and prov is None:
-                prov = F.when(
-                    base_val.isNull() & F.col(f"__e_{fill_cols[c]}").isNotNull(),
-                    F.lit(provenance_values[0]),
-                ).otherwise(F.lit(provenance_values[1]))
+            fill_conds[c] = base_val.isNull() & F.col(f"__e_{fill_cols[c]}").isNotNull()
         else:
             out_cols.append(F.col(c))
-    if provenance and prov is not None:
+    if provenance and fill_conds:
+        if provenance_for is not None:
+            won = fill_conds[provenance_for]
+        else:
+            # 'enriched' if ANY fill column was actually filled from
+            # the enrichment side (not just the first one declared)
+            won = reduce(lambda a, b: a | b, fill_conds.values())
+        prov = F.when(won, F.lit(provenance_values[0])).otherwise(F.lit(provenance_values[1]))
         out_cols.append(prov.alias(provenance))
     return joined.select(*out_cols)
 

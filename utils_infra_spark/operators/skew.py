@@ -14,9 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_MERGEABLE = {"sum": F.sum, "count": "count", "min": F.min, "max": F.max}
-
-
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -30,8 +27,18 @@ def salted_aggregate(
     Stage 1 groups on (keys..., salt) — the hot key spreads over
     ``salt_buckets`` tasks; stage 2 merges partials on the true keys
     (sum of partial sums/counts, min of mins, max of maxes).
+
+    The salt is DETERMINISTIC (whole-row hash, not rand()), for the
+    same reason salted_join's is: rand() re-draws on task recompute
+    after a fetch failure, so a row can land in a different partial
+    group than the one surviving reducers already fetched — counted
+    twice or dropped. xxhash64 of the row is stable across retries;
+    fully duplicate rows share a bucket, which only narrows the
+    spread when the hot key's rows are byte-identical.
     """
-    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int")
+    )
     partial_exprs = []
     for name, (fn, col) in aggs.items():
         col = F.col(col) if isinstance(col, str) else col

@@ -56,12 +56,18 @@ def asof_backward_join(
     value wins; pass a unique right-side column.
 
     Plan: union the tagged sides, one window per key ordered by
-    (ts, side, tiebreak) carrying payload forward via
-    ``last(ignorenulls)``; right rows sort before left rows on equal
-    timestamps so the match is inclusive.
+    (ts, side, tiebreak) carrying the matched right row forward as ONE
+    struct via ``last(ignorenulls)`` — the struct is non-null whenever
+    a right row exists, so a legitimately-NULL payload FIELD inside
+    the matched row survives (per-column ignorenulls would skip it and
+    stitch values from different right rows); right rows sort before
+    left rows on equal timestamps so the match is inclusive.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
     out_names = [f"{prefix}{c}" for c in payload_cols]
+    ptype = StructType([StructField(c, right.schema[c].dataType, True) for c in payload_cols])
 
     l_tagged = left.select(
         F.col(key).alias("__k"),
@@ -69,7 +75,7 @@ def asof_backward_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(payload_cols, out_names)],
+        F.lit(None).cast(ptype).alias("__p"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -77,7 +83,7 @@ def asof_backward_join(
         F.lit(0).alias("__side"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(n) for c, n in zip(payload_cols, out_names)],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
     )
     w = (
         Window.partitionBy("__k")
@@ -87,9 +93,12 @@ def asof_backward_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "__side",
         *lcols,
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return filled.where(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__p")[c].alias(n) for c, n in zip(payload_cols, out_names)],
+    )
 
 
 def range_join_binned(

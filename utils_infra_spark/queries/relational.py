@@ -579,4 +579,5 @@ def enrich_coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill_cols={"s_name": "e_name", "s_acctbal": "e_acctbal"},
         zero_is_missing=("s_acctbal",),
         provenance="name_source",
+        provenance_for="s_name",  # the oracle's name_source tracks the name fill only
     )

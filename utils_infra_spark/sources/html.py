@@ -21,6 +21,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+# HTML void elements never get a closing tag — counting them toward
+# nesting depth would leave the collector stuck "inside" a match from
+# the first <br>/<img> onward (real scraped pages are full of them)
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
 class _ClassTextCollector(HTMLParser):
     """Collect text content of elements whose class attribute contains
     the target class — the subset of CSS selection the reference
@@ -34,6 +42,8 @@ class _ClassTextCollector(HTMLParser):
         self.matches: list[str] = []
 
     def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
         classes = dict(attrs).get("class", "") or ""
         if self.depth > 0:
             self.depth += 1
@@ -41,7 +51,13 @@ class _ClassTextCollector(HTMLParser):
             self.depth = 1
             self.buf = []
 
+    def handle_startendtag(self, tag, attrs):
+        # explicit self-closing ('<br/>') — balanced, never affects depth
+        return
+
     def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:  # stray '</br>' from sloppy markup
+            return
         if self.depth > 0:
             self.depth -= 1
             if self.depth == 0:

@@ -52,8 +52,10 @@ def _is_array_payload(raw: Column) -> Column:
     """The Spark analog of the reference's ``Array.isArray`` dispatch
     (server.js:1196-1203). Needed lexically: ``from_json`` with an
     array schema silently WRAPS a single JSON object into a
-    one-element array, which would double-claim object payloads."""
-    return F.trim(raw).startswith("[")
+    one-element array, which would double-claim object payloads.
+    Regex anchor, not trim(): Spark's trim strips only 0x20 spaces,
+    so a payload led by a newline/tab would be misrouted."""
+    return raw.rlike(r"^\s*\[")
 
 
 def normalize_catcher(df: DataFrame, raw_col: str = "raw") -> DataFrame:
@@ -199,24 +201,41 @@ def normalize_any(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     )
 
 
+def _emits(mmsi: Column, lat: Column, lon: Column) -> Column:
+    """Would this record survive normalize_any's final validity filter?"""
+    return mmsi.isNotNull() & lat.between(-90, 90) & lon.between(-180, 180)
+
+
 def unmatched_records(df: DataFrame, raw_col: str = "raw") -> DataFrame:
-    """Dead-letter side output: payloads no branch claims (garbage,
-    truncated JSON, unknown shapes) as (corrupt_record). The batch
-    analog of the reference returning null → the proxy dropping the
-    frame, but kept observable instead of silent (T6)."""
+    """Dead-letter side output: every payload that produces NO
+    canonical row — garbage, truncated JSON, unknown shapes, AND
+    shapes a branch parses but whose records all fail the validity
+    filter (out-of-range coordinates, null mmsi). The per-branch
+    predicates mirror each branch's EMISSION condition exactly, so
+    normalize_any(df) ∪ unmatched_records(df) covers the input: no
+    record can vanish between the two outputs (the silent-drop mode
+    this T6 side channel exists to prevent). The batch analog of the
+    reference returning null → the proxy dropping the frame, but kept
+    observable instead of silent."""
     raw = F.col(raw_col)
-    catcher = _parse(raw, _CATCHER_SCHEMA)["msgs"].isNotNull()
-    groups = _parse(raw, _GROUPS_SCHEMA)["groups"].isNotNull()
-    direct_p = _parse(raw, _DIRECT_SCHEMA)
-    direct = direct_p["mmsi"].isNotNull() & direct_p["event_ts"].isNotNull()
-    minimal_p = _parse(raw, _MINIMAL_SCHEMA)
-    minimal = minimal_p["mmsi"].isNotNull() & minimal_p["lat"].isNotNull()
-    aprs_p = _parse(raw, _APRS_SCHEMA)
-    aprs = (
-        aprs_p["call"].try_cast("bigint").isNotNull()
-        & aprs_p["lat"].isNotNull()
-        & aprs_p["lng"].isNotNull()
+    catcher = F.exists(
+        _parse(raw, _CATCHER_SCHEMA)["msgs"],
+        lambda m: _emits(m["mmsi"], m["lat"], m["lon"]),
     )
-    arr = _is_array_payload(raw) & (F.size(_parse(raw, _ARRAY_SCHEMA)) > 0)
+    groups = F.exists(
+        _parse(raw, _GROUPS_SCHEMA)["groups"],
+        lambda g: F.exists(g["msgs"], lambda m: _emits(m["userid"], m["latitude"], m["longitude"])),
+    )
+    direct_p = _parse(raw, _DIRECT_SCHEMA)
+    direct = direct_p["event_ts"].isNotNull() & _emits(
+        direct_p["mmsi"], direct_p["lat"], direct_p["lon"]
+    )
+    minimal_p = _parse(raw, _MINIMAL_SCHEMA)
+    minimal = _emits(minimal_p["mmsi"], minimal_p["lat"], minimal_p["lon"])
+    aprs_p = _parse(raw, _APRS_SCHEMA)
+    aprs = _emits(aprs_p["call"].try_cast("bigint"), aprs_p["lat"], aprs_p["lng"])
+    arr = _is_array_payload(raw) & F.exists(
+        _parse(raw, _ARRAY_SCHEMA), lambda m: _emits(m["mmsi"], m["lat"], m["lon"])
+    )
     claimed = F.coalesce(catcher | groups | direct | minimal | aprs | arr, F.lit(False))
     return df.where(~claimed).select(raw.alias("corrupt_record"))
