@@ -270,3 +270,54 @@ def test_top_ngram_stats_partition_independent(spark):
     one = {r.doc_id: (r.top_gram, r.top_gram_count) for r in top_ngram_stats(df.coalesce(1), "text", "doc_id").collect()}
     many = {r.doc_id: (r.top_gram, r.top_gram_count) for r in top_ngram_stats(df.repartition(7), "text", "doc_id").collect()}
     assert one == many
+
+
+def test_rolling_fingerprint_empty_doc_is_null(spark):
+    """A blank document must yield a NULL fingerprint, not crash the
+    job (element_at index 0)."""
+    from utils_infra_spark.pipeline.text import rolling_fingerprint
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta"), (2, ""), (3, "   ")], "id int, text string")
+    out = {r.id: r.fp for r in df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert out[1] is not None and out[2] is None and out[3] is None
+
+
+def test_brute_force_topk_empty_queries(spark):
+    from pyspark.sql import functions as F
+
+    emb = docs_df(spark).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    out = brute_force_topk(emb.where("vec_id < 0"), emb, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "cos_sim", "rnk"]
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    import pytest as _pytest
+
+    from utils_infra_spark.pipeline.dedup import minhash_near_duplicates
+
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_near_duplicates(docs_df(spark), "text", "doc_id", num_hashes=20, bands=8)
+
+
+def test_content_fingerprint_rejects_unknown_algo():
+    import pytest as _pytest
+
+    from utils_infra_spark.pipeline.dedup import content_fingerprint
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        content_fingerprint("text", algo="sha1")
+
+
+def test_dataset_diff_null_shift_is_changed(spark):
+    """(x, NULL) -> (NULL, x) must classify as changed — concat_ws
+    alone skips NULLs and the digests would collide."""
+    from utils_infra_spark.pipeline.dedup import dataset_diff
+
+    old = spark.createDataFrame([(1, "x", None)], "id int, a string, b string")
+    new = spark.createDataFrame([(1, None, "x")], "id int, a string, b string")
+    [row] = dataset_diff(old, new, "id", ["a", "b"]).collect()
+    assert row.status == "changed"

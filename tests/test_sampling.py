@@ -70,9 +70,12 @@ def test_token_chunks_reconstruction(spark):
         .orderBy("start")
         .collect()
     )
-    # starts stride by 30 and cover every token
-    assert [r.start for r in out] == [0, 30, 60, 90]
-    assert [r.n_tokens for r in out] == [40, 40, 35, 5]
+    # starts stride by 30 and cover every token; no start past
+    # size - overlap - 1 (a start=90 chunk's 5 tokens would be wholly
+    # inside chunk 60's coverage — duplicated training text)
+    assert [r.start for r in out] == [0, 30, 60]
+    assert [r.n_tokens for r in out] == [40, 40, 35]
+    assert max(r.start + r.n_tokens for r in out) == 95  # full coverage
     # each chunk is the exact token window; overlap regions agree
     toks = text.split()
     for r in out:
@@ -223,3 +226,30 @@ def test_mixture_resample_rate_one_keeps_everything(spark, sf_dir):
     en_only = mixture_resample(docs, "lang", "doc_id", {"en": 0.0}, default_rate=1.0)
     assert en_only.where("lang = 'en'").count() == 0
     assert en_only.where("lang != 'en'").count() == docs.where("lang != 'en'").count()
+
+
+def test_weighted_sample_weight_one_keeps_all(spark):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.sampling import weighted_sample
+
+    df = spark.range(200000).withColumnRenamed("id", "doc_id")
+    kept = weighted_sample(df, "doc_id", F.lit(1.0)).count()
+    assert kept == 200000  # 'ffff'-hashing ids must not vanish at weight 1.0
+
+
+def test_token_chunks_no_fully_contained_tail(spark):
+    from utils_infra_spark.pipeline.sampling import token_chunks
+
+    text = " ".join(f"t{i}" for i in range(31))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = token_chunks(df, "doc_id", "text", chunk_size=40, overlap=10).collect()
+    # one chunk covers all 31 tokens; a start=30 chunk would be a
+    # subset of it (duplicated training text)
+    assert [(r.start, r.n_tokens) for r in rows] == [(0, 31)]
+    # longer doc still chunks normally and covers every token
+    text2 = " ".join(f"t{i}" for i in range(101))
+    df2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
+    rows2 = sorted((r.start, r.n_tokens) for r in token_chunks(df2, "doc_id", "text").collect())
+    assert rows2 == [(0, 40), (30, 40), (60, 40), (90, 11)]
+    assert max(s + n for s, n in rows2) == 101

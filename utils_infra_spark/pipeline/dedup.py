@@ -20,6 +20,10 @@ def content_fingerprint(text: Column | str, algo: str = "sha256") -> Column:
     text = F.col(text) if isinstance(text, str) else text
     if algo == "md5":
         return F.md5(text)
+    if algo != "sha256":
+        # a silent fallback would fill a provenance table documented
+        # as <algo> with sha256 digests — fail loudly instead
+        raise ValueError(f"unsupported fingerprint algo: {algo!r} (md5 or sha256)")
     return F.sha2(text, 256)
 
 
@@ -144,6 +148,10 @@ def minhash_near_duplicates(
     """
     from ..sources.tables import spread
 
+    if num_hashes % bands != 0:
+        # trailing hashes would be computed (paid per row) but never
+        # banded — the caller's precision/recall math would be wrong
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
     # IMPORTANT plan shape: each heavy expression (shingles, signature)
     # is aliased in its OWN projection and consumed via the attribute.
@@ -321,7 +329,12 @@ def dataset_diff(
     snapshots moves gigabytes, not the corpora. Returns
     (id, status, old_digest, new_digest).
     """
-    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    # NULLs must hash distinctly from absent/shifted values: bare
+    # concat_ws SKIPS null columns, so (x, NULL) and (NULL, x) would
+    # collide and a changed row would read 'unchanged'. A \x00 (never
+    # in text by contract) marks null explicitly in the digest input.
+    marked = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols]
+    digest = F.md5(F.concat_ws("\x1f", *marked))
     o = old.select(F.col(id_col).alias("__id"), digest.alias("old_digest"))
     n = new.select(F.col(id_col).alias("__id"), digest.alias("new_digest"))
     joined = o.join(n, "__id", "full_outer")
@@ -381,7 +394,11 @@ def prefix_filter_pairs(
             F.first("n").alias("n"),
         )
     )
-    plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+    # eps inside the ceil: IEEE noise can push t*n a hair ABOVE an
+    # exact integer (0.28*25 = 7.000000000000001 → ceil 8), shortening
+    # the prefix by one and silently breaking losslessness; subtracting
+    # eps can only LENGTHEN the prefix (more candidates — still exact)
+    plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9)) + 1).cast("int")
     prefixes = ordered.select(
         "__id", "n", F.explode(F.slice("og", 1, plen)).alias("g")
     )

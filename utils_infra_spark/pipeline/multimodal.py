@@ -31,8 +31,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .png import PNG_SIGNATURE as PNG_MAGIC  # single source for the magic bytes
+
 FAKE_CODEC_MAGIC = b"FRGB"  # NOTE:CODEC deterministic fake in lieu of PNG
-PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _pack_terrain_rgba(elev: "np.ndarray") -> "np.ndarray":
+    """Terrain-RGB packing shared by every encoder in this module.
+    floor(x+0.5) == JS Math.round (ref terrain encode,
+    server.js:131-138); np.round would banker's-round exact halves
+    differently, and plain astype() TRUNCATES — ~12% of values one
+    packed unit (0.1 m) low."""
+    packed = np.clip(np.floor((elev + 10000.0) / 0.1 + 0.5), 0, 16777215).astype(np.uint32)
+    rgba = np.zeros((*elev.shape, 4), dtype=np.uint8)
+    rgba[..., 0] = (packed >> 16) & 0xFF
+    rgba[..., 1] = (packed >> 8) & 0xFF
+    rgba[..., 2] = packed & 0xFF
+    rgba[..., 3] = 255
+    return rgba
 
 # NOTE:CODEC — auto-detect a real codec at import. When PIL is on the
 # executors' PYTHONPATH, PNG bytes decode/encode natively and the same
@@ -225,12 +241,7 @@ def decode_elevation(tiles: DataFrame, geoid_offset: float = 0.0) -> DataFrame:
                 arr = decode_tile(data).astype(np.float64)
                 elev = -10000.0 + (arr[..., 0] * 65536 + arr[..., 1] * 256 + arr[..., 2]) * 0.1
                 elev = elev + geoid_offset
-                packed = np.clip((elev + 10000.0) / 0.1, 0, 16777215).astype(np.uint32)
-                rgba = np.zeros(arr.shape, dtype=np.uint8)
-                rgba[..., 0] = (packed >> 16) & 0xFF
-                rgba[..., 1] = (packed >> 8) & 0xFF
-                rgba[..., 2] = packed & 0xFF
-                rgba[..., 3] = 255
+                rgba = _pack_terrain_rgba(elev)
                 out["z"].append(int(z)); out["x"].append(int(x)); out["y"].append(int(y))
                 out["data"].append(encode_tile(rgba))
                 out["min_elev"].append(float(elev.min())); out["max_elev"].append(float(elev.max()))
@@ -343,15 +354,7 @@ def synth_terrain_tile(z: int, x: int, y: int, size: int = TERRAIN_TILE_SIZE) ->
     gx = x * size + xx
     gy = y * size + yy
     elev = 200.0 + 150.0 * np.sin(gx / 37.0) + 90.0 * np.cos(gy / 23.0) + 0.05 * (gx % 101)
-    # floor(x+0.5) == JS Math.round (ref encode, server.js:131-138);
-    # np.round would banker's-round the exact halves differently
-    packed = np.clip(np.floor((elev + 10000.0) / 0.1 + 0.5), 0, 16777215).astype(np.uint32)
-    rgba = np.zeros((size, size, 4), dtype=np.uint8)
-    rgba[..., 0] = (packed >> 16) & 0xFF
-    rgba[..., 1] = (packed >> 8) & 0xFF
-    rgba[..., 2] = packed & 0xFF
-    rgba[..., 3] = 255
-    return encode_tile(rgba)
+    return encode_tile(_pack_terrain_rgba(elev))
 
 
 def _latlon_tile_bounds(z: int, x: int, y: int) -> tuple[float, float, float, float]:
@@ -471,12 +474,7 @@ def reproject_terrain_tiles(
             lat2d = np.broadcast_to(lat[:, None], (ts, ts))
             sep = geoid.separation_np(lat2d.ravel(), lon2d.ravel()).reshape(ts, ts)
             elev = np.where(have, elev + sep, elev)
-        packed = np.clip(np.floor((elev + 10000.0) / 0.1 + 0.5), 0, 16777215).astype(np.uint32)
-        rgba = np.zeros((ts, ts, 4), dtype=np.uint8)
-        rgba[..., 0] = (packed >> 16) & 0xFF
-        rgba[..., 1] = (packed >> 8) & 0xFF
-        rgba[..., 2] = packed & 0xFF
-        rgba[..., 3] = 255
+        rgba = _pack_terrain_rgba(elev)
         return pd.DataFrame(
             [
                 {

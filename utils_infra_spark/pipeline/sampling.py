@@ -141,7 +141,13 @@ def token_chunks(
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_size")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(step))
+    # a start past size - overlap - 1 would emit a chunk fully
+    # contained in its predecessor (the tail already covered via the
+    # overlap) — redundant duplicated training text, exactly what the
+    # pipeline dedups elsewhere
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__toks") - F.lit(overlap) - 1, F.lit(0)), F.lit(step)
+    )
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .select(id_col, "__toks", F.explode(starts).alias("__start"))
@@ -234,6 +240,12 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
     :func:`deterministic_sample`: no RNG state, no shuffle, stable
     under re-partitioning and re-runs, and monotone — raising a row's
     weight can only keep it, never drop it.
+
+    weight >= 1.0 keeps EVERY row ('g' sorts above any hex prefix —
+    the same sentinel mixture_resample uses): clamping the threshold
+    to 'ffff' would silently drop the 1/65536 of ids hashing to
+    'ffff' even at weight 1.0.
     """
     thresh = F.least(F.floor(weight * _BUCKETS).cast("int"), F.lit(_BUCKETS - 1))
-    return df.where(hash_prefix(id_col) < F.format_string("%04x", thresh))
+    thresh_str = F.when(weight >= 1.0, F.lit("g")).otherwise(F.format_string("%04x", thresh))
+    return df.where(hash_prefix(id_col) < thresh_str)

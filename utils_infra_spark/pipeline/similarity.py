@@ -86,6 +86,13 @@ def brute_force_topk(
 
     qcols = [F.col(id_col), _vec(vec_col)] + ([F.col(bucket_col)] if bucket_col else [])
     qrows = queries.select(*qcols).collect()
+    id_type_early = dict(candidates.dtypes)[id_col]
+    if not qrows:
+        # zero queries → empty result with the contract schema (the
+        # kernel path would crash driver-side in np.linalg.norm)
+        return candidates.sparkSession.createDataFrame(
+            [], f"query_id {id_type_early}, cand_id {id_type_early}, cos_sim double, rnk int"
+        )
     qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)

@@ -107,7 +107,9 @@ def rolling_fingerprint_from_tokens(toks: Column | str, window: int = 8) -> Colu
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(toks, F.least(i + j, n)) for j in range(window)])),
     )
-    return F.array_min(win_hash)
+    # empty/whitespace-only document: no windows exist — NULL, not a
+    # crash (element_at(toks, least(i, 0)) raises INVALID_INDEX_OF_ZERO)
+    return F.when(n > 0, F.array_min(win_hash)).otherwise(F.lit(None).cast("bigint"))
 
 
 def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:

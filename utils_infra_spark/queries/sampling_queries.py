@@ -94,8 +94,10 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
     ), s AS (
+      -- starts bounded at len - overlap - 1: a later start's chunk is
+      -- fully contained in its predecessor (duplicated training text)
       SELECT doc_id, toks,
-             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 30)) AS start
+             unnest(range(0, greatest(len(toks) - 11, 0) + 1, 30)) AS start
       FROM t
     )
     SELECT doc_id, CAST(start AS BIGINT) AS start,
@@ -224,7 +226,8 @@ def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_chars
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-          < printf('%04x', CAST(least(floor(least(n_chars/500.0, 1.0) * 65536), 65535) AS INT))
+          < CASE WHEN n_chars >= 500 THEN 'g'
+                 ELSE printf('%04x', CAST(least(floor(least(n_chars/500.0, 1.0) * 65536), 65535) AS INT)) END
     """,
     doc="Quality-weighted deterministic sampling: each document kept with probability "
     "min(n_chars/500, 1) — longer (here: 'higher-quality') docs oversampled — by "
