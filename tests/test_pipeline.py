@@ -321,3 +321,48 @@ def test_dataset_diff_null_shift_is_changed(spark):
     new = spark.createDataFrame([(1, None, "x")], "id int, a string, b string")
     [row] = dataset_diff(old, new, "id", ["a", "b"]).collect()
     assert row.status == "changed"
+
+
+def test_url_normalize_and_domain(spark):
+    from utils_infra_spark.functions.urls import url_domain, url_host, url_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1#frag"),
+            (2, "https://example.com/a/b?q=1"),
+            (3, "http://sub.shop.co.nz:8080/p?b=2&a=1"),
+            (4, "not a url"),
+            (5, "http://example.com"),
+        ],
+        "id int, url string",
+    )
+    out = {
+        r.id: (r.norm, r.host, r.dom)
+        for r in df.select(
+            "id",
+            url_normalize("url").alias("norm"),
+            url_host("url").alias("host"),
+            url_domain("url").alias("dom"),
+        ).collect()
+    }
+    # tracker dropped, default port dropped, www/case/fragment/trailing
+    # slash normalized -> the two spellings collapse to ONE key
+    assert out[1][0] == out[2][0] == "https://example.com/a/b?q=1"
+    # non-default port kept, params sorted, second-level domain keeps 3 labels
+    assert out[3] == ("http://sub.shop.co.nz:8080/p?a=1&b=2", "sub.shop.co.nz", "shop.co.nz")
+    assert out[4] == (None, None, None)
+    assert out[5][0] == "http://example.com/"
+
+
+def test_char_entropy_stats(spark):
+    from utils_infra_spark.pipeline.text import char_entropy_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in char_entropy_stats(df, "text", "doc_id").collect()}
+    assert out[1].entropy_bits == 0.0 and out[1].n_chars == 4     # constant -> 0 bits
+    assert abs(out[2].entropy_bits - 1.0) < 1e-6                  # two equal symbols -> 1 bit
+    assert out[3].n_chars == 0 and out[3].entropy_bits == 0.0     # empty doc survives
+    assert abs(out[4].entropy_bits - 2.0) < 1e-6                  # four equal symbols -> 2 bits
+    assert out[4].distinct_chars == 4

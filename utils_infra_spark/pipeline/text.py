@@ -289,3 +289,48 @@ def top_ngram_stats(df, text_col: str, id_col: str, n: int = 2):
             F.coalesce("top_gram_char_fraction", F.lit(0.0)).alias("top_gram_char_fraction"),
         )
     )
+
+
+def char_entropy_stats(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy over characters (bits/char) — the
+    cheap compressibility proxy for corpus quality: near-0 entropy is
+    padding/repetition spam, unusually high entropy is binary noise or
+    minified blobs; natural language sits in a stable band (~3.5-4.5
+    bits for English).
+
+    Scale shape: explode characters (narrow projection over the scan),
+    one shuffle on (doc, char) for the histogram — at most
+    |alphabet| ≈ 100s of rows per document survive the map-side
+    combine — then a bounded shuffle on doc for the final fold using
+    H = log2(n) - (Σ c·log2 c)/n. Returns (id, n_chars,
+    distinct_chars, entropy_bits) with entropy rounded to 6 dp;
+    empty documents get 0.0.
+    """
+    chars = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = chars.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("__clogc"),
+    )
+    scored = agg.select(
+        id_col,
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("distinct_chars").cast("bigint").alias("distinct_chars"),
+        F.round(F.log2("n_chars") - F.col("__clogc") / F.col("n_chars"), 6).alias("entropy_bits"),
+    )
+    # keep empty documents with zero stats (left join back on ids)
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("distinct_chars", F.lit(0)).alias("distinct_chars"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
