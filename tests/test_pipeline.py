@@ -366,3 +366,15 @@ def test_char_entropy_stats(spark):
     assert out[3].n_chars == 0 and out[3].entropy_bits == 0.0     # empty doc survives
     assert abs(out[4].entropy_bits - 2.0) < 1e-6                  # four equal symbols -> 2 bits
     assert out[4].distinct_chars == 4
+
+
+def test_centroids_by_key_assembles_mean_vectors(spark):
+    from utils_infra_spark.pipeline.similarity import centroids_by_key
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 3.0]), (2, "a", [3.0, 5.0]), (3, "b", [10.0, 0.0])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = {r.key: r.centroid for r in centroids_by_key(df).collect()}
+    assert out["a"] == [2.0, 4.0]
+    assert out["b"] == [10.0, 0.0]

@@ -38,15 +38,16 @@ def keep_latest(df: DataFrame, key: str | list[str], ts: str, *tie_break: str) -
     return latest_wins(df, key, ts, *tie_break)
 
 
-def last_non_null_per_key(df: DataFrame, key: str, ts: str, value_cols: list[str]) -> DataFrame:
+def last_non_null_per_key(df: DataFrame, key: str, ts: str, value_cols: list[str], *tie_break: str) -> DataFrame:
     """W1's per-field form (ref ais-proxy/server.js:390-592): the
     vessel cache keeps the latest NON-NULL value per field per key
     (position messages don't carry static fields and vice versa).
     `last(ignorenulls=True)` over a full-frame window, then one row
-    per key."""
+    per key. Extra ``tie_break`` columns (e.g. a unique event id)
+    make the winner deterministic when timestamps collide."""
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc())
+        .orderBy(F.col(ts).asc(), *[F.col(t).asc() for t in tie_break])
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     cols = [F.col(key)] + [F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols]

@@ -70,10 +70,18 @@ def zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spread(load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"))
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ddof=1 (sample stddev) matches stddev_samp
+        import numpy as np
+
+        # ddof=1 (sample stddev) matches stddev_samp; a 1-row segment
+        # gives NaN std -> emit NULL like the SQL window's NULL
         z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
+        # half-AWAY-from-zero to match SQL ROUND on the signed range;
+        # Series.round is banker's (half-even) and differs on exact
+        # decimal halves
+        zq = np.copysign(np.floor(np.abs(z) * 1e4 + 0.5) / 1e4, z)
+        zq = np.where(np.isnan(z), None, zq)
         return pd.DataFrame(
-            {"c_custkey": pdf["c_custkey"], "c_mktsegment": pdf["c_mktsegment"], "zscore": z.round(4)}
+            {"c_custkey": pdf["c_custkey"], "c_mktsegment": pdf["c_mktsegment"], "zscore": zq}
         )
 
     return cust.groupBy("c_mktsegment").applyInPandas(

@@ -483,10 +483,7 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (type, day, 32k-id bucket); shuffle carries packed bitmaps
     daily = ev.groupBy(
         "event_type", "day", F.bitmap_bucket_number("user_id").alias("bkt")
-    ).agg(
-        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
     # stage 2 (any-range rollup): OR-merge bitmaps across days per
     # bucket, count bits, sum buckets; user_days sums daily bit counts
     merged = daily.groupBy("event_type", "bkt").agg(

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import text as T
 from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
-from ..pipeline.similarity import brute_force_topk, bucketed_pairs, centroids_by_key
+from ..pipeline.similarity import brute_force_topk, bucketed_pairs
 from ..sources import load_table
 from ..sources.tables import spread
 from . import REGISTRY, register
@@ -97,9 +97,14 @@ def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
     scored AS (
+      -- floor(x*1e6 + 0.5), the kernel's exact quantization rule:
+      -- ROUND would differ on NEGATIVE cosines at decimal halves
+      -- (half away from zero vs half toward +inf), and this query
+      -- ranks the full signed range
       SELECT q.query_id, c.cand_id,
-             ROUND(list_dot_product(q.qv, c.cv) /
-                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+             FLOOR(list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
       FROM c, q WHERE q.query_id <> c.cand_id
     )
     SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
@@ -159,12 +164,13 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
                  len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len,
            ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                        t -> lower(t) IN ('the','a'))) AS DOUBLE) /
                  len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
     FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
     """,
     doc="Token counting + quality signals as one codegen projection (length/stopword ratios).",
 )
@@ -191,7 +197,8 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_histogram",
     oracle="""
     SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> '')
     GROUP BY token ORDER BY n DESC, token
     """,
     doc="Corpus token histogram: explode + count — the map-side partial agg collapses the long tail before shuffle.",
@@ -211,22 +218,19 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR((n_chars)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 AS total_chars,
-           ROUND(CAST(SUM(CAST(FLOOR((n_chars)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(*), 4) AS avg_chars
+           ROUND(CAST(SUM(CAST(FLOOR((n_chars)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000 / COUNT(n_chars), 4) AS avg_chars
     FROM documents GROUP BY lang
     """,
     doc="Language distribution rollup over the documents corpus.",
 )
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregations import dsum
+    from ..operators.aggregations import davg, dsum
 
     docs = load_table(spark, sf_dir, "documents")
-    total = F.sum(F.floor(F.col("n_chars") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")).cast("double") / F.lit(
-        1e6
-    )
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("n_chars", "total_chars"),
-        F.round(total / F.count(F.lit(1)), 4).alias("avg_chars"),
+        davg("n_chars", "avg_chars", scale=4),
     )
 
 
@@ -258,7 +262,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS quality
       FROM toks WHERE len(t) > 0
     )
-    SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM scored WHERE quality >= 0.5
+    -- filter on the ROUNDED score, same as the Spark side: a raw
+    -- 0.4999996 that rounds to 0.5 must be kept by both engines
+    SELECT doc_id, lang, ROUND(quality, 6) AS quality FROM scored WHERE ROUND(quality, 6) >= 0.5
     """,
     doc="Gopher-flavored quality scoring + filter in one projection.",
 )

@@ -5,11 +5,11 @@ star schema. Each query name carries its §2 operator ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import filters
-from ..operators.aggregations import DEC, davg, dsum, dsum_sql, pivot_counts, ratio_pct, value_counts
+from ..operators.aggregations import dsum, dsum_sql, pivot_counts, ratio_pct, value_counts
 from ..operators.joins import (
     anti_join,
     broadcast_lookup,

@@ -99,17 +99,7 @@ def last_nonnull_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type").isin("view", "click"), F.lit(None)).otherwise(F.col("value")).alias("sparse_value"),
         F.when(F.col("event_type") == "error", F.col("event_type")).alias("last_error"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return sparse.select(
-        "user_id",
-        F.last("sparse_value", ignorenulls=True).over(w).alias("sparse_value"),
-        F.last("last_error", ignorenulls=True).over(w).alias("last_error"),
-        F.max("ts").over(w).alias("ts"),
-    ).dropDuplicates(["user_id"])
+    return last_non_null_per_key(sparse, "user_id", "ts", ["sparse_value", "last_error"], "event_id")
 
 
 @register(
@@ -175,15 +165,19 @@ def coordinate_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     numbered AS (
+      -- the running SUM must use the SAME (ts, event_id) order as the
+      -- lag() that produced the flags: on tied timestamps a ts-only
+      -- order could place a flag-0 row before its flag-1 twin and
+      -- split one session into two
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
