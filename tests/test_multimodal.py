@@ -137,6 +137,28 @@ def test_mbtiles_sink(spark, tiles, tmp_path):
     con.close()
 
 
+def test_mbtiles_resume_heals_legacy_duplicate_metadata(spark, tiles, tmp_path):
+    """A file written by the pre-unique-index code could hold duplicate
+    metadata names (plain INSERT on re-run). Resuming onto it must
+    de-duplicate (keeping the newest row) instead of dying on
+    CREATE UNIQUE INDEX with IntegrityError."""
+    path = os.path.join(tmp_path, "legacy.mbtiles")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    con.execute("INSERT INTO metadata VALUES ('name', 'old-1')")
+    con.execute("INSERT INTO metadata VALUES ('name', 'old-2')")
+    con.execute("INSERT INTO metadata VALUES ('format', 'frgb')")
+    con.commit()
+    con.close()
+
+    n = write_mbtiles(tiles, path, metadata={"name": "new"})
+    assert n == 16
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT value FROM metadata WHERE name='name'").fetchall() == [("new",)]
+    assert con.execute("SELECT value FROM metadata WHERE name='format'").fetchall() == [("frgb",)]
+    con.close()
+
+
 def test_audio_features(spark):
     from utils_infra_spark.pipeline.multimodal import audio_features, synth_audio
 

@@ -354,6 +354,36 @@ def test_url_normalize_and_domain(spark):
     assert out[5][0] == "http://example.com/"
 
 
+def test_url_normalize_keeps_resource_selecting_ref(spark):
+    """Bare ?ref= selects a RESOURCE on many hosts (branch on code
+    forges, page in docs) — the default tracker list must keep it so
+    URL-level dedup never collapses distinct pages; stripping it is
+    an explicit opt-in."""
+    from utils_infra_spark.functions.urls import TRACKING_PARAMS, url_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://forge.example/repo/file.py?ref=main"),
+            (2, "https://forge.example/repo/file.py?ref=dev"),
+            (3, "https://forge.example/repo/file.py?utm_source=x&ref=main"),
+        ],
+        "id int, url string",
+    )
+    default = {
+        r.id: r.n for r in df.select("id", url_normalize("url").alias("n")).collect()
+    }
+    # distinct refs stay distinct; trackers still stripped
+    assert default[1] != default[2]
+    assert default[1] == default[3] == "https://forge.example/repo/file.py?ref=main"
+    optin = {
+        r.id: r.n
+        for r in df.select(
+            "id", url_normalize("url", tracking_params=TRACKING_PARAMS + ("ref",)).alias("n")
+        ).collect()
+    }
+    assert optin[1] == optin[2] == optin[3] == "https://forge.example/repo/file.py"
+
+
 def test_char_entropy_stats(spark):
     from utils_infra_spark.pipeline.text import char_entropy_stats
 

@@ -19,8 +19,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # query parameters that identify a click, not a resource — dropped
-# from the canonical key (the standard tracker list)
-TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid", "ref", "mc_[a-z]+")
+# from the canonical key. Deliberately the UNAMBIGUOUS set only:
+# bare `ref` is excluded because many hosts use it to SELECT the
+# resource (?ref=<branch> on code forges, ?ref=<page> in docs), and
+# stripping it would collapse genuinely distinct pages into one dedup
+# key, silently dropping real content. Callers who know their corpus
+# can pass an extended list via ``url_normalize(..., tracking_params=...)``.
+TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid", "mc_[a-z]+")
 
 # second-level labels under which the registrable domain needs THREE
 # labels (shop.co.nz, not co.nz). An approximation of the public
@@ -58,14 +63,19 @@ def url_domain(url: Column | str) -> Column:
     ).otherwise(host)
 
 
-def url_normalize(url: Column | str) -> Column:
+def url_normalize(
+    url: Column | str, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Canonical dedup key for a URL:
 
     - scheme and host lower-cased, leading ``www.`` stripped
     - fragment dropped; default ports (80/http, 443/https) dropped,
       other ports kept
-    - tracking parameters removed (``TRACKING_PARAMS``), remaining
-      query parameters SORTED (param order is transport noise)
+    - tracking parameters removed (``tracking_params`` regex names,
+      default :data:`TRACKING_PARAMS` — the unambiguous utm_/gclid/
+      fbclid/msclkid/mc_ set; resource-selecting params like bare
+      ``ref`` are NOT stripped by default), remaining query
+      parameters SORTED (param order is transport noise)
     - trailing slashes trimmed from the path; empty path → ``/``
 
     NULL for unparseable URLs (``try_parse_url`` semantics), so a
@@ -86,7 +96,7 @@ def url_normalize(url: Column | str) -> Column:
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    tracking = "^(" + "|".join(TRACKING_PARAMS) + ")="
+    tracking = "^(" + "|".join(tracking_params) + ")="
     params = F.split(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")), "&")
     kept = F.array_sort(F.filter(params, lambda p: (p != "") & ~p.rlike(tracking)))
     query_part = F.when(

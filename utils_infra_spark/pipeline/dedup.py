@@ -296,6 +296,123 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, *, alias: str = "simhas
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """LSH band keys per document — the candidate-generation HALF of
+    :func:`minhash_near_duplicates`, exposed with a parameterized
+    sketch hash so the contract is cross-engine checkable.
+
+    ``hash_family``:
+      * ``"xxhash64"`` — production: JVM-native 64-bit hashing, longs
+        end to end (exactly the sketch stage of minhash_near_duplicates).
+      * ``"md5"`` — oracle-facing twin: per-shingle hash is the low 64
+        bits of md5 as a HEX STRING (``substr(md5('mh<i>:' || s),1,16)``),
+        the signature is the string MIN (lexicographic over lowercase
+        hex ≡ numeric order on the underlying bits), and the band key
+        is md5 over the '|'-joined signature slice. Every step is
+        standard md5/substr/min — bit-identical in any engine, so the
+        driver can hash-compare against DuckDB.
+
+    Same plan shape either way: explode shingles → hash once into an
+    attribute → groupBy(doc_id) with num_hashes MIN aggregates
+    (map-side combined; the shuffle carries doc_id + num_hashes
+    sketch values, never documents) → in-row band projection →
+    explode to (doc_id, band, key).
+    """
+    from ..sources.tables import spread
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_family: {hash_family!r}")
+    rows_per_band = num_hashes // bands
+    shingled = (
+        spread(
+            df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+            .selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"),
+            min_bytes=0,
+        )
+        .selectExpr("doc_id", r"split(trim(__text), '\\s+') AS __toks")
+        .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
+    )
+    if hash_family == "md5":
+        ex = shingled.select("doc_id", F.explode_outer("sh").alias("shingle"))
+        aggs = [
+            F.expr(f"min(substr(md5(concat('mh{i}:', shingle)), 1, 16)) AS h{i}")
+            for i in range(num_hashes)
+        ]
+        band_exprs = ", ".join(
+            "named_struct('band', {b}, 'key', md5(concat_ws('|', {parts})))".format(
+                b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            )
+            for b in range(bands)
+        )
+    else:
+        ex = shingled.select("doc_id", F.explode_outer("sh").alias("shingle")).select(
+            "doc_id", F.xxhash64("shingle").alias("hh")
+        )
+        aggs = [F.expr(f"min(xxhash64('mh{i}', hh)) AS h{i}") for i in range(num_hashes)]
+        band_exprs = ", ".join(
+            "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
+                b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            )
+            for b in range(bands)
+        )
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(f"explode_outer(array({band_exprs}))").alias("bk"))
+        .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    )
+
+
+def simhash16_md5(df: DataFrame, text_col: str, id_col: str, *, alias: str = "simhash16") -> DataFrame:
+    """16-bit SimHash with an md5-derived bit source — the
+    oracle-facing twin of :func:`simhash64` (production keeps 64-bit
+    xxhash64 voting; this twin exists so the simhash CONTRACT —
+    tokenize → per-token hash bits → ±1 votes → sign-pack — is
+    hash-checkable against any engine with md5).
+
+    Bit b of a token's hash is bit ``b % 4`` of hex nibble ``b // 4``
+    (nibble 0 = first hex char of md5), decoded engine-neutrally via
+    ``instr('0123456789abcdef', c) - 1``. Plan shape matches
+    production: explode tokens → one nibble projection → groupBy with
+    16 codegen'd SUM votes (map-side combined) → sign-pack projection.
+    """
+    from ..sources.tables import spread
+
+    ex = (
+        spread(
+            df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+            .selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"),
+            min_bytes=0,
+        )
+        .selectExpr("doc_id", r"explode(split(trim(__text), '\\s+')) AS tok")
+        .selectExpr(
+            "doc_id",
+            *[f"instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1 AS n{i}" for i in range(4)],
+        )
+    )
+    votes = [
+        F.expr(f"sum(CASE WHEN (n{b // 4} div {1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}")
+        for b in range(16)
+    ]
+    pack = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return (
+        ex.groupBy("doc_id")
+        .agg(*votes)
+        .selectExpr("doc_id", f"CAST({pack} AS BIGINT) AS {alias}")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, *, n: int = 3, threshold: float = 0.5, bucket_col: str | None = None
 ) -> DataFrame:

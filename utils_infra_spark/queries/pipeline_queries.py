@@ -50,6 +50,105 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_documents_md5",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    nib AS (
+      SELECT doc_id,
+             instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS n0,
+             instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS n1,
+             instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1 AS n2,
+             instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1 AS n3
+      FROM ex
+    ),
+    votes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (n0 // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0,
+             SUM(CASE WHEN (n0 // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
+             SUM(CASE WHEN (n0 // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2,
+             SUM(CASE WHEN (n0 // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3,
+             SUM(CASE WHEN (n1 // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v4,
+             SUM(CASE WHEN (n1 // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v5,
+             SUM(CASE WHEN (n1 // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v6,
+             SUM(CASE WHEN (n1 // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v7,
+             SUM(CASE WHEN (n2 // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v8,
+             SUM(CASE WHEN (n2 // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v9,
+             SUM(CASE WHEN (n2 // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v10,
+             SUM(CASE WHEN (n2 // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v11,
+             SUM(CASE WHEN (n3 // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v12,
+             SUM(CASE WHEN (n3 // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v13,
+             SUM(CASE WHEN (n3 // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v14,
+             SUM(CASE WHEN (n3 // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v15
+      FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(
+        (CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END)
+      + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END)
+      + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END)
+      + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END)
+      + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END)
+      + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END)
+      + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END)
+      AS BIGINT) AS simhash16
+    FROM votes
+    """,
+    doc="16-bit SimHash, md5 bit source — oracle-checkable twin of the xxhash64 production sketch (same tokenize→vote→sign-pack contract).",
+)
+def simhash_documents_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import simhash16_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16_md5(docs, "text", "doc_id")
+
+
+@register(
+    "minhash_band_keys_md5",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS grams
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sig AS (
+      SELECT doc_id,
+             MIN(substr(md5('mh0:' || g), 1, 16)) AS h0,
+             MIN(substr(md5('mh1:' || g), 1, 16)) AS h1,
+             MIN(substr(md5('mh2:' || g), 1, 16)) AS h2,
+             MIN(substr(md5('mh3:' || g), 1, 16)) AS h3,
+             MIN(substr(md5('mh4:' || g), 1, 16)) AS h4,
+             MIN(substr(md5('mh5:' || g), 1, 16)) AS h5,
+             MIN(substr(md5('mh6:' || g), 1, 16)) AS h6,
+             MIN(substr(md5('mh7:' || g), 1, 16)) AS h7
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, band, key FROM (
+      SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+    )
+    """,
+    doc="MinHash LSH band keys, md5 sketch hash — oracle-checkable twin of the xxhash64 candidate-generation stage (shingle→8 minhashes→4 band keys).",
+)
+def minhash_band_keys_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import minhash_band_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_band_keys(docs, "text", "doc_id", k_shingle=3, num_hashes=8, bands=4, hash_family="md5")
+
+
+@register(
     "ngram_jaccard_bucketed",
     oracle="""
     WITH sh AS (

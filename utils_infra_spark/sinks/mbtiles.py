@@ -25,8 +25,21 @@ _SCHEMA_SQL = (
     "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles"
     " (zoom_level, tile_column, tile_row);"
     "CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT);"
-    "CREATE UNIQUE INDEX IF NOT EXISTS metadata_name ON metadata (name);"
 )
+
+
+def _ensure_metadata_index(con: sqlite3.Connection) -> None:
+    """Create the unique (name) index on metadata, healing legacy files
+    first: earlier versions did plain INSERT, so a resumed re-run could
+    leave duplicate metadata names — creating the unique index over
+    those would raise IntegrityError on exactly the artifacts the
+    REPLACE upsert is meant to repair. Keep the newest row per name
+    (max rowid = last written), drop the rest, then index."""
+    con.execute(
+        "DELETE FROM metadata WHERE rowid NOT IN"
+        " (SELECT MAX(rowid) FROM metadata GROUP BY name)"
+    )
+    con.execute("CREATE UNIQUE INDEX IF NOT EXISTS metadata_name ON metadata (name)")
 
 
 def _write_shard(shard_dir: str, batch_size: int):
@@ -94,6 +107,7 @@ def write_mbtiles(
 
     con = sqlite3.connect(path)
     con.executescript(_SCHEMA_SQL)
+    _ensure_metadata_index(con)
     total = 0
     # merge ONLY the shards the successful tasks reported — a failed/
     # retried or speculative task can leave a partial shard file in

@@ -12,6 +12,7 @@ under the broadcast threshold and join map-side.
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,8 +91,16 @@ def prune_stopped_sessions(cache: weakref.WeakKeyDictionary) -> None:
     context is gone), bounding the caches to live sessions.
     """
     for sess in list(cache.keys()):
+        # only a PROVEN-stopped classic session is evicted. A Spark
+        # Connect session has no _sc at all — treating that
+        # AttributeError as 'stopped' would evict every live Connect
+        # session on each access and silently disable the caches the
+        # latency win depends on; keep anything we can't probe.
+        sc = getattr(sess, "_sc", None)
+        if sc is None:
+            continue
         try:
-            stopped = sess._sc._jsc is None
+            stopped = sc._jsc is None
         except Exception:
             stopped = True
         if stopped:
@@ -190,13 +199,16 @@ def cache_base_tables(
             size = 0
         n = max(1, min(partitions, size // max(1, bytes_per_split)))
         df = load_table(spark, sf_dir, name)
-        before = _persistent_rdd_ids(spark)
-        per[key] = df.repartition(n).localCheckpoint(eager=True)
         # record which persistent RDDs this checkpoint created so
         # uncache can free the actual blocks (df.rdd on the
         # checkpointed frame derives a NEW un-persisted RDD — calling
-        # unpersist on it would be a silent no-op)
-        ids.update(_persistent_rdd_ids(spark) - before)
+        # unpersist on it would be a silent no-op). The lock keeps a
+        # concurrent checkpoint elsewhere on the context from leaking
+        # its RDD into this diff window (see _SNAPSHOT_LOCK).
+        with _SNAPSHOT_LOCK:
+            before = _persistent_rdd_ids(spark)
+            per[key] = df.repartition(n).localCheckpoint(eager=True)
+            ids.update(_persistent_rdd_ids(spark) - before)
         placed[name] = n
     return placed
 
@@ -208,6 +220,19 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
         return set(jmap.keySet().toArray())
     except Exception:
         return set()
+
+
+# Serializes every snapshot→checkpoint→diff critical section that
+# attributes freshly-persisted RDD ids by diffing the global
+# persistent-RDD set (cache_base_tables here, streaming
+# sampled_side_effect). Without it, two concurrent checkpoints on the
+# shared SparkContext can each capture the OTHER's new RDD in their
+# diff window — and an owner that later unpersists "its" ids would
+# free blocks a concurrent query still needs (localCheckpoint
+# truncates lineage, so the loss is unrecoverable). The guarded
+# section is cheap (an eager checkpoint of a tiny/base-table frame),
+# so contention is negligible.
+_SNAPSHOT_LOCK = threading.Lock()
 
 
 def uncache_base_tables(spark: SparkSession) -> None:

@@ -193,12 +193,21 @@ def sampled_side_effect(
     # effect's own action(s) scan the micro-batch source ONCE, not
     # once each — this is the streaming hot path, every trigger; the
     # checkpoint blocks are freed by id when the trigger is done
-    from ..sources.tables import _persistent_rdd_ids
+    from ..sources.tables import _SNAPSHOT_LOCK, _persistent_rdd_ids
 
     spark = batch_df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    sampled = batch_df.where(F.rand(seed + batch_id) < p).localCheckpoint(eager=True)
-    new_ids = _persistent_rdd_ids(spark) - before
+    # the snapshot→checkpoint→diff section runs under the shared
+    # context-wide lock: with concurrent streaming queries (or any
+    # concurrent persist), an unguarded diff window can capture
+    # ANOTHER query's freshly-persisted checkpoint RDD, and the
+    # finally-block below would then unpersist blocks that query still
+    # needs — unrecoverable, since localCheckpoint truncated lineage.
+    # The guarded work is an eager checkpoint of a ~p-sized sample, so
+    # the serialization cost per trigger is negligible.
+    with _SNAPSHOT_LOCK:
+        before = _persistent_rdd_ids(spark)
+        sampled = batch_df.where(F.rand(seed + batch_id) < p).localCheckpoint(eager=True)
+        new_ids = _persistent_rdd_ids(spark) - before
     try:
         n = sampled.count()
         if n:
