@@ -14,6 +14,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def salt_column(df: DataFrame, salt_buckets: int) -> Column:
+    """The deterministic salt used by the two-stage operators:
+    ``pmod(xxhash64(whole row), salt_buckets)``. Exposed so tests (and
+    callers sizing ``salt_buckets``) can measure the ACTUAL spread of
+    a suspected hot key with the exact expression the operator uses —
+    a hand-copied salt in a test would silently drift.
+
+    Sizing guidance (measured on the skew fixture in
+    tests/test_analytics_salted.py — one user remapped onto ~10% of
+    all events): with salt_buckets=8 the hot key's rows land in all 8
+    partial groups, i.e. rows with ANY per-row variation (a timestamp,
+    an event id) spread uniformly, and the largest task shrinks from
+    ~hot-share to ~hot-share/salt_buckets. The only degenerate case is
+    byte-identical duplicate rows, which share one bucket by
+    construction (retry-safety requires the salt be a pure row
+    function) — if the hot key's rows are exact duplicates, include a
+    physically-varying column in ``df`` before salting."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -36,9 +56,7 @@ def salted_aggregate(
     fully duplicate rows share a bucket, which only narrows the
     spread when the hot key's rows are byte-identical.
     """
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int")
-    )
+    salted = df.withColumn("__salt", salt_column(df, salt_buckets))
     partial_exprs = []
     for name, (fn, col) in aggs.items():
         col = F.col(col) if isinstance(col, str) else col
@@ -82,8 +100,7 @@ def salted_join(
     is in a single unsplittable key group of a sort-merge join.
     Result is row-identical to the plain join (oracle-checked).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
-    fact_s = fact.withColumn("__salt", salt)
+    fact_s = fact.withColumn("__salt", salt_column(fact, salt_buckets))
     dim_r = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
