@@ -124,6 +124,40 @@ OPERATOR_IDS: dict[str, list[str]] = {
     "weighted_sample_docs": ["sampling-weighted"],
     "mixture_resample_documents": ["sampling-mixture"],
     "asof_click_purchase": ["temporal-asof"],
+    "boilerplate_gram_ratio": ["text-boilerplate"],
+    "column_profile_events": ["profiling"],
+    "top_customers_by_balance": ["O1", "W2"],
+    "daily_event_counts": ["A1", "scalar-datetime"],
+    "distinct_segments": ["O6"],
+    "doc_token_chunks": ["chunking"],
+    "embedding_int8_quantize": ["ann-quantize"],
+    "pack_documents_shards": ["packing"],
+    "order_revenue_top10": ["W2", "J7"],
+    "nation_revenue": ["J4", "A1"],
+    "forecast_revenue_filter": ["F5", "A2"],
+    "priority_order_check": ["F4"],
+    "status_bucket_counts": ["A5", "F4"],
+    "brand_revenue_share": ["A2", "A6"],
+    "nation_pair_volume": ["J9", "A3"],
+    "product_profit_by_nation": ["J4", "A3"],
+    "returned_items_customers": ["J7", "F11"],
+    "user_sessions": ["W3", "analytics-sessions"],
+    "rate_limit_violations": ["W3", "F7"],
+    "sitrep_summarize": ["udf-summarize"],
+    "zscore_by_segment": ["analytics-zscore"],
+    "approx_distinct_users": ["sketch-hll"],
+    "large_orders": ["F6", "A1"],
+    "high_balance_inactive": ["J8", "F6"],
+    "corr_price_quantity": ["agg-corr"],
+    "bitmap_distinct_rollup": ["sketch-bitmap"],
+    "small_quantity_part_revenue": ["J4", "A2"],
+    "top_supplier_by_revenue": ["W2", "J4"],
+    "sole_late_supplier_orders": ["J9", "F4"],
+    "event_value_histogram": ["analytics-histogram"],
+    "quality_decile_stats": ["text-quality", "analytics-decile"],
+    "label_centroids": ["ann-ivf"],
+    "embedding_lsh_ann": ["ann-lsh"],
+    "category_counts_events": ["A5", "F11"],
     "rollup_segment_priority": ["agg-rollup"],
     "cube_event_type_hour": ["agg-cube"],
     "grouping_sets_segment_priority": ["agg-grouping-sets"],

@@ -384,12 +384,17 @@ def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, COUNT(gap) AS n_gaps, MAX(gap) AS max_gap_us,
-           ROUND(1.0 * SUM(gap) / COUNT(gap) / 1000000.0, 6) AS avg_gap_s
+           CAST((2*SUM(gap) + COUNT(gap)) // (2*COUNT(gap)) AS DOUBLE) / 1000000.0 AS avg_gap_s
     FROM g WHERE gap IS NOT NULL GROUP BY user_id
     """,
     doc="Sequence analytics: per-user inter-arrival gaps via lag() over an event-time window "
     "(gaps computed in exact integer microseconds, so the aggregate is order-independent), "
-    "then grouped stats. One shuffle on the key shared by window and groupBy.",
+    "then grouped stats. The mean stays in INTEGER space to the last step — half-up round of "
+    "mean microseconds as (2*sum+n)//(2n), then one shared float division — because "
+    "round(double, 6) is the one place engines legitimately disagree (Spark rounds the "
+    "decimal repr via BigDecimal HALF_UP, DuckDB multiplies and std::round's the double; "
+    "first divergence observed at sf0.1, user 1124). One shuffle on the key shared by "
+    "window and groupBy.",
 )
 def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -403,7 +408,10 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(
         F.count("gap").alias("n_gaps"),
         F.max("gap").alias("max_gap_us"),
-        F.round(F.sum("gap") * 1.0 / F.count("gap") / 1e6, 6).alias("avg_gap_s"),
+        # integer half-up mean, one shared float division (see oracle doc)
+        F.expr("CAST((2*SUM(gap) + COUNT(gap)) DIV (2*COUNT(gap)) AS DOUBLE) / 1000000.0").alias(
+            "avg_gap_s"
+        ),
     )
 
 

@@ -157,11 +157,20 @@ def minhash_band_keys_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
+    -- exact candidate restriction: jaccard >= 0.4 > 0 requires a
+    -- shared gram, so only same-lang pairs sharing >= 1 gram need
+    -- scoring (the plain bucketed cross join was ~2.5M list_intersects
+    -- at sf0.1 — too slow for the scale-parity net)
+    ex AS (SELECT doc_id, lang, unnest(grams) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      SELECT id_a, id_b,
+             ROUND(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.grams, sb.grams))), 6) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4
     """,
@@ -724,11 +733,19 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
+    -- exact candidate restriction (same argument as
+    -- ngram_jaccard_bucketed's oracle): jaccard >= 0.4 needs a shared
+    -- gram, so only gram-sharing same-lang pairs are scored
+    exg AS (SELECT doc_id, lang, unnest(grams) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM exg a JOIN exg b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
     jp AS (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                  len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.4
+      SELECT id_a AS src, id_b AS dst
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(sa.grams, sb.grams))), 6) >= 0.4
     ),
     pp AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
@@ -853,11 +870,22 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
+    -- candidate pairs = pairs sharing >= 1 gram. EXACT, not an
+    -- approximation: jaccard(x,y) >= 0.5 > 0 requires a shared gram,
+    -- so the equi-gram join loses nothing vs the naive cross join —
+    -- it only avoids scoring the O(n^2) pairs whose jaccard is
+    -- provably 0 (the naive form needed ~12.5M list_intersects at
+    -- sf0.1 and made the scale-parity net infeasible)
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM d),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      SELECT id_a, id_b,
+             ROUND(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE) /
+                   len(list_distinct(list_concat(da.grams, db.grams))), 6) AS jaccard
+      FROM cand JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
     )
     SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
     """,
