@@ -598,3 +598,45 @@ def test_uncache_frees_block_manager_copies(spark, sf_dir):
     assert after - base, "cache_base_tables left nothing persisted"
     uncache_base_tables(spark)
     assert _persistent_rdd_ids(spark) - base == set()
+
+
+def test_md5_band_keys_twin_shuffles_sketches_not_text(spark, sf_dir):
+    """The md5 LSH twin must keep the production sketch plan shape:
+    map-side-combined MIN partials, a doc_id exchange that carries the
+    sketch signature (never the document text or shingles), and no
+    joins anywhere in candidate generation."""
+    from utils_infra_spark.pipeline.dedup import minhash_band_keys
+    from utils_infra_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_band_keys(docs, "text", "doc_id", hash_family="md5")
+    plan = plan_of_df(spark, df)
+    # min(string) buffers aren't hash-mappable, so Spark plans
+    # SortAggregate here (the xxhash64 production path gets
+    # HashAggregate over longs); either way a partial/final pair must
+    # straddle the exchange — map-side combine is the point
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    exchange_lines = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchange_lines and all("doc_id" in ln for ln in exchange_lines), exchange_lines
+    assert not any("text" in ln or "shingle" in ln for ln in exchange_lines), exchange_lines
+    assert "Join" not in plan
+
+
+def test_md5_simhash_twin_groups_votes_map_side(spark, sf_dir):
+    """The md5 simhash twin keeps the staged-votes shape: exploded
+    nibble projection, 16 codegen'd SUM votes combined map-side, one
+    doc_id shuffle of partial votes."""
+    from utils_infra_spark.pipeline.dedup import simhash16_md5
+    from utils_infra_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = simhash16_md5(docs, "text", "doc_id")
+    plan = plan_of_df(spark, df)
+    assert "HashAggregate" in plan
+    exchange_lines = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchange_lines and all("doc_id" in ln for ln in exchange_lines), exchange_lines
+    assert not any("text" in ln or "tok" in ln for ln in exchange_lines), exchange_lines

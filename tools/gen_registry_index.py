@@ -183,6 +183,28 @@ def proven_rounds() -> dict[str, list[int]]:
     return out
 
 
+def print_next_priority() -> None:
+    """Print the recommended next-round _SAMPLING_PRIORITY literal:
+    every still-unproven oracle-backed name (current relative order)
+    first, then unproven rows-only names — paste into
+    queries/__init__.py after each round's CORRECTNESS snapshot
+    lands, so the driver's first-50 window always holds fresh names."""
+    from utils_infra_spark.queries import REGISTRY, _load
+
+    _load()
+    proven = proven_rounds()
+    unproven = [n for n in REGISTRY if n not in proven]
+    oracle_first = [n for n in unproven if REGISTRY[n].oracle is not None] + [
+        n for n in unproven if REGISTRY[n].oracle is None
+    ]
+    print("_SAMPLING_PRIORITY = [")
+    for n in oracle_first:
+        tag = "" if REGISTRY[n].oracle is not None else "  # rows-only"
+        print(f'    "{n}",{tag}')
+    print("]")
+    print(f"# {len(oracle_first)} unproven ({sum(1 for n in oracle_first if REGISTRY[n].oracle)} oracle-backed)")
+
+
 def main() -> None:
     from utils_infra_spark.queries import REGISTRY, _load
 
@@ -220,4 +242,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--priority" in sys.argv:
+        print_next_priority()
+    else:
+        main()
