@@ -175,14 +175,20 @@ def main() -> None:
 
     # Paired sweeps with a load-aware retry: this VM's 1-minute load
     # swings 2-8x between rounds (other tenants), and the artifact
-    # snapshots ONE run. If the paired ratio lands over 2.0 while the
-    # box is demonstrably busy (loadavg > 2), re-run the WHOLE paired
-    # sweep (both engines together — weather selection, never
-    # work-skipping; within an attempt Spark and DuckDB stay
-    # alternated run-by-run) up to MAX_ATTEMPTS times and keep the
-    # LOWEST-LOAD attempt: selection is by the independent load
-    # variable, not by the outcome, and every attempt's full raw
-    # samples ship in BENCH_result.json for re-adjudication.
+    # snapshots ONE run. The retry rule is OUTCOME-BLIND by design —
+    # an earlier draft stopped early when the ratio came in under the
+    # gate, which is optional stopping that biases the published
+    # number downward. Instead the decision uses only load_BEFORE,
+    # the pre-attempt 1-minute load (load_after is contaminated by
+    # the bench's own 32-thread sweeps and is recorded for context
+    # only): an attempt that STARTED on a busy box (load_before > 2)
+    # is weather-suspect, so re-run the whole paired sweep (both
+    # engines together, still alternated run-by-run inside the
+    # attempt) up to MAX_ATTEMPTS times; an attempt that started on a
+    # quiet box is accepted immediately, whatever its ratio. Selection
+    # is the same independent variable: lowest load_before, first
+    # attempt on ties. Every attempt's full raw samples ship in
+    # BENCH_result.json for re-adjudication.
     MAX_ATTEMPTS = 3
     attempts = []
     for attempt in range(MAX_ATTEMPTS):
@@ -207,10 +213,15 @@ def main() -> None:
                 "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
             }
         )
-        if ratio is None or ratio <= 2.0 or max(load_before, load_after) <= 2.0:
+        if load_before <= 2.0:
             break
-    best = min(attempts, key=lambda a: (sum(a["loadavg_1m"]) / 2, a["ratio_warm"] or 0))
-    warm, cold, duck = best["warm"], best["cold"], best["duck"]
+    best = min(enumerate(attempts), key=lambda ia: (ia[1]["loadavg_1m"][0], ia[0]))[1]
+    warm, duck = best["warm"], best["duck"]
+    # cold numbers come from attempt 1 ONLY: later attempts re-read
+    # parquet that attempt 1 already pulled through the OS page cache,
+    # so their "cold" samples are not cold and must not be published
+    # as if they were
+    cold = attempts[0]["cold"]
 
     # hard per-query floor on this host: a 1-task job that does no
     # work, executed the same way the queries are (fresh
@@ -238,6 +249,7 @@ def main() -> None:
         "ratio_warm": best["ratio_warm"],
         "floor_sec": floor_sec,
         "loadavg_1m": best["loadavg_1m"],
+        "cold_from_attempt": 1,
         "attempts": len(attempts),
         "attempt_summaries": [
             {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "loadavg_1m")}
@@ -247,9 +259,10 @@ def main() -> None:
         "task-count-tested); Arrow-table delivery both engines (toArrow/.arrow); "
         "per-run alternating "
         f"spark/duck pairing; {SWEEPS} time-separated sweeps x {RUNS} runs; "
-        f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; paired sweep retried "
-        f"(max {MAX_ATTEMPTS}x) only if ratio>2 AND loadavg>2, lowest-load attempt kept, "
-        "all attempts recorded in BENCH_result.json"
+        f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; outcome-blind retry: paired "
+        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt loadavg>2, lowest "
+        "pre-attempt-load attempt kept, cold from attempt 1 only, all attempts recorded "
+        "in BENCH_result.json"
         + ("; warm scans block-manager input cache (cold scans parquet)" if cached_input else ""),
         "input_bytes": input_bytes,
         "input_cached": cached_input,

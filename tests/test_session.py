@@ -53,6 +53,8 @@ def test_registry_surfaces_unproven_names_first():
     from utils_infra_spark.queries import _SAMPLING_PRIORITY, REGISTRY, _load
 
     _load()
+    from utils_infra_spark.queries import DRIVER_SAMPLE_WINDOW
+
     names = list(REGISTRY)
     expected_head = [n for n in _SAMPLING_PRIORITY if n in REGISTRY]
     assert names[: len(expected_head)] == expected_head
@@ -60,3 +62,8 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
+    # queries whose purpose is driver proof must sit INSIDE the window
+    window = set(names[:DRIVER_SAMPLE_WINDOW])
+    assert {"simhash_documents_md5", "minhash_band_keys_md5"} <= window
+    # everything in the window must be drawable evidence: oracle-backed
+    assert all(REGISTRY[n].oracle is not None for n in names[:DRIVER_SAMPLE_WINDOW])

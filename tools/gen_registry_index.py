@@ -206,7 +206,7 @@ def print_next_priority() -> None:
 
 
 def main() -> None:
-    from utils_infra_spark.queries import REGISTRY, _load
+    from utils_infra_spark.queries import DRIVER_SAMPLE_WINDOW, REGISTRY, _load
 
     _load()
     proven = proven_rounds()
@@ -214,7 +214,7 @@ def main() -> None:
     for pos, (name, q) in enumerate(REGISTRY.items()):
         index[name] = {
             "position": pos,
-            "in_driver_sample_window": pos < 50,
+            "in_driver_sample_window": pos < DRIVER_SAMPLE_WINDOW,
             "module": q.fn.__module__.rsplit(".", 1)[-1],
             "oracle_backed": q.oracle is not None,
             "ops": OPERATOR_IDS.get(name, []),

@@ -96,9 +96,15 @@ def url_normalize(
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    tracking = "^(" + "|".join(tracking_params) + ")="
     params = F.split(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")), "&")
-    kept = F.array_sort(F.filter(params, lambda p: (p != "") & ~p.rlike(tracking)))
+    if tracking_params:
+        tracking = "^(" + "|".join(tracking_params) + ")="
+        keep = lambda p: (p != "") & ~p.rlike(tracking)  # noqa: E731
+    else:
+        # an empty tuple must strip NOTHING — building '^()=' from it
+        # would match any '=value' param and silently drop it
+        keep = lambda p: p != ""  # noqa: E731
+    kept = F.array_sort(F.filter(params, keep))
     query_part = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))

@@ -93,10 +93,20 @@ def connected_components(
     superseded, but the FINAL converged edge set stays checkpointed —
     it is the returned frame's lineage (bounded by the edge count,
     ~16 B/edge, freed when the result is garbage-collected)."""
-    e = _normalize(edges, src, dst).localCheckpoint(eager=True)
+    from ..sources.tables import _SNAPSHOT_LOCK
+
+    # every localCheckpoint in this process runs under the shared
+    # snapshot lock: concurrent owners that attribute fresh RDD ids by
+    # diffing the global persistent set (cache_base_tables, streaming
+    # sampled_side_effect) must never capture — and later unpersist —
+    # one of these checkpoints, whose truncated lineage makes block
+    # loss unrecoverable mid-iteration
+    with _SNAPSHOT_LOCK:
+        e = _normalize(edges, src, dst).localCheckpoint(eager=True)
     sig = _digest(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        with _SNAPSHOT_LOCK:
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _digest(e2)
         e.unpersist()
         e = e2

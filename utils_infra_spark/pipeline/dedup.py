@@ -152,7 +152,6 @@ def minhash_near_duplicates(
         # trailing hashes would be computed (paid per row) but never
         # banded — the caller's precision/recall math would be wrong
         raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
-    rows_per_band = num_hashes // bands
     # IMPORTANT plan shape: each heavy expression (shingles, signature)
     # is aliased in its OWN projection and consumed via the attribute.
     # Catalyst's CollapseProject keeps these boundaries because the
@@ -170,47 +169,21 @@ def minhash_near_duplicates(
             .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
         )
 
-    # Sketch path avoids higher-order functions entirely — HOF lambdas
-    # are CodegenFallback (interpreted per element), which makes the
-    # naive transform-per-hash signature ~num_hashes x slower than this
-    # shape: explode shingles, hash each ONCE with native xxhash64,
-    # derive the k minhash family by re-hashing that LONG with k seeds
-    # (one-hash MinHash; xxhash64 on a long is a codegen'd native op,
-    # and avoids wrapped arithmetic, which ANSI mode would reject),
-    # then a groupBy(doc_id) with k codegen'd MIN aggregates. Map-side
-    # combine collapses each doc's shingles before the shuffle, which
-    # carries only (doc_id, k longs).
-    # the shingle string is hashed ONCE into an attribute (`hh`) in a
-    # projection below the explode; the k aggregate expressions then
-    # re-hash the attribute long — inlining xxhash64(shingle) into
-    # each agg would string-hash every shingle k times
-    # expression STRINGS, not Column chains: each F.expr is one Py4J
-    # round-trip vs ~4 per Column-composed aggregate — driver-side plan
-    # construction is O(num_hashes) JVM calls either way, but the
-    # constant is ~4x smaller (measured ~2-4 ms per round-trip here)
-    minh_aggs = [F.expr(f"min(xxhash64('mh{i}', hh)) AS h{i}") for i in range(num_hashes)]
-    # explode_OUTER, deliberately: plain explode plants a
-    # `size(sh) > 0` filter that Catalyst pushes below the spread()
-    # exchange, inlining the whole shingle expression into the
-    # (few-partition) scan stage — measured 6.5 s single-threaded vs
-    # 0.4 s spread at sf0.1. shingles_from_tokens never returns an
-    # empty/null array, so outer semantics are identical here.
-    sig_df = (
-        shingled(df)
-        .select("doc_id", F.explode_outer("sh").alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("hh"))
-        .groupBy("doc_id")
-        .agg(*minh_aggs)
-    )
-    band_entries = ", ".join(
-        "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
-            b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        )
-        for b in range(bands)
-    )
-    sketch = (
-        sig_df.select("doc_id", F.expr(f"explode_outer(array({band_entries}))").alias("bk"))
-        .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    # sketch stage (shingle → k minhashes → band keys) is SHARED with
+    # minhash_band_keys — one implementation, so the oracle-backed md5
+    # twin and this production path can never drift apart silently.
+    # drop_empty=False preserves this operator's contract exactly:
+    # null/whitespace-only docs sketch as [''] and can pair with each
+    # other (they ARE duplicates), rather than being filtered.
+    sketch = minhash_band_keys(
+        df,
+        text_col,
+        id_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family="xxhash64",
+        drop_empty=False,
     )
 
     # pair expansion in-row: ids per bucket, then two generates with
@@ -305,14 +278,16 @@ def minhash_band_keys(
     num_hashes: int = 8,
     bands: int = 4,
     hash_family: str = "xxhash64",
+    drop_empty: bool = True,
 ) -> DataFrame:
-    """LSH band keys per document — the candidate-generation HALF of
-    :func:`minhash_near_duplicates`, exposed with a parameterized
-    sketch hash so the contract is cross-engine checkable.
+    """LSH band keys per document — the candidate-generation stage of
+    :func:`minhash_near_duplicates` (which CONSUMES this function, so
+    the two can never drift), exposed with a parameterized sketch hash
+    so the contract is cross-engine checkable.
 
     ``hash_family``:
       * ``"xxhash64"`` — production: JVM-native 64-bit hashing, longs
-        end to end (exactly the sketch stage of minhash_near_duplicates).
+        end to end.
       * ``"md5"`` — oracle-facing twin: per-shingle hash is the low 64
         bits of md5 as a HEX STRING (``substr(md5('mh<i>:' || s),1,16)``),
         the signature is the string MIN (lexicographic over lowercase
@@ -321,11 +296,32 @@ def minhash_band_keys(
         standard md5/substr/min — bit-identical in any engine, so the
         driver can hash-compare against DuckDB.
 
-    Same plan shape either way: explode shingles → hash once into an
+    ``drop_empty`` filters null/whitespace-only docs before
+    sketching (the oracle twin's contract); the near-dup pipeline
+    passes False so empty docs sketch as [''] and can pair with each
+    other — they ARE duplicates.
+
+    Plan shape either way: explode shingles → hash once into an
     attribute → groupBy(doc_id) with num_hashes MIN aggregates
     (map-side combined; the shuffle carries doc_id + num_hashes
     sketch values, never documents) → in-row band projection →
-    explode to (doc_id, band, key).
+    explode to (doc_id, band, key). HOF-free on purpose: lambda HOFs
+    are CodegenFallback (interpreted per element), making the naive
+    transform-per-hash signature ~num_hashes× slower. The xxhash64
+    family hashes each shingle string ONCE into attribute `hh` below
+    the explode and derives the k-hash family by re-hashing that LONG
+    with k seeds (one-hash MinHash; native codegen'd op, no wrapped
+    arithmetic for ANSI mode) — inlining xxhash64(shingle) into each
+    agg would string-hash every shingle k times. Aggregates are
+    expression STRINGS, not Column chains: one Py4J round-trip per
+    F.expr vs ~4 per composed Column (measured ~2-4 ms each), so
+    driver-side plan construction keeps a ~4× smaller constant.
+    explode_OUTER, deliberately: plain explode plants a `size(sh) > 0`
+    filter that Catalyst pushes below the spread() exchange, inlining
+    the whole shingle expression into the few-partition scan stage —
+    measured 6.5 s single-threaded vs 0.4 s spread at sf0.1;
+    shingles_from_tokens never returns an empty/null array, so outer
+    semantics are identical.
     """
     from ..sources.tables import spread
 
@@ -334,12 +330,11 @@ def minhash_band_keys(
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unsupported hash_family: {hash_family!r}")
     rows_per_band = num_hashes // bands
+    base = df
+    if drop_empty:
+        base = base.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     shingled = (
-        spread(
-            df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-            .selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"),
-            min_bytes=0,
-        )
+        spread(base.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
         .selectExpr("doc_id", r"split(trim(__text), '\\s+') AS __toks")
         .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
     )

@@ -91,13 +91,19 @@ def prune_stopped_sessions(cache: weakref.WeakKeyDictionary) -> None:
     context is gone), bounding the caches to live sessions.
     """
     for sess in list(cache.keys()):
-        # only a PROVEN-stopped classic session is evicted. A Spark
-        # Connect session has no _sc at all — treating that
-        # AttributeError as 'stopped' would evict every live Connect
-        # session on each access and silently disable the caches the
-        # latency win depends on; keep anything we can't probe.
+        # only a PROVEN-stopped session is evicted. A Spark Connect
+        # session has no _sc at all — treating that AttributeError as
+        # 'stopped' would evict every live Connect session on each
+        # access and silently disable the caches the latency win
+        # depends on. Connect sessions expose `is_stopped` instead
+        # (pyspark.sql.connect.session), so probe that; a session we
+        # can probe NEITHER way is kept (no false evictions), accepting
+        # that such exotic sessions age out only with the process.
         sc = getattr(sess, "_sc", None)
         if sc is None:
+            stopped = getattr(sess, "is_stopped", None)
+            if stopped is True:
+                cache.pop(sess, None)
             continue
         try:
             stopped = sc._jsc is None
