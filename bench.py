@@ -215,6 +215,17 @@ def main() -> None:
         )
         if load_before <= 2.0:
             break
+        if attempt < MAX_ATTEMPTS - 1:
+            # cool down before the retry: bench's own 32 threads leave
+            # 1-min loadavg at ~2-3 for minutes (SCALE.md round-6
+            # band), so an immediate retry would start self-heated —
+            # its load_before gate would fail on our own residue and
+            # its warm numbers would carry the documented degradation.
+            # Wait for the 1-min average to decay under the gate
+            # (bounded, so a genuinely busy box doesn't stall forever).
+            deadline = time.time() + 300
+            while time.time() < deadline and os.getloadavg()[0] > 2.0:
+                time.sleep(15)
     best = min(enumerate(attempts), key=lambda ia: (ia[1]["loadavg_1m"][0], ia[0]))[1]
     warm, duck = best["warm"], best["duck"]
     # cold numbers come from attempt 1 ONLY: later attempts re-read
@@ -250,6 +261,12 @@ def main() -> None:
         "floor_sec": floor_sec,
         "loadavg_1m": best["loadavg_1m"],
         "cold_from_attempt": 1,
+        # cold numbers always come from attempt 1 (the only
+        # genuinely-cold pass); when a retry was selected, attempt 1
+        # by construction started busy — label its load explicitly so
+        # the cold constants are never read against the quiet
+        # attempt's loadavg
+        "cold_loadavg_1m": attempts[0]["loadavg_1m"],
         "attempts": len(attempts),
         "attempt_summaries": [
             {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "loadavg_1m")}
@@ -262,7 +279,8 @@ def main() -> None:
         f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; outcome-blind retry: paired "
         f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt loadavg>2, lowest "
         "pre-attempt-load attempt kept, cold from attempt 1 only, all attempts recorded "
-        "in BENCH_result.json"
+        "in BENCH_result.json; retries wait (<=300s) for 1-min load to decay under the "
+        "gate so they don't start on bench's own self-heat"
         + ("; warm scans block-manager input cache (cold scans parquet)" if cached_input else ""),
         "input_bytes": input_bytes,
         "input_cached": cached_input,

@@ -163,3 +163,21 @@ def test_cms_never_underestimates_and_merges(spark):
     }
     whole = {(r["row_idx"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     assert merged == whole
+
+
+def test_cc_frees_superseded_round_checkpoints(spark):
+    """Dataset.unpersist on a localCheckpoint'd frame is a silent
+    no-op (only the SQL CacheManager is consulted), so rounds must be
+    freed BY RDD ID — exactly one persistent RDD (the converged edge
+    set, the result's lineage) may survive the iteration."""
+    from utils_infra_spark.pipeline.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 2)] + [(i, i + 1) for i in range(1, 199, 2)],
+        "src long, dst long",
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = connected_components(edges)
+    assert out.count() == 200  # one chain -> one component of all 200 nodes
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before == 1, f"expected only the converged set persisted, got +{after - before}"

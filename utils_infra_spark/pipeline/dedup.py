@@ -148,10 +148,8 @@ def minhash_near_duplicates(
     """
     from ..sources.tables import spread
 
-    if num_hashes % bands != 0:
-        # trailing hashes would be computed (paid per row) but never
-        # banded — the caller's precision/recall math would be wrong
-        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    # num_hashes/bands divisibility is validated once, in
+    # minhash_band_keys (the shared sketch stage this delegates to)
     # IMPORTANT plan shape: each heavy expression (shingles, signature)
     # is aliased in its OWN projection and consumed via the attribute.
     # Catalyst's CollapseProject keeps these boundaries because the
