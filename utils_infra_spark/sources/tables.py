@@ -210,11 +210,17 @@ def cache_base_tables(
         # checkpointed frame derives a NEW un-persisted RDD — calling
         # unpersist on it would be a silent no-op). The lock keeps a
         # concurrent checkpoint elsewhere on the context from leaking
-        # its RDD into this diff window (see _SNAPSHOT_LOCK).
+        # its RDD into this diff window (see _SNAPSHOT_LOCK) — and it
+        # guards only the LAZY registration; the materializing count
+        # runs unlocked so a concurrent streaming trigger never waits
+        # on a table-sized job (same shape as connected_components).
         with _SNAPSHOT_LOCK:
             before = _persistent_rdd_ids(spark)
-            per[key] = df.repartition(n).localCheckpoint(eager=True)
-            ids.update(_persistent_rdd_ids(spark) - before)
+            ckpt = df.repartition(n).localCheckpoint(eager=False)
+            new_ids = _persistent_rdd_ids(spark) - before
+        ckpt.count()  # materialize outside the lock (eager prepay)
+        per[key] = ckpt
+        ids.update(new_ids)
         placed[name] = n
     return placed
 
