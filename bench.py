@@ -70,6 +70,10 @@ HEADLINE = [
 
 RUNS = 4  # spark runs per sweep; the very first is cold (plan build + codegen + JIT)
 SWEEPS = 2  # full passes over the headline list, minutes apart
+# 1-minute loadavg above which an attempt counts as weather-suspect;
+# ONE constant feeds both the accept gate and the cooldown wait so
+# they can never drift apart
+LOAD_GATE = 2.0
 
 
 def _time_interleaved(
@@ -213,7 +217,7 @@ def main() -> None:
                 "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
             }
         )
-        if load_before <= 2.0:
+        if load_before <= LOAD_GATE:
             break
         if attempt < MAX_ATTEMPTS - 1:
             # cool down before the retry: bench's own 32 threads leave
@@ -224,7 +228,7 @@ def main() -> None:
             # Wait for the 1-min average to decay under the gate
             # (bounded, so a genuinely busy box doesn't stall forever).
             deadline = time.time() + 300
-            while time.time() < deadline and os.getloadavg()[0] > 2.0:
+            while time.time() < deadline and os.getloadavg()[0] > LOAD_GATE:
                 time.sleep(15)
     best = min(enumerate(attempts), key=lambda ia: (ia[1]["loadavg_1m"][0], ia[0]))[1]
     warm, duck = best["warm"], best["duck"]

@@ -172,12 +172,18 @@ def test_cc_frees_superseded_round_checkpoints(spark):
     set, the result's lineage) may survive the iteration."""
     from utils_infra_spark.pipeline.cluster import connected_components
 
+    from utils_infra_spark.sources.tables import _persistent_rdd_ids
+
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 200, 2)] + [(i, i + 1) for i in range(1, 199, 2)],
         "src long, dst long",
     )
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # diff ID SETS, not the global count: ContextCleaner can
+    # concurrently collect persisted RDDs left by earlier tests (the
+    # map holds them weakly), so a count diff is flaky — new ids are
+    # what this test owns
+    before = _persistent_rdd_ids(spark)
     out = connected_components(edges)
     assert out.count() == 200  # one chain -> one component of all 200 nodes
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after - before == 1, f"expected only the converged set persisted, got +{after - before}"
+    new = _persistent_rdd_ids(spark) - before
+    assert len(new) == 1, f"expected only the converged set persisted, got {sorted(new)}"

@@ -34,6 +34,10 @@ import pyarrow.parquet as pq
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
 FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+if N < FILES:
+    # an empty trailing file would carry null-typed columns and break
+    # both engines' schema unification (same guard as scale_curve_topk)
+    sys.exit(f"docs ({N}) must be >= files ({FILES}) so no parquet file is empty")
 VOCAB = 10_000
 DATA = f"/tmp/scale_docs_{N}"
 

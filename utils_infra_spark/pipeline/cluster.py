@@ -93,50 +93,30 @@ def connected_components(
     superseded, but the FINAL converged edge set stays checkpointed —
     it is the returned frame's lineage (bounded by the edge count,
     ~16 B/edge, freed when the result is garbage-collected)."""
-    from ..sources.tables import _SNAPSHOT_LOCK, _persistent_rdd_ids
+    from ..sources.tables import checkpoint_with_ids, unpersist_rdd_ids
 
     spark = edges.sparkSession
 
-    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        # LAZY localCheckpoint under the shared snapshot lock, action
-        # outside it: persist REGISTRATION (the thing a concurrent
-        # RDD-id diff window could capture and later wrongly
-        # unpersist) happens synchronously inside localCheckpoint, but
-        # materialization is an O(edges) job — holding the
-        # process-wide lock across that would stall every concurrent
-        # streaming trigger for the duration of the round. The
-        # returned id set is this round's handle for REAL block
-        # freeing: Dataset.unpersist on a checkpointed frame is a
-        # silent no-op (it consults only the SQL CacheManager, which
-        # localCheckpoint never registers with) — the same trap
-        # uncache_base_tables documents — so superseded rounds free
-        # their blocks by id through the JVM persistent-RDD map.
-        with _SNAPSHOT_LOCK:
-            before = _persistent_rdd_ids(spark)
-            out = df.localCheckpoint(eager=False)
-            new_ids = _persistent_rdd_ids(spark) - before
-        return out, new_ids
-
-    def _free(ids: set[int]) -> None:
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in jmap.keySet().toArray():
-                if rid in ids:
-                    jmap.get(rid).unpersist(False)
-        except Exception:
-            pass
-
-    e, e_ids = _checkpoint(_normalize(edges, src, dst))
+    # Per-round checkpoints carry their persistent-RDD ids
+    # (checkpoint_with_ids reads the id directly off the returned
+    # plan) because freeing superseded rounds NEEDS the id:
+    # Dataset.unpersist on a checkpointed frame is a silent no-op (it
+    # consults only the SQL CacheManager, which localCheckpoint never
+    # registers with) — the same trap uncache_base_tables documents.
+    # On the non-convergence path the final round's blocks are freed
+    # too (no result frame survives to own them).
+    e, e_ids = checkpoint_with_ids(_normalize(edges, src, dst), eager=False)
     sig = _digest(e)  # first action materializes the checkpoint
     for _ in range(max_iter):
-        e2, e2_ids = _checkpoint(_small_star(_large_star(e)))
+        e2, e2_ids = checkpoint_with_ids(_small_star(_large_star(e)), eager=False)
         sig2 = _digest(e2)
-        _free(e_ids)
+        unpersist_rdd_ids(spark, e_ids)
         e, e_ids = e2, e2_ids
         if sig2 == sig:
             break
         sig = sig2
     else:
+        unpersist_rdd_ids(spark, e_ids)
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # Converged: e is a star graph (node → component min). Centers
     # map to themselves.

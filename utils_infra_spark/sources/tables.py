@@ -12,7 +12,6 @@ under the broadcast threshold and join map-side.
 from __future__ import annotations
 
 import os
-import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,20 +204,15 @@ def cache_base_tables(
             size = 0
         n = max(1, min(partitions, size // max(1, bytes_per_split)))
         df = load_table(spark, sf_dir, name)
-        # record which persistent RDDs this checkpoint created so
-        # uncache can free the actual blocks (df.rdd on the
-        # checkpointed frame derives a NEW un-persisted RDD — calling
-        # unpersist on it would be a silent no-op). The lock keeps a
-        # concurrent checkpoint elsewhere on the context from leaking
-        # its RDD into this diff window (see _SNAPSHOT_LOCK) — and it
-        # guards only the LAZY registration; the materializing count
-        # runs unlocked so a concurrent streaming trigger never waits
-        # on a table-sized job (same shape as connected_components).
-        with _SNAPSHOT_LOCK:
-            before = _persistent_rdd_ids(spark)
-            ckpt = df.repartition(n).localCheckpoint(eager=False)
-            new_ids = _persistent_rdd_ids(spark) - before
-        ckpt.count()  # materialize outside the lock (eager prepay)
+        # checkpoint_with_ids records which persistent RDD this
+        # checkpoint created so uncache can free the actual blocks
+        # later (df.rdd on the checkpointed frame derives a NEW
+        # un-persisted RDD — unpersist on it would be a silent no-op);
+        # attribution is read directly off the returned plan, so
+        # concurrent checkpoints elsewhere on the context need no
+        # coordination. eager=True: this cache exists to PREPAY the
+        # scan, so materialize now.
+        ckpt, new_ids = checkpoint_with_ids(df.repartition(n), eager=True)
         per[key] = ckpt
         ids.update(new_ids)
         placed[name] = n
@@ -234,17 +228,59 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
         return set()
 
 
-# Serializes every snapshot→checkpoint→diff critical section that
-# attributes freshly-persisted RDD ids by diffing the global
-# persistent-RDD set (cache_base_tables here, streaming
-# sampled_side_effect). Without it, two concurrent checkpoints on the
-# shared SparkContext can each capture the OTHER's new RDD in their
-# diff window — and an owner that later unpersists "its" ids would
-# free blocks a concurrent query still needs (localCheckpoint
-# truncates lineage, so the loss is unrecoverable). The guarded
-# section is cheap (an eager checkpoint of a tiny/base-table frame),
-# so contention is negligible.
-_SNAPSHOT_LOCK = threading.Lock()
+def checkpoint_with_ids(df: DataFrame, *, eager: bool = True) -> tuple[DataFrame, set[int]]:
+    """``df.localCheckpoint(eager)`` plus the id(s) of the persistent
+    RDD it registered — the handle a later owner-side unpersist needs
+    (``Dataset.unpersist`` on a checkpointed frame is a silent no-op:
+    it consults only the SQL CacheManager, which localCheckpoint
+    bypasses).
+
+    Attribution is DIRECT, not diff-based: ``Dataset.checkpoint``
+    returns a frame whose analyzed plan is a ``LogicalRDD`` wrapping
+    exactly the RDD that ``localCheckpoint`` persisted, so its id is
+    read straight off the plan. That makes concurrent checkpoints on
+    the shared SparkContext safe with NO locking. The two designs
+    this replaces both lost: a bare before/after diff of the global
+    persistent-RDD set could capture a concurrent caller's RDD in the
+    window and later wrongly unpersist it (unrecoverable —
+    localCheckpoint truncates lineage), and serializing that window
+    with a process-wide lock stalled every concurrent caller for the
+    checkpoint job's duration (under AQE even the LAZY form
+    materializes all upstream exchanges synchronously before
+    returning).
+
+    If a future Spark changes the returned plan shape, the fallback
+    diffs against a pre-checkpoint snapshot and — because a
+    concurrent persist could slip into that window — attributes ONLY
+    an unambiguous single new id; on ambiguity it returns an empty
+    set, so the caller leaks bounded blocks (visible in Spark's
+    storage UI) rather than ever freeing someone else's.
+    """
+    before = _persistent_rdd_ids(df.sparkSession)
+    out = df.localCheckpoint(eager=eager)
+    try:
+        rid = out._jdf.queryExecution().analyzed().rdd().id()
+        return out, {int(rid)}
+    except Exception:
+        new_ids = _persistent_rdd_ids(df.sparkSession) - before
+        return out, new_ids if len(new_ids) == 1 else set()
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Free persisted RDDs by id through the JVM map — the only
+    handle that actually releases checkpoint blocks. Shared by every
+    checkpoint owner (input cache, streaming side-effect sampling,
+    connected components); best-effort by design (a stopped context
+    has nothing left to free)."""
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if rid in ids:
+                jmap.get(rid).unpersist(False)
+    except Exception:
+        pass
 
 
 def uncache_base_tables(spark: SparkSession) -> None:
@@ -258,15 +294,8 @@ def uncache_base_tables(spark: SparkSession) -> None:
     per = _INPUT_CACHE.get(spark)
     ids_entry = _INPUT_CACHE_RDD_IDS.get(spark)
     ids = ids_entry.get("ids", set()) if ids_entry else set()
-    if ids:
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in jmap.keySet().toArray():
-                if rid in ids:
-                    jmap.get(rid).unpersist(False)
-        except Exception:
-            pass
-        ids.clear()
+    unpersist_rdd_ids(spark, ids)
+    ids.clear()
     if per:
         per.clear()
 

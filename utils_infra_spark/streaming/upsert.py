@@ -193,31 +193,23 @@ def sampled_side_effect(
     # effect's own action(s) scan the micro-batch source ONCE, not
     # once each — this is the streaming hot path, every trigger; the
     # checkpoint blocks are freed by id when the trigger is done
-    from ..sources.tables import _SNAPSHOT_LOCK, _persistent_rdd_ids
+    from ..sources.tables import checkpoint_with_ids, unpersist_rdd_ids
 
     spark = batch_df.sparkSession
-    # the snapshot→checkpoint→diff section runs under the shared
-    # context-wide lock: with concurrent streaming queries (or any
-    # concurrent persist), an unguarded diff window can capture
-    # ANOTHER query's freshly-persisted checkpoint RDD, and the
-    # finally-block below would then unpersist blocks that query still
-    # needs — unrecoverable, since localCheckpoint truncated lineage.
-    # The guarded work is an eager checkpoint of a ~p-sized sample, so
-    # the serialization cost per trigger is negligible.
-    with _SNAPSHOT_LOCK:
-        before = _persistent_rdd_ids(spark)
-        sampled = batch_df.where(F.rand(seed + batch_id) < p).localCheckpoint(eager=True)
-        new_ids = _persistent_rdd_ids(spark) - before
+    # checkpoint_with_ids attributes the checkpoint's persistent RDD
+    # directly off the returned plan, so concurrent streaming queries
+    # (or any concurrent persist) need no coordination — the earlier
+    # global-set diff could capture ANOTHER query's freshly-persisted
+    # checkpoint RDD in its window, and the finally-block below would
+    # then have unpersisted blocks that query still needed
+    # (unrecoverable, since localCheckpoint truncates lineage).
+    sampled, new_ids = checkpoint_with_ids(
+        batch_df.where(F.rand(seed + batch_id) < p), eager=True
+    )
     try:
         n = sampled.count()
         if n:
             effect(sampled, batch_id)
     finally:
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in jmap.keySet().toArray():
-                if rid in new_ids:
-                    jmap.get(rid).unpersist(False)
-        except Exception:
-            pass
+        unpersist_rdd_ids(spark, new_ids)
     return n
