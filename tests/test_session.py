@@ -67,3 +67,27 @@ def test_registry_surfaces_unproven_names_first():
     assert {"simhash_documents_md5", "minhash_band_keys_md5"} <= window
     # everything in the window must be drawable evidence: oracle-backed
     assert all(REGISTRY[n].oracle is not None for n in names[:DRIVER_SAMPLE_WINDOW])
+
+
+def test_checkpoint_with_ids_attributes_exactly_its_own_rdd(spark):
+    """The returned id set must be exactly the persistent RDD the
+    checkpoint registered (read off the LogicalRDD plan — no global
+    diff), for both lazy and eager forms, and unpersist_rdd_ids must
+    actually free those blocks (Dataset.unpersist would be a no-op)."""
+    from utils_infra_spark.sources.tables import (
+        _persistent_rdd_ids,
+        checkpoint_with_ids,
+        unpersist_rdd_ids,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k").groupBy("k").count()
+    lazy, lazy_ids = checkpoint_with_ids(df, eager=False)
+    eager, eager_ids = checkpoint_with_ids(spark.range(50), eager=True)
+    assert len(lazy_ids) == 1 and len(eager_ids) == 1 and lazy_ids != eager_ids
+    # both registrations are visible in the JVM persistent map and are NEW
+    now = _persistent_rdd_ids(spark)
+    assert lazy_ids | eager_ids <= now - before
+    assert lazy.count() == 7  # materializing the lazy one changes nothing
+    unpersist_rdd_ids(spark, lazy_ids | eager_ids)
+    assert (lazy_ids | eager_ids) & _persistent_rdd_ids(spark) == set()
