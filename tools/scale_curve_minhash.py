@@ -34,10 +34,10 @@ import pyarrow.parquet as pq
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
 FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-if N < FILES:
-    # an empty trailing file would carry null-typed columns and break
-    # both engines' schema unification (same guard as scale_curve_topk)
-    sys.exit(f"docs ({N}) must be >= files ({FILES}) so no parquet file is empty")
+# ceil-division can exhaust N before the last file for many N (e.g.
+# 100/32: per=4, files 25-31 empty) — an empty file would carry
+# null-typed columns and break both engines' schema unification, so
+# generation below simply stops writing once the docs run out
 VOCAB = 10_000
 DATA = f"/tmp/scale_docs_{N}"
 
@@ -54,6 +54,8 @@ if not os.path.exists(DATA):
     doc_id = 0
     prev_tokens = None
     for f in range(FILES):
+        if doc_id >= N:
+            break  # never write an empty (null-typed) parquet file
         ids, texts = [], []
         for _ in range(min(per, N - doc_id)):
             n_tok = int(rng.integers(80, 121))
@@ -72,7 +74,7 @@ if not os.path.exists(DATA):
             f"{tmp}/part{f:02d}.parquet",
         )
     os.rename(tmp, DATA)
-    print(f"generated {N} docs in {FILES} files at {DATA}")
+    print(f"generated {N} docs in {len(os.listdir(DATA))} files at {DATA}")
 
 import duckdb
 

@@ -105,19 +105,31 @@ def connected_components(
     # registers with) — the same trap uncache_base_tables documents.
     # On the non-convergence path the final round's blocks are freed
     # too (no result frame survives to own them).
-    e, e_ids = checkpoint_with_ids(_normalize(edges, src, dst), eager=False)
-    sig = _digest(e)  # first action materializes the checkpoint
-    for _ in range(max_iter):
-        e2, e2_ids = checkpoint_with_ids(_small_star(_large_star(e)), eager=False)
-        sig2 = _digest(e2)
+    e_ids: set[int] = set()
+    try:
+        e, e_ids = checkpoint_with_ids(_normalize(edges, src, dst), eager=False)
+        sig = _digest(e)  # first action materializes the checkpoint
+        for _ in range(max_iter):
+            e2, e2_ids = checkpoint_with_ids(_small_star(_large_star(e)), eager=False)
+            try:
+                sig2 = _digest(e2)
+            except BaseException:
+                unpersist_rdd_ids(spark, e2_ids)
+                raise
+            unpersist_rdd_ids(spark, e_ids)
+            e, e_ids = e2, e2_ids
+            if sig2 == sig:
+                break
+            sig = sig2
+        else:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    except BaseException:
+        # any failure path (non-convergence, executor loss mid-round,
+        # cancellation): no result frame survives to own the current
+        # round's blocks, so free them instead of pinning
+        # edge-set-sized memory in a long-lived session
         unpersist_rdd_ids(spark, e_ids)
-        e, e_ids = e2, e2_ids
-        if sig2 == sig:
-            break
-        sig = sig2
-    else:
-        unpersist_rdd_ids(spark, e_ids)
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        raise
     # Converged: e is a star graph (node → component min). Centers
     # map to themselves.
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))

@@ -254,16 +254,30 @@ def checkpoint_with_ids(df: DataFrame, *, eager: bool = True) -> tuple[DataFrame
     concurrent persist could slip into that window — attributes ONLY
     an unambiguous single new id; on ambiguity it returns an empty
     set, so the caller leaks bounded blocks (visible in Spark's
-    storage UI) rather than ever freeing someone else's.
+    storage UI) rather than ever freeing someone else's. The
+    pre-snapshot is taken only after the direct read has failed ONCE
+    in this process (module flag): getPersistentRDDs builds a full
+    map copy JVM-side per call, a pure per-trigger tax on the
+    streaming hot path while the direct read keeps working. The one
+    call that discovers the failure therefore has no snapshot and
+    returns an empty set — a single bounded leak, after which every
+    call uses the fallback.
     """
-    before = _persistent_rdd_ids(df.sparkSession)
+    global _direct_plan_id_works
+    before = None if _direct_plan_id_works else _persistent_rdd_ids(df.sparkSession)
     out = df.localCheckpoint(eager=eager)
     try:
         rid = out._jdf.queryExecution().analyzed().rdd().id()
         return out, {int(rid)}
     except Exception:
+        if before is None:
+            _direct_plan_id_works = False
+            return out, set()
         new_ids = _persistent_rdd_ids(df.sparkSession) - before
         return out, new_ids if len(new_ids) == 1 else set()
+
+
+_direct_plan_id_works = True
 
 
 def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
