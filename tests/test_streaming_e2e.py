@@ -408,3 +408,93 @@ def test_stream_upsert_accepts_structtype_state_schema(spark, tmp_path):
             assert (final.loc[key, c] == want.loc[key, c]) or (
                 final.loc[key, c] != final.loc[key, c] and want.loc[key, c] != want.loc[key, c]
             ), (key, c)
+
+
+def test_stream_near_dup_suppression(spark, tmp_path):
+    """Streaming LSH near-dup suppression (training-pipeline shape):
+    a document whose band key collides with any document inside the
+    watermark horizon is suppressed; distinct documents pass. Also
+    pins that the in-row streaming sketch produces VALUE-IDENTICAL
+    band keys to the batch minhash_band_keys sketch, so a streaming
+    corpus dedups against the same key space as a batch backfill."""
+    from utils_infra_spark.pipeline.dedup import (
+        band_key_rows_inrow,
+        minhash_band_keys,
+        near_dup_band_survivors_stream,
+        near_dup_batch_reduce,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while seven wizards brew strong potions at midnight"
+    near = base.replace("seven", "nine")  # 1 of 17 tokens changed
+    docs1 = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00Z", "text": base},
+        {"doc_id": 2, "ts": "2024-01-01T10:00:10Z", "text": "completely different content about spark shuffle partitions and codegen stages"},
+    ]
+    docs2 = [
+        {"doc_id": 3, "ts": "2024-01-01T10:01:00Z", "text": near},  # near-dup of 1, cross-batch
+        {"doc_id": 4, "ts": "2024-01-01T10:01:30Z", "text": "yet another unrelated document mentioning parquet footers and arrow batches"},
+    ]
+
+    # --- batch == stream sketch parity on the same rows ---
+    static = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs1 + docs2], "doc_id long, text string"
+    ).selectExpr("doc_id", "CAST('2024-01-01' AS TIMESTAMP) AS ts", "text")
+    batch_keys = {
+        (r.doc_id, r.band, r.key)
+        for r in minhash_band_keys(static, "text", "doc_id", drop_empty=False).collect()
+    }
+    inrow_keys = {
+        (r.doc_id, r.band, r.key)
+        for r in band_key_rows_inrow(static, "text", "doc_id", "ts").collect()
+    }
+    assert batch_keys == inrow_keys and len(batch_keys) == 16
+    # the fixture really is a near-dup: docs 1 and 3 share >= 1 band key
+    k1 = {(b, k) for d, b, k in batch_keys if d == 1}
+    k3 = {(b, k) for d, b, k in batch_keys if d == 3}
+    assert k1 & k3, "fixture texts do not collide on any band — adjust the mutation"
+    # and the distinct docs share none
+    for other in (2, 4):
+        ko = {(b, k) for d, b, k in batch_keys if d == other}
+        assert not (k1 & ko)
+
+    # --- end-to-end stream ---
+    src = str(tmp_path / "neardup_src")
+    os.makedirs(src, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate([docs1, docs2]):
+        path = os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+        # the file source orders micro-batches by modification time;
+        # same-second writes tie and batch order becomes arbitrary —
+        # pin b0 strictly older so doc 1 is genuinely FIRST
+        os.utime(path, (now + i * 60, now + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    survivors = near_dup_band_survivors_stream(
+        stream, "text", "doc_id", "ts", watermark="10 minutes"
+    )
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r.doc_id) for r in near_dup_batch_reduce(batch_df, bands=4).collect()
+        )
+
+    q = (
+        survivors.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "neardup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # doc 3 (near-dup of doc 1 from the earlier micro-batch) is
+    # suppressed; everything else passes
+    assert sorted(emitted) == [1, 2, 4]

@@ -68,6 +68,115 @@ def dedup_exact_stream(
     )
 
 
+def near_dup_band_survivors_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str,
+    *,
+    watermark: str = "10 minutes",
+    k_shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming LSH near-duplicate suppression, stage 1 of 2: per
+    document compute its ``bands`` MinHash band keys IN-ROW (HOF
+    ``array_min(transform(...))`` — no groupBy, so the streaming graph
+    carries exactly ONE stateful operator), explode to
+    (id, ts, band, key) rows, and keep only rows whose (band, key)
+    was NOT seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — emits survivors immediately,
+    state holds one entry per distinct band key inside the horizon).
+
+    The band keys are VALUE-IDENTICAL to the batch sketch
+    (:func:`minhash_band_keys`, xxhash64 family): same shingles, same
+    one-hash MinHash family ``min(xxhash64('mh<i>', xxhash64(s)))``,
+    same ``xxhash64('band<b>', h...)`` band key — pinned by test, so
+    a streaming corpus and a batch backfill dedup against the SAME
+    key space. (The batch path prefers explode+groupBy because HOF
+    lambdas run interpreted; per micro-batch that cost is irrelevant
+    and buys the single-stateful-operator shape.)
+
+    Stage 2 is :func:`near_dup_batch_reduce` inside ``foreachBatch``:
+    a document SURVIVES iff all ``bands`` of its rows survived (no
+    band collided with any earlier document). All of one document's
+    band rows travel in the same micro-batch (generated per input
+    row), so the reduce is batch-local and needs no second stateful
+    operator.
+
+    Semantics / scale contract: suppression fires on ANY band
+    collision inside the horizon — the standard streaming trade: no
+    Jaccard verify pass (the colliding original may be long evicted),
+    so precision is the LSH false-positive curve for
+    (num_hashes, bands); tune them like the batch operator. State at
+    100 TB/day: one (band, key, ts) entry — tens of bytes — per
+    distinct band key in the horizon, partitioned by key across
+    executors (RocksDB store in production), i.e. ~bands × docs/
+    horizon entries, NOT the corpus.
+    """
+    exploded = band_key_rows_inrow(
+        stream_df, text_col, id_col, ts_col, k_shingle=k_shingle, num_hashes=num_hashes, bands=bands
+    )
+    return exploded.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["band", "key"])
+
+
+def band_key_rows_inrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str,
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, ts, band, key) rows computed IN-ROW (HOF minhash, no
+    groupBy) — the streaming-safe form of the sketch stage, value-
+    identical to :func:`minhash_band_keys`'s xxhash64 family (pinned
+    by test). Works on batch frames too, which is how the parity test
+    compares the two forms."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    rows_per_band = num_hashes // bands
+    staged = (
+        df.selectExpr(
+            f"{id_col} AS doc_id", f"{ts_col} AS ts", rf"split(trim({text_col}), '\\s+') AS __toks"
+        )
+        .selectExpr("doc_id", "ts", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
+        .selectExpr(
+            "doc_id",
+            "ts",
+            *[
+                f"array_min(transform(sh, s -> xxhash64('mh{i}', xxhash64(s)))) AS h{i}"
+                for i in range(num_hashes)
+            ],
+        )
+    )
+    band_entries = ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
+            b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
+        for b in range(bands)
+    )
+    return staged.selectExpr(
+        "doc_id", "ts", f"explode(array({band_entries})) AS bk"
+    ).selectExpr("doc_id", "ts", "bk.band AS band", "bk.key AS key")
+
+
+def near_dup_batch_reduce(band_rows: DataFrame, *, bands: int = 4) -> DataFrame:
+    """Stage 2 of streaming near-dup suppression (run INSIDE
+    ``foreachBatch`` on :func:`near_dup_band_survivors_stream`'s
+    output): a document survives iff all ``bands`` of its band rows
+    survived the keyed dedup. Batch-local groupBy — correct because
+    one document's band rows always share a micro-batch."""
+    return (
+        band_rows.groupBy("doc_id")
+        .agg(F.first("ts").alias("ts"), F.count(F.lit(1)).alias("surviving_bands"))
+        .where(F.col("surviving_bands") == bands)
+        .select("doc_id", "ts")
+    )
+
+
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles from a token-array ATTRIBUTE. Prefer this
     over ``shingles`` in hot paths: pass an aliased token column so
