@@ -478,13 +478,13 @@ def test_stream_near_dup_suppression(spark, tmp_path):
         .json(src)
     )
     survivors = near_dup_band_survivors_stream(
-        stream, "text", "doc_id", "ts", watermark="10 minutes"
+        stream, "text", "doc_id", "ts", state_ttl_ms=600_000
     )
     emitted = []
 
     def sink(batch_df, batch_id):
         emitted.extend(
-            (r.doc_id) for r in near_dup_batch_reduce(batch_df, bands=4).collect()
+            (r.doc_id) for r in near_dup_batch_reduce(batch_df).collect()
         )
 
     q = (
@@ -498,3 +498,28 @@ def test_stream_near_dup_suppression(spark, tmp_path):
     # doc 3 (near-dup of doc 1 from the earlier micro-batch) is
     # suppressed; everything else passes
     assert sorted(emitted) == [1, 2, 4]
+
+    # --- intra-batch near-dups keep exactly ONE representative ---
+    # dropDuplicatesWithinWatermark-style per-key arbitrary winners
+    # could split a same-batch pair's shared keys and suppress BOTH
+    # copies (content loss); the deterministic (ts, doc_id) claimant
+    # must keep the earliest doc and drop only the other.
+    src2 = str(tmp_path / "neardup_src2")
+    os.makedirs(src2, exist_ok=True)
+    with open(os.path.join(src2, "b0.json"), "w") as f:
+        for rec in docs1 + docs2:  # all four docs in ONE micro-batch
+            f.write(json.dumps(rec) + "\n")
+    stream2 = spark.readStream.schema("doc_id long, ts timestamp, text string").json(src2)
+    emitted2 = []
+    q2 = (
+        near_dup_band_survivors_stream(stream2, "text", "doc_id", "ts", state_ttl_ms=600_000)
+        .writeStream.foreachBatch(
+            lambda b, _id: emitted2.extend(r.doc_id for r in near_dup_batch_reduce(b).collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "neardup_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(emitted2) == [1, 2, 4]

@@ -74,50 +74,109 @@ def near_dup_band_survivors_stream(
     id_col: str,
     ts_col: str,
     *,
-    watermark: str = "10 minutes",
+    state_ttl_ms: int = 600_000,
     k_shingle: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
     """Streaming LSH near-duplicate suppression, stage 1 of 2: per
     document compute its ``bands`` MinHash band keys IN-ROW (HOF
-    ``array_min(transform(...))`` — no groupBy, so the streaming graph
-    carries exactly ONE stateful operator), explode to
-    (id, ts, band, key) rows, and keep only rows whose (band, key)
-    was NOT seen within the watermark horizon
-    (``dropDuplicatesWithinWatermark`` — emits survivors immediately,
-    state holds one entry per distinct band key inside the horizon).
+    minhash — no groupBy before the stateful op), explode to
+    (id, ts, band, key, n_bands) rows, then per (band, key) emit the
+    DETERMINISTIC CLAIMANT — the earliest (ts, doc_id) row of the
+    micro-batch — and only when no document claimed that key within
+    ``state_ttl_ms`` (one ``applyInPandasWithState`` group per band
+    key; the single stateful operator in the graph).
+
+    Why a custom claimant instead of ``dropDuplicatesWithinWatermark``:
+    that operator picks its per-key winner by arrival/partition order,
+    so two near-dups in the SAME micro-batch could split the wins on
+    their shared keys and BOTH fail stage 2's all-bands rule — the
+    content would vanish instead of keeping one representative. The
+    (ts, doc_id) comparator is global and consistent across keys, so
+    one document wins every key it shares, survives, and suppresses
+    the other. (Chains suppress transitively within a batch — A beats
+    B, B's other keys still outrank C — matching the batch pipeline's
+    cluster-one-representative semantics.) Late data gets the same
+    treatment as on-time data — state TTL is processing-time, so
+    nothing is silently dropped for lateness; an older-than-TTL
+    re-arrival re-emits, exactly like ``dedup_exact_stream``'s trade.
 
     The band keys are VALUE-IDENTICAL to the batch sketch
-    (:func:`minhash_band_keys`, xxhash64 family): same shingles, same
-    one-hash MinHash family ``min(xxhash64('mh<i>', xxhash64(s)))``,
-    same ``xxhash64('band<b>', h...)`` band key — pinned by test, so
-    a streaming corpus and a batch backfill dedup against the SAME
-    key space. (The batch path prefers explode+groupBy because HOF
-    lambdas run interpreted; per micro-batch that cost is irrelevant
-    and buys the single-stateful-operator shape.)
+    (:func:`minhash_band_keys`, xxhash64 family; shared band-entry
+    template, pinned by test), so a streaming corpus and a batch
+    backfill dedup against the SAME key space.
 
     Stage 2 is :func:`near_dup_batch_reduce` inside ``foreachBatch``:
-    a document SURVIVES iff all ``bands`` of its rows survived (no
-    band collided with any earlier document). All of one document's
-    band rows travel in the same micro-batch (generated per input
-    row), so the reduce is batch-local and needs no second stateful
-    operator.
+    a document survives iff ALL its band rows were emitted (the
+    ``n_bands`` column travels with the rows, so the two stages
+    cannot disagree about the band count). All of one document's band
+    rows share a micro-batch, so the reduce is batch-local.
 
-    Semantics / scale contract: suppression fires on ANY band
-    collision inside the horizon — the standard streaming trade: no
-    Jaccard verify pass (the colliding original may be long evicted),
-    so precision is the LSH false-positive curve for
-    (num_hashes, bands); tune them like the batch operator. State at
-    100 TB/day: one (band, key, ts) entry — tens of bytes — per
+    Scale contract: suppression fires on ANY band collision inside
+    the TTL horizon — no Jaccard verify pass (the colliding original
+    may be long evicted), so precision is the LSH false-positive
+    curve for (num_hashes, bands). State: one tiny claim row per
     distinct band key in the horizon, partitioned by key across
-    executors (RocksDB store in production), i.e. ~bands × docs/
-    horizon entries, NOT the corpus.
+    executors (RocksDB store in production) — ~bands × docs/horizon
+    entries, NOT the corpus.
     """
-    exploded = band_key_rows_inrow(
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = band_key_rows_inrow(
         stream_df, text_col, id_col, ts_col, k_shingle=k_shingle, num_hashes=num_hashes, bands=bands
     )
-    return exploded.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["band", "key"])
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        if state.exists:
+            # key already claimed inside the horizon: refresh the TTL
+            # (a near-dup flood keeps its representative's claim warm)
+            # and emit nothing for this band
+            state.update(state.get)
+            state.setTimeoutDuration(state_ttl_ms)
+            return
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        w = batch.sort_values(["ts", "doc_id"]).iloc[0]
+        state.update((int(w.doc_id),))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(w.doc_id)],
+                "ts": [w.ts],
+                "band": [int(key_tuple[0])],
+                "key": [int(key_tuple[1])],
+                "n_bands": [int(w.n_bands)],
+            }
+        )
+
+    return rows.groupBy("band", "key").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, ts timestamp, band int, key long, n_bands int",
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _band_entries_xxhash(bands: int, rows_per_band: int) -> str:
+    """The ONE source of the xxhash64 band-key template — shared by
+    the batch sketch (:func:`minhash_band_keys`) and the streaming
+    in-row sketch (:func:`band_key_rows_inrow`), whose key spaces must
+    stay value-identical; a forked copy editing one seed string would
+    silently split them."""
+    return ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
+            b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
+        for b in range(bands)
+    )
 
 
 def band_key_rows_inrow(
@@ -130,11 +189,15 @@ def band_key_rows_inrow(
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """(doc_id, ts, band, key) rows computed IN-ROW (HOF minhash, no
-    groupBy) — the streaming-safe form of the sketch stage, value-
-    identical to :func:`minhash_band_keys`'s xxhash64 family (pinned
-    by test). Works on batch frames too, which is how the parity test
-    compares the two forms."""
+    """(doc_id, ts, band, key, n_bands) rows computed IN-ROW (HOF
+    minhash, no groupBy) — the streaming-safe form of the sketch
+    stage, value-identical to :func:`minhash_band_keys`'s xxhash64
+    family (shared band template, pinned by test). Works on batch
+    frames too, which is how the parity test compares the two forms.
+    Each shingle string is hashed ONCE into an aliased long array and
+    the k-hash family re-hashes the longs — inlining xxhash64(s) into
+    every interpreted lambda would string-hash each shingle
+    num_hashes times (the batch path's documented anti-pattern)."""
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
@@ -143,36 +206,41 @@ def band_key_rows_inrow(
             f"{id_col} AS doc_id", f"{ts_col} AS ts", rf"split(trim({text_col}), '\\s+') AS __toks"
         )
         .selectExpr("doc_id", "ts", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
+        .selectExpr("doc_id", "ts", "transform(sh, s -> xxhash64(s)) AS hs")
         .selectExpr(
             "doc_id",
             "ts",
             *[
-                f"array_min(transform(sh, s -> xxhash64('mh{i}', xxhash64(s)))) AS h{i}"
+                f"array_min(transform(hs, h -> xxhash64('mh{i}', h))) AS h{i}"
                 for i in range(num_hashes)
             ],
         )
     )
-    band_entries = ", ".join(
-        "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
-            b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        )
-        for b in range(bands)
-    )
     return staged.selectExpr(
-        "doc_id", "ts", f"explode(array({band_entries})) AS bk"
-    ).selectExpr("doc_id", "ts", "bk.band AS band", "bk.key AS key")
+        "doc_id", "ts", f"explode(array({_band_entries_xxhash(bands, rows_per_band)})) AS bk"
+    ).selectExpr(
+        "doc_id", "ts", "bk.band AS band", "bk.key AS key", f"CAST({bands} AS INT) AS n_bands"
+    )
 
 
-def near_dup_batch_reduce(band_rows: DataFrame, *, bands: int = 4) -> DataFrame:
+def near_dup_batch_reduce(band_rows: DataFrame) -> DataFrame:
     """Stage 2 of streaming near-dup suppression (run INSIDE
     ``foreachBatch`` on :func:`near_dup_band_survivors_stream`'s
-    output): a document survives iff all ``bands`` of its band rows
-    survived the keyed dedup. Batch-local groupBy — correct because
-    one document's band rows always share a micro-batch."""
+    output): a document survives iff ALL its band rows were emitted.
+    The expected count rides in the ``n_bands`` column stage 1
+    attaches, so the two stages cannot drift apart on configuration
+    (an earlier draft took an independent ``bands`` default here — a
+    stage-1 tune would then silently suppress every distinct doc).
+    Batch-local groupBy — correct because one document's band rows
+    always share a micro-batch."""
     return (
         band_rows.groupBy("doc_id")
-        .agg(F.first("ts").alias("ts"), F.count(F.lit(1)).alias("surviving_bands"))
-        .where(F.col("surviving_bands") == bands)
+        .agg(
+            F.first("ts").alias("ts"),
+            F.count(F.lit(1)).alias("surviving_bands"),
+            F.first("n_bands").alias("n_bands"),
+        )
+        .where(F.col("surviving_bands") == F.col("n_bands"))
         .select("doc_id", "ts")
     )
 
@@ -462,12 +530,7 @@ def minhash_band_keys(
             "doc_id", F.xxhash64("shingle").alias("hh")
         )
         aggs = [F.expr(f"min(xxhash64('mh{i}', hh)) AS h{i}") for i in range(num_hashes)]
-        band_exprs = ", ".join(
-            "named_struct('band', {b}, 'key', xxhash64('band{b}', {parts}))".format(
-                b=b, parts=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-            )
-            for b in range(bands)
-        )
+        band_exprs = _band_entries_xxhash(bands, rows_per_band)
     return (
         ex.groupBy("doc_id")
         .agg(*aggs)
