@@ -239,3 +239,80 @@ def unmatched_records(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     )
     claimed = F.coalesce(catcher | groups | direct | minimal | aprs | arr, F.lit(False))
     return df.where(~claimed).select(raw.alias("corrupt_record"))
+
+
+# -- S2: CloudTAK CoT contact frames -------------------------------------
+#
+# The reference's contacts consumer (display-proxy/lambdas/
+# tak-contacts-ws/index.mjs:167-189) receives {type:"cot", data:
+# <GeoJSON feature>} frames, keeps only features that carry a
+# properties.group (contacts), tolerates `group` being either a bare
+# string or an object {name: ...}, and stamps a per-group marker
+# color (unknown groups fall back to white).
+
+_COT_GROUP_STR = (
+    "struct<type: string, data: struct<id: string,"
+    " geometry: struct<type: string, coordinates: array<double>>,"
+    " properties: struct<callsign: string, group: string, time: string>>>"
+)
+_COT_GROUP_OBJ = (
+    "struct<type: string, data: struct<id: string,"
+    " geometry: struct<type: string, coordinates: array<double>>,"
+    " properties: struct<callsign: string, group: struct<name: string>,"
+    " time: string>>>"
+)
+
+
+def normalize_cot(
+    df: DataFrame, raw_col: str = "raw", *, group_colors: dict[str, str] | None = None
+) -> DataFrame:
+    """CoT contact frames → one row per contact feature.
+
+    Emits ``(contact_id, callsign, group_name, marker_color, lon,
+    lat, event_ts)``. ``contact_id`` falls back from ``data.id`` to
+    the callsign (the reference's Map key fallback chain). ``group``
+    parses under BOTH wire forms — string and ``{name}`` object — via
+    two PERMISSIVE ``from_json`` passes coalesced together (the same
+    one-scan branch trick as :func:`normalize_any`: a mismatched
+    field is null under PERMISSIVE, so exactly one form claims each
+    frame). ``group_colors`` is driver-side config baked into a
+    ``create_map`` literal (S16 pattern) — no join, no UDF, pure
+    codegen at any scale."""
+    raw = F.col(raw_col)
+    s = _parse(raw, _COT_GROUP_STR)
+    o = _parse(raw, _COT_GROUP_OBJ)
+    # PERMISSIVE from_json STRINGIFIES an object that lands in a
+    # string-typed field (it does not null it), so the string form is
+    # authoritative only when it isn't itself serialized JSON; the
+    # object form covers the rest.
+    sg = s["data"]["properties"]["group"]
+    group = F.when(
+        sg.isNotNull() & ~sg.startswith("{"), sg
+    ).otherwise(o["data"]["properties"]["group"]["name"])
+
+    def leaf(*path: str) -> Column:
+        # the two schemas differ ONLY at properties.group, so every
+        # other leaf has one type and coalesces cleanly (the data
+        # structs themselves do NOT — their types differ)
+        sx, ox = s["data"], o["data"]
+        for p in path:
+            sx, ox = sx[p], ox[p]
+        return F.coalesce(sx, ox)
+
+    colors = group_colors or {}
+    if colors:
+        cmap = F.create_map(*[F.lit(x) for kv in colors.items() for x in kv])
+        color = F.coalesce(cmap[group], F.lit("#ffffff"))
+    else:
+        color = F.lit("#ffffff")
+    typed = F.coalesce(s["type"], o["type"])
+    coords = leaf("geometry", "coordinates")
+    return df.where((typed == "cot") & group.isNotNull() & coords.isNotNull()).select(
+        F.coalesce(leaf("id"), leaf("properties", "callsign")).alias("contact_id"),
+        leaf("properties", "callsign").alias("callsign"),
+        group.alias("group_name"),
+        color.alias("marker_color"),
+        coords[0].alias("lon"),
+        coords[1].alias("lat"),
+        F.to_timestamp(leaf("properties", "time")).alias("event_ts"),
+    )
