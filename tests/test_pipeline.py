@@ -408,3 +408,45 @@ def test_centroids_by_key_assembles_mean_vectors(spark):
     out = {r.key: r.centroid for r in centroids_by_key(df).collect()}
     assert out["a"] == [2.0, 4.0]
     assert out["b"] == [10.0, 0.0]
+
+
+def test_line_dedup_corpus_semantics(spark):
+    from utils_infra_spark.pipeline.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\n\ngamma"),          # all first occurrences
+            (2, "beta\ndelta"),                   # beta dropped (doc 1 won)
+            (3, "beta\nalpha"),                   # both dropped -> doc gone
+            (4, "  \n\t\n"),                      # only blank lines -> gone
+            (5, None),                            # null text -> gone
+            (6, "delta\ndelta\nepsilon"),         # intra-doc dup: 2nd delta
+                                                  # lost to doc 2's line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_corpus(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 6}
+    assert out[1].clean_text == "alpha\nbeta\ngamma"  # blank line normalized away
+    assert out[1].kept_lines == 3 and out[1].dropped_lines == 0
+    assert out[2].clean_text == "delta" and out[2].dropped_lines == 1
+    # doc 6: both delta copies lost (doc 2 owns the first occurrence),
+    # epsilon survives
+    assert out[6].clean_text == "epsilon"
+    assert out[6].kept_lines == 1 and out[6].dropped_lines == 2
+
+
+def test_line_dedup_corpus_deterministic_winner(spark):
+    """The rank-1 winner is (doc_id, line_no)-ordered, not
+    arrival-ordered: reversing the input row order must not change
+    which document keeps a shared line."""
+    from utils_infra_spark.pipeline.dedup import line_dedup_corpus
+
+    rows = [(1, "shared\nmine"), (2, "shared\nyours")]
+    fwd = {r.doc_id: r.clean_text for r in
+           line_dedup_corpus(spark.createDataFrame(rows, "doc_id long, text string"),
+                             "text", "doc_id").collect()}
+    rev = {r.doc_id: r.clean_text for r in
+           line_dedup_corpus(spark.createDataFrame(rows[::-1], "doc_id long, text string"),
+                             "text", "doc_id").collect()}
+    assert fwd == rev == {1: "shared\nmine", 2: "yours"}

@@ -640,3 +640,17 @@ def test_md5_simhash_twin_groups_votes_map_side(spark, sf_dir):
     ]
     assert exchange_lines and all("doc_id" in ln for ln in exchange_lines), exchange_lines
     assert not any("text" in ln or "tok" in ln for ln in exchange_lines), exchange_lines
+
+
+def test_line_dedup_two_exchanges_only(spark, sf_dir):
+    """Corpus line dedup is exactly two shuffles — the window's
+    partition-by-line exchange and the reassembly's doc_id exchange;
+    no join, no cartesian, no third pass."""
+    from utils_infra_spark.pipeline.dedup import line_dedup_corpus
+    from utils_infra_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = line_dedup_corpus(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan[:2000]
+    assert "CartesianProduct" not in plan and "Join" not in plan

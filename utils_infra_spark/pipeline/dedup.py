@@ -11,7 +11,7 @@ touches the shingle arrays again.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -706,4 +706,67 @@ def prefix_filter_pairs(
         .join(gb, "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-level line deduplication (the C4/Dolma recipe): every
+    non-blank line that already occurred ANYWHERE else in the corpus
+    is removed, keeping only the globally FIRST occurrence — ordered
+    by (doc_id, line_no), so the winner is deterministic under
+    retries and engine-independent — then documents are reassembled
+    from their surviving lines in original order. Documents left with
+    zero surviving lines are dropped.
+
+    Emits ``(doc_id, clean_text, kept_lines, dropped_lines)``.
+
+    Engine shape — two shuffles, both O(corpus):
+
+    1. ``row_number() OVER (PARTITION BY line ORDER BY doc_id,
+       line_no)`` — the exchange partitions by the line text itself
+       (it IS the group key). At 100 TB the payload-trimming variant
+       shuffles ``(xxhash64(line), md5(line))`` instead of the raw
+       text and re-joins winners, trading a 2^-128 collision for
+       ~half the shuffle bytes; this form keeps the exact text so the
+       result is oracle-checkable to the byte.
+    2. reassembly groupBy(doc_id) — ``collect_list`` of the kept
+       (line_no, line) structs, ``array_sort`` (struct order sorts by
+       line_no first), ``array_join``. Per-group state is one
+       document's lines — bounded by max document size, not by the
+       corpus.
+
+    Blank/whitespace-only lines are outside the dedup domain and are
+    dropped in reassembly (the C4 normalization); a single newline
+    joins survivors.
+    """
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        )
+        # regex blank test, not trim(): trim strips only 0x20 spaces
+        # in both Spark and DuckDB, so a tab-only line would count as
+        # content under it
+        .where(~F.col("line").rlike(r"^\s*$"))
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("line_no", "line"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    # collect_list skips the when()'s null branch, so
+                    # only rank-1 lines are gathered
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("kept_lines"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("dropped_lines"),
+        )
+        .where(F.col("kept_lines") > 0)
     )

@@ -1135,3 +1135,40 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(v) AS DOUBLE) AS max_v"),
     )
 
+
+
+@register(
+    "line_dedup_documents",
+    oracle="""
+    WITH lx AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, unnest(range(len(ls))) AS line_no, unnest(ls) AS line
+      FROM lx
+    ),
+    ranked AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines WHERE NOT regexp_matches(line, '^\\s*$')
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE rn = 1) AS clean_text,
+           COUNT(*) FILTER (WHERE rn = 1) AS kept_lines,
+           COUNT(*) FILTER (WHERE rn > 1) AS dropped_lines
+    FROM ranked GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) > 0
+    """,
+    doc="C4/Dolma corpus line dedup: non-blank lines keep only their globally "
+    "first occurrence (deterministic (doc_id, line_no) winner), documents "
+    "reassembled from survivors in order, empty docs dropped. Two O(corpus) "
+    "shuffles: window partitioned by line text, reassembly by doc_id; the "
+    "100 TB payload-trimming variant (shuffle hashes, re-join winners) is "
+    "documented on the operator.",
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import line_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_corpus(docs, "text", "doc_id")
