@@ -450,3 +450,36 @@ def test_line_dedup_corpus_deterministic_winner(spark):
            line_dedup_corpus(spark.createDataFrame(rows[::-1], "doc_id long, text string"),
                              "text", "doc_id").collect()}
     assert fwd == rev == {1: "shared\nmine", 2: "yours"}
+
+
+def test_char_trigram_lm_scores_hand_computed(spark):
+    """Tiny corpus with hand-derivable counts: tc = {aaa:3, aab:1},
+    cc = {aa:4}, V = |{a,b}| = 2, so P(aaa) = 3.5/5 and
+    P(aab) = 1.5/5 under add-0.5 smoothing."""
+    import math
+
+    from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "x"), (4, None)],  # 3,4: too short/null -> no rows
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_trigram_lm_scores(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_trigrams == 2 and out[2].n_trigrams == 2
+    assert out[1].avg_neg_logp == round(-math.log(3.5 / 5.0), 6)
+    assert out[2].avg_neg_logp == round((-math.log(3.5 / 5.0) - math.log(1.5 / 5.0)) / 2, 6)
+    # well-predicted text scores lower than the doc with the rare trigram
+    assert out[1].avg_neg_logp < out[2].avg_neg_logp
+
+
+def test_char_trigram_lm_normalizes_case_and_whitespace(spark):
+    from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "AB  cd\n\tef"), (2, "ab cd ef")],  # identical after normalization
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in char_trigram_lm_scores(docs, "text", "doc_id").collect()}
+    assert rows[1].n_trigrams == rows[2].n_trigrams
+    assert rows[1].avg_neg_logp == rows[2].avg_neg_logp

@@ -654,3 +654,20 @@ def test_line_dedup_two_exchanges_only(spark, sf_dir):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, plan[:2000]
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
+    """The LM tables (trigram counts, context counts, vocab scalar)
+    must reach the scoring join as broadcasts — the model is bounded
+    by charset^3 regardless of corpus size, so nothing about scoring
+    should shuffle the corpus-side trigrams for a join."""
+    from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+    from utils_infra_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        char_trigram_lm_scores(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") >= 3, plan[:1500]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

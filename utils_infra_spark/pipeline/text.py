@@ -334,3 +334,63 @@ def char_entropy_stats(df, text_col: str, id_col: str):
             F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
         )
     )
+
+
+def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5):
+    """Model-based quality scoring with a SELF-TRAINED character
+    trigram language model — the CCNet recipe (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data") with an n-gram LM standing in for their KenLM:
+    documents whose characters are poorly predicted by the corpus's
+    own statistics (gibberish, encoding damage, boilerplate soup)
+    score high and get filtered.
+
+    Per document: normalize (lowercase, collapse whitespace), emit
+    all character trigrams, and score
+    ``avg(-ln((c3 + k) / (c2 + k*V)))`` — add-k-smoothed conditional
+    probability of each third character given its two-char context,
+    where c3/c2 are corpus trigram/context counts and V is the
+    distinct-third-character vocabulary. Emits
+    ``(doc_id, n_trigrams, avg_neg_logp)`` (nats/char; lower =
+    better-predicted text). All model terms derive from integer
+    counts, so both engines compute identical per-trigram values;
+    only the final average is float-summed, rounded to 6 (the
+    cross-engine contract).
+
+    Engine shape at 100 TB: the LM "fit" is two groupBys on BOUNDED
+    keys (≤ charset³ trigrams — the table is KBs-to-MBs no matter the
+    corpus size) with map-side partial counts; scoring joins are
+    broadcast (the LM is small by construction); the per-doc average
+    shuffles only partial (sum, count) pairs. One corpus scan to fit
+    + one to score — Spark caches nothing between them unless the
+    caller persists the trigram frame.
+    """
+    norm = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("t"),
+        )
+        .where(F.char_length("t") >= 3)
+    )
+    tris = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("tri"),
+    )
+    tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    cc = tc.groupBy(F.substring("tri", 1, 2).alias("ctx")).agg(F.sum("c3").alias("c2"))
+    v = tc.select(F.countDistinct(F.substring("tri", 3, 1)).alias("vsz"))
+    return (
+        tris.join(F.broadcast(tc), "tri")
+        .join(F.broadcast(cc), F.substring("tri", 1, 2) == F.col("ctx"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c3") + add_k) / (F.col("c2") + add_k * F.col("vsz")))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -1172,3 +1172,39 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return line_dedup_corpus(docs, "text", "doc_id")
+
+
+@register(
+    "char_lm_quality_documents",
+    oracle="""
+    WITH nz AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE text IS NOT NULL
+        AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 3
+    ),
+    tris AS (
+      SELECT doc_id, unnest(ts) AS tri FROM (
+        SELECT doc_id,
+               list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) AS ts
+        FROM nz)
+    ),
+    tc AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
+    cc AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c3) AS c2 FROM tc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS vsz FROM tc)
+    SELECT s.doc_id,
+           COUNT(*) AS n_trigrams,
+           ROUND(AVG(-ln((tc.c3 + 0.5) / (cc.c2 + 0.5 * v.vsz))), 6) AS avg_neg_logp
+    FROM tris s
+    JOIN tc USING (tri)
+    JOIN cc ON substr(s.tri, 1, 2) = cc.ctx
+    CROSS JOIN v
+    GROUP BY s.doc_id
+    """,
+    doc="CCNet-style model-based quality score from a SELF-TRAINED char-trigram "
+    "LM: avg add-k-smoothed -ln P(c3|c1c2) per document (nats/char). LM fit is "
+    "two bounded-key groupBys; scoring joins broadcast the (tiny) model; the "
+    "per-doc average shuffles partial (sum,count) pairs only.",
+)
+def char_lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.char_trigram_lm_scores(docs, "text", "doc_id")
