@@ -483,3 +483,25 @@ def test_char_trigram_lm_normalizes_case_and_whitespace(spark):
     rows = {r.doc_id: r for r in char_trigram_lm_scores(docs, "text", "doc_id").collect()}
     assert rows[1].n_trigrams == rows[2].n_trigrams
     assert rows[1].avg_neg_logp == rows[2].avg_neg_logp
+
+
+def test_bloom_novelty_flags_and_no_false_negatives(spark):
+    from utils_infra_spark.pipeline.dedup import bloom_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha doc"), (2, "bravo doc"), (3, "charlie doc"), (4, "delta doc"),
+            # increment: two exact dups of corpus texts, two novel
+            (5, "alpha doc"), (6, "echo doc"), (7, "foxtrot doc"), (8, "bravo doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bloom_novelty(docs, "text", "doc_id", 4).collect()}
+    assert set(out) == {5, 6, 7, 8}
+    assert out[5].exact_seen and out[8].exact_seen
+    assert not out[6].exact_seen and not out[7].exact_seen
+    # no false negatives, ever
+    assert all(r.maybe_seen for r in out.values() if r.exact_seen)
+    # with <=16 of 65536 bits set, these fixed md5 positions produce
+    # no false positives either (deterministic — pinned, not assumed)
+    assert all(r.maybe_seen == r.exact_seen for r in out.values())

@@ -770,3 +770,91 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .where(F.col("kept_lines") > 0)
     )
+
+
+def _md5_hex16(col_sql: str, j: int) -> str:
+    """SQL for the j-th 16-bit slice of md5(col) (hex chars 4j+1..4j+4),
+    decoded engine-neutrally via ``instr('0123456789abcdef', c) - 1``
+    — the same portable-nibble idiom as :func:`simhash16_md5`."""
+    a = 4 * j + 1
+    nib = lambda i: f"(instr('0123456789abcdef', substr(md5({col_sql}), {i}, 1)) - 1)"
+    return f"({nib(a)} * 4096 + {nib(a + 1)} * 256 + {nib(a + 2)} * 16 + {nib(a + 3)})"
+
+
+def bloom_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_id: int,
+    *,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental-ingest dedup via a Bloom filter: docs with
+    ``id <= split_id`` are the existing CORPUS, the rest are the new
+    INCREMENT; each increment doc is flagged ``maybe_seen`` (all k of
+    its Bloom positions set by the corpus — Bloom "probably present")
+    and ``exact_seen`` (its text literally occurs in the corpus). A
+    Bloom filter never false-negatives, so ``exact_seen ⇒ maybe_seen``
+    invariantly; the gap between the two flags is the measured
+    false-positive set.
+
+    The filter is m = 2^16 bits as 2048 32-bit words (32, not 64:
+    DuckDB overflow-checks ``1 << 63`` on signed BIGINTs, so the
+    cross-engine-safe word width caps the shift at 31), k 16-bit
+    positions per document taken directly from md5(text) hex slices
+    (:func:`_md5_hex16` — engine-neutral, so the whole construction is
+    oracle-checkable bit-for-bit). Build: explode positions → groupBy
+    word index (BOUNDED key space, 2048 rows max) → ``bit_or`` of the
+    position bits, map-side combined. Probe: broadcast-join the 8 KB
+    word table to the increment's positions, ``bool_and`` over the k
+    probes per doc.
+
+    100 TB contract: the build is one corpus scan whose shuffle
+    carries ≤ m/64 partial words per map task; the probe side never
+    shuffles the corpus at all — that is the entire point vs the
+    exact anti-join (one full corpus-vs-increment shuffle each run).
+    Honest sizing: at 10^11 corpus digests a useful filter needs
+    m ≈ 10^12 bits (~125 GB) — no longer broadcastable; the
+    production variant shards the filter by digest prefix and
+    co-partitions the probe (digest-prefix equi-join), or falls back
+    to the exact anti-join when the increment is a large fraction of
+    the corpus. This form keeps m small and pairs the Bloom verdict
+    with the exact one so precision is measured, not assumed.
+    """
+    m_words = 2048  # m = 65536 bits in 32-bit words; positions are raw 16-bit md5 slices
+    base = df.where(F.col(text_col).isNotNull()).selectExpr(
+        f"{id_col} AS doc_id", f"{text_col} AS __text"
+    )
+    pos_exprs = ", ".join(_md5_hex16("__text", j) for j in range(k))
+    positions = base.selectExpr("doc_id", "__text", f"explode(array({pos_exprs})) AS pos")
+    corpus_words = (
+        positions.where(F.col("doc_id") <= split_id)
+        .selectExpr("pos div 32 AS w", "pos % 32 AS b")
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) AS word"))
+    )
+    corpus_texts = base.where(F.col("doc_id") <= split_id).select("__text").distinct()
+    probes = (
+        positions.where(F.col("doc_id") > split_id)
+        .join(F.broadcast(corpus_words), F.expr("pos div 32") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "__text",
+            F.coalesce(
+                F.expr("(word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) != 0"),
+                F.lit(False),
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "__text")
+        .agg(F.expr("bool_and(hit) AS maybe_seen"))
+    )
+    return (
+        probes.join(
+            F.broadcast(corpus_texts.withColumn("__seen", F.lit(True))), "__text", "left"
+        )
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce("__seen", F.lit(False)).alias("exact_seen"),
+        )
+    )

@@ -1208,3 +1208,51 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def char_lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.char_trigram_lm_scores(docs, "text", "doc_id")
+
+
+def _bloom_pos_sql(j: int) -> str:
+    a = 4 * j + 1
+    nib = lambda i: f"(instr('0123456789abcdef', substr(md5(t), {i}, 1)) - 1)"
+    return f"({nib(a)} * 4096 + {nib(a + 1)} * 256 + {nib(a + 2)} * 16 + {nib(a + 3)})"
+
+
+@register(
+    "bloom_novelty_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL
+    ),
+    split AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS sid FROM base),
+    pos AS (
+      SELECT doc_id, t, unnest([{", ".join(_bloom_pos_sql(j) for j in range(4))}]) AS pos
+      FROM base
+    ),
+    cw AS (
+      SELECT pos // 32 AS w,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM pos WHERE doc_id <= (SELECT sid FROM split) GROUP BY 1
+    ),
+    probe AS (
+      SELECT p.doc_id, p.t,
+             bool_and(coalesce((cw.word & (1::BIGINT << CAST(p.pos % 32 AS INT))) != 0,
+                               FALSE)) AS maybe_seen
+      FROM pos p LEFT JOIN cw ON p.pos // 32 = cw.w
+      WHERE p.doc_id > (SELECT sid FROM split)
+      GROUP BY p.doc_id, p.t
+    ),
+    ct AS (SELECT DISTINCT t FROM base WHERE doc_id <= (SELECT sid FROM split))
+    SELECT probe.doc_id, probe.maybe_seen, (ct.t IS NOT NULL) AS exact_seen
+    FROM probe LEFT JOIN ct ON probe.t = ct.t
+    """,
+    doc="Incremental-ingest dedup via an oracle-checkable Bloom filter: corpus "
+    "= doc_id <= max/2, increment = the rest; maybe_seen is the Bloom verdict "
+    "(m=2^16 bits as 2048 bit_or'd 32-bit words, k=4 md5-slice positions), exact_seen "
+    "the ground truth — exact_seen implies maybe_seen (no false negatives), "
+    "their gap is the measured FP set. Probe side never shuffles the corpus.",
+)
+def bloom_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import bloom_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg(F.expr("CAST(max(doc_id) div 2 AS BIGINT)")).first()[0]
+    return bloom_novelty(docs, "text", "doc_id", int(split))
