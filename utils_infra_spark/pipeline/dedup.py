@@ -821,9 +821,16 @@ def bloom_novelty(
     the corpus. This form keeps m small and pairs the Bloom verdict
     with the exact one so precision is measured, not assumed.
     """
+    from ..sources.tables import spread
+
     m_words = 2048  # m = 65536 bits in 32-bit words; positions are raw 16-bit md5 slices
-    base = df.where(F.col(text_col).isNotNull()).selectExpr(
-        f"{id_col} AS doc_id", f"{text_col} AS __text"
+    # 4 md5 digests per row is CPU-bound work — spread the narrow
+    # input so a single-partition cached scan can't serialize it
+    base = spread(
+        df.where(F.col(text_col).isNotNull()).selectExpr(
+            f"{id_col} AS doc_id", f"{text_col} AS __text"
+        ),
+        min_bytes=0,
     )
     pos_exprs = ", ".join(_md5_hex16("__text", j) for j in range(k))
     positions = base.selectExpr("doc_id", "__text", f"explode(array({pos_exprs})) AS pos")

