@@ -674,3 +674,19 @@ def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
     # the model is a collected local relation — scoring must NOT
     # re-aggregate the corpus (one explode for the score pass only)
     assert plan.count("Generate explode") == 1, plan[:1500]
+
+
+def test_uncacheable_plan_rebuilds_per_call(spark, sf_dir):
+    """char_lm's builder EXECUTES the model fit at build time, so its
+    plan must never be re-served from the cache — otherwise a timing
+    loop over plan() silently stops paying the fit after run 1 (the
+    result-cache-in-disguise failure mode the bench methodology
+    forbids). Cached queries keep returning the same object."""
+    from utils_infra_spark.queries import REGISTRY, _load
+
+    _load()
+    q = REGISTRY["char_lm_quality_documents"]
+    assert q.cache_plan is False
+    assert q.plan(spark, sf_dir) is not q.plan(spark, sf_dir)
+    qc = REGISTRY["pricing_summary"]
+    assert qc.plan(spark, sf_dir) is qc.plan(spark, sf_dir)

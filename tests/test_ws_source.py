@@ -151,6 +151,12 @@ class WSTestServer:
                     )
                     conn.close()
                     return
+                elif action == "partial":
+                    # first 2 bytes of a frame that announces a payload,
+                    # then silence — the half-open-stall failure mode
+                    conn.sendall(encode_frame(OP_TEXT, b"x" * 64, mask=False)[:2])
+                    time.sleep(arg)
+                    return
                 elif action == "wait":
                     time.sleep(arg)
             time.sleep(30)  # hold open until test teardown
@@ -448,3 +454,62 @@ def test_websocket_cot_contacts_stream(spark, tmp_path):
         srv.stop()
     assert rows and rows[0].contact_id == "u-1"
     assert rows[0].marker_color == "#0000ff" and rows[0].callsign == "KIWI"
+
+
+def test_pump_idle_suicide_reclaims_thread():
+    """The datasource API exposes no reader stop() hook, so a stopped
+    query's pump must reclaim itself: no drain for idle_timeout ->
+    pump stops and records why."""
+    srv = WSTestServer([[("text", "m"), ("wait", 30.0)]])
+    pump = FeedPump(
+        "127.0.0.1", srv.port, subscribe="s", base_delay=0.05,
+        ping_interval=1e9, idle_timeout=0.5,
+    ).start()
+    try:
+        assert pump.stopped.wait(10.0)
+        assert "idle" in (pump.stop_reason or "")
+    finally:
+        pump.stop()
+        srv.stop()
+
+
+def test_client_frame_stall_raises_and_pump_reconnects():
+    """A peer that announces a frame then stalls (half-open TCP) must
+    become a ConnectionError within frame_timeout so the reconnect
+    policy fires — not a forever-parked thread."""
+    srv2 = WSTestServer([[("partial", 30.0)]])
+    try:
+        cli = WebSocketClient("127.0.0.1", srv2.port, timeout=0.05, frame_timeout=0.4)
+        cli.send_text("s")
+        with pytest.raises(ConnectionError, match="stalled"):
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                cli.recv_message()
+    finally:
+        srv2.stop()
+
+
+def test_reader_read_raises_on_terminal_pump_death(tmp_path):
+    """After a terminal close (1008), the reader must raise on the
+    first fully-drained read — a dead feed must not look like a
+    healthy idle one."""
+    from utils_infra_spark.sources.ws import _WSFeedReader
+
+    srv = WSTestServer([[("text", "last"), ("close", 1008)], [("text", "never"),
+                        ("wait", 30.0)]])
+    try:
+        reader = _WSFeedReader(
+            {"host": "127.0.0.1", "port": str(srv.port), "subscribe": "s",
+             "basedelay": "0.05", "pinginterval": "1e9"}
+        )
+        off = reader.initialOffset()
+        pump = reader._pump
+        assert pump.stopped.wait(10.0)  # 1008 is terminal
+        # buffered rows drain first...
+        rows, off = reader.read(off)
+        assert [r[2] for r in rows] == ["last"]
+        # ...then the death surfaces loudly
+        with pytest.raises(RuntimeError, match="1008"):
+            reader.read(off)
+    finally:
+        srv.stop()

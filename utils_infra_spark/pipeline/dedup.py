@@ -855,6 +855,12 @@ def bloom_novelty(
         .groupBy("doc_id", "__text")
         .agg(F.expr("bool_and(hit) AS maybe_seen"))
     )
+    # exact_seen is MEASUREMENT SCAFFOLDING: broadcasting the distinct
+    # corpus texts is only sane at verification scale (it is orders of
+    # magnitude larger than the filter). At 100 TB the column is
+    # dropped — the Bloom verdict IS the product — or replaced by a
+    # digest anti-join when exactness is required; the broadcast here
+    # exists so the FP measurement stays a one-liner at test scale.
     return (
         probes.join(
             F.broadcast(corpus_texts.withColumn("__seen", F.lit(True))), "__text", "left"

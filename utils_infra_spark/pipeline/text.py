@@ -371,12 +371,6 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # small-but-hot input: round-robin the narrow rows across cores
     # first, or a single-partition cached scan serializes the whole
     # explode (the exact starvation mode spread() exists for)
-    from ..sources.tables import spread
-
-    # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
-    # small-but-hot input: round-robin the narrow rows across cores
-    # first, or a single-partition cached scan serializes the whole
-    # explode (the exact starvation mode spread() exists for)
     norm = spread(
         df.where(F.col(text_col).isNotNull())
         .select(

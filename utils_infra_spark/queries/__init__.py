@@ -53,12 +53,21 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
     doc: str = ""
+    # False for builders that EXECUTE work at build time (e.g. the
+    # char-LM fit collects its model with a corpus pass): caching the
+    # built DataFrame would freeze that executed work into the plan,
+    # and a timing loop over plan() would silently stop paying it
+    # after the first run — the exact result-cache-in-disguise the
+    # bench methodology forbids. Uncacheable plans rebuild per call.
+    cache_plan: bool = True
 
     def plan(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """Build (or re-serve) this query's DataFrame via the plan cache."""
         from utils_infra_spark.session import is_tiny_input
         from utils_infra_spark.sources.tables import prune_stopped_sessions
 
+        if not self.cache_plan:
+            return self.fn(spark, sf_dir)
         prune_stopped_sessions(_PLAN_CACHE)
         per = _PLAN_CACHE.get(spark)
         if per is None:
@@ -78,9 +87,11 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(name: str, oracle: str | None = None, doc: str = "", cache_plan: bool = True):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), cache_plan=cache_plan
+        )
         return fn
 
     return deco

@@ -1203,9 +1203,11 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.doc_id
     """,
     doc="CCNet-style model-based quality score from a SELF-TRAINED char-trigram "
-    "LM: avg add-k-smoothed -ln P(c3|c1c2) per document (nats/char). LM fit is "
-    "two bounded-key groupBys; scoring joins broadcast the (tiny) model; the "
-    "per-doc average shuffles partial (sum,count) pairs only.",
+    "LM: avg add-k-smoothed -ln P(c3|c1c2) per document (nats/char). The fit "
+    "collects the bounded model with a corpus pass AT BUILD TIME, so the plan "
+    "is registered uncacheable: every plan() call re-fits — a timing loop can "
+    "never amortize the fit away while the paired oracle still pays it.",
+    cache_plan=False,
 )
 def char_lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1256,5 +1258,12 @@ def bloom_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup import bloom_novelty
 
     docs = load_table(spark, sf_dir, "documents")
-    split = docs.agg(F.expr("CAST(max(doc_id) div 2 AS BIGINT)")).first()[0]
+    # split over NULL-text-filtered rows, matching the oracle's `base`
+    # CTE exactly — computing it over ALL rows would diverge from the
+    # oracle whenever the max-id document has NULL text
+    split = (
+        docs.where(F.col("text").isNotNull())
+        .agg(F.expr("CAST(max(doc_id) div 2 AS BIGINT)"))
+        .first()[0]
+    )
     return bloom_novelty(docs, "text", "doc_id", int(split))

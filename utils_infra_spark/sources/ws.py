@@ -121,8 +121,17 @@ class WebSocketClient:
     echoing the peer's close frame.
     """
 
-    def __init__(self, host: str, port: int, path: str = "/", *, timeout: float = 1.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        path: str = "/",
+        *,
+        timeout: float = 1.0,
+        frame_timeout: float = 30.0,
+    ):
         self.host, self.port, self.path = host, port, path
+        self.frame_timeout = frame_timeout
         self._sock = socket.create_connection((host, port), timeout=10.0)
         self._sock.settimeout(timeout)
         self._buf = b""
@@ -169,14 +178,21 @@ class WebSocketClient:
 
     def _read_exact(self, n: int, *, wait: bool = True) -> bytes | None:
         """n bytes; with ``wait=False``, a poll timeout before any new
-        byte arrives returns None (mid-frame reads pass ``wait=True``
-        and drain the frame once it has started)."""
+        byte arrives returns None. Mid-frame reads pass ``wait=True``
+        and drain the frame once it has started — but only up to
+        ``frame_timeout``: a peer that announces a payload and then
+        stalls (half-open TCP after a partition, no FIN/RST) must
+        become a ConnectionError so the reconnect policy can fire,
+        not a thread parked forever."""
+        deadline = time.monotonic() + self.frame_timeout
         while len(self._buf) < n:
             try:
                 chunk = self._sock.recv(65536)
             except socket.timeout:
                 if not wait:
                     return None
+                if time.monotonic() > deadline:
+                    raise ConnectionError(f"frame stalled > {self.frame_timeout}s")
                 continue
             if not chunk:
                 raise ConnectionError("connection closed mid-frame")
@@ -205,10 +221,17 @@ class WebSocketClient:
     def recv_message(self) -> bytes | None:
         """One application message, or None on poll timeout."""
         parts: list[bytes] = []
+        started = None
         while True:
             frame = self._recv_frame()
             if frame is None:
-                if parts:  # mid-message poll: keep waiting for the tail
+                if parts:  # mid-message poll: wait for the tail, bounded
+                    if started is None:
+                        started = time.monotonic()
+                    elif time.monotonic() - started > self.frame_timeout:
+                        raise ConnectionError(
+                            f"fragmented message stalled > {self.frame_timeout}s"
+                        )
                     continue
                 return None
             opcode, fin, payload = frame
@@ -276,6 +299,7 @@ class FeedPump:
         base_delay: float = BASE_RECONNECT_DELAY_S,
         max_attempts: int = MAX_RECONNECT_ATTEMPTS,
         ping_interval: float = 30.0,
+        idle_timeout: float | None = None,
     ):
         self.host, self.port, self.path = host, port, path
         self.subscribe = subscribe
@@ -283,6 +307,13 @@ class FeedPump:
         self.base_delay = base_delay
         self.max_attempts = max_attempts
         self.ping_interval = ping_interval
+        # with an idle_timeout, the pump stops itself when nobody has
+        # drained it for that long — the Python datasource API gives
+        # the reader no stop() hook, so a stopped query would
+        # otherwise leak a live socket + forever-reconnecting thread
+        # per start (and a phantom subscription upstream)
+        self.idle_timeout = idle_timeout
+        self.last_drain = time.monotonic()
         self._lock = threading.Lock()
         self._pending: deque[tuple[int, datetime, str]] = deque()
         self._seq = 0
@@ -322,6 +353,15 @@ class FeedPump:
                     client.send_text(self.subscribe)
                 last_ping = time.monotonic()
                 while not self.stopped.is_set():
+                    if (
+                        self.idle_timeout is not None
+                        and time.monotonic() - self.last_drain > self.idle_timeout
+                    ):
+                        self.stop_reason = (
+                            f"idle: no reader drain in {self.idle_timeout}s (query stopped?)"
+                        )
+                        self.stopped.set()
+                        break
                     msg = client.recv_message()
                     if msg is not None:
                         self._append(msg.decode("utf-8", "replace"))
@@ -351,6 +391,7 @@ class FeedPump:
             self._seq += 1
 
     def drain(self) -> list[tuple[int, datetime, str]]:
+        self.last_drain = time.monotonic()
         with self._lock:
             out = list(self._pending)
             self._pending.clear()
@@ -393,6 +434,7 @@ try:  # pragma: no cover - import guard so non-Spark tools can load the client
                     base_delay=float(opts.get("basedelay") or BASE_RECONNECT_DELAY_S),
                     max_attempts=int(opts.get("maxattempts") or MAX_RECONNECT_ATTEMPTS),
                     ping_interval=float(opts.get("pinginterval") or 30.0),
+                    idle_timeout=float(opts.get("idletimeout") or 300.0),
                 ).start()
             return self._pump
 
@@ -401,7 +443,16 @@ try:  # pragma: no cover - import guard so non-Spark tools can load the client
             return {"seq": 0}
 
         def read(self, start: dict):
-            rows = self._ensure_pump().drain()
+            pump = self._ensure_pump()
+            rows = pump.drain()
+            if not rows and pump.stopped.is_set() and pump.stop_reason:
+                # a dead feed must be VISIBLE: without this the query
+                # would keep reporting healthy empty batches forever
+                # after an auth-revoked close (1008), a normal server
+                # close (1000), or reconnect give-up — indistinguishable
+                # from an idle feed. Buffered rows drain first; the
+                # failure surfaces on the first empty batch after death.
+                raise RuntimeError(f"websocket_feed terminated: {pump.stop_reason}")
             self._replay.extend(rows)
             next_seq = rows[-1][0] + 1 if rows else start["seq"]
             return iter(rows), {"seq": max(next_seq, start["seq"])}
@@ -420,8 +471,13 @@ try:  # pragma: no cover - import guard so non-Spark tools can load the client
         ``port`` (required); ``path``, ``subscribe`` (JSON sent on
         every open, like the reference's subscription message),
         ``maxBuffer``, ``baseDelay``, ``maxAttempts``,
-        ``pingInterval``. Register with
-        ``spark.dataSource.register(WebSocketDataSource)``."""
+        ``pingInterval``, ``idleTimeout`` (seconds without a reader
+        drain after which the pump stops itself — the datasource API
+        exposes no reader stop() hook, so this is what reclaims the
+        socket/thread after query.stop(); default 300). A terminally
+        dead feed (close 1000/1008, reconnect give-up) raises on the
+        next empty batch instead of emitting healthy-looking nothing.
+        Register with ``spark.dataSource.register(WebSocketDataSource)``."""
 
         @classmethod
         def name(cls) -> str:
