@@ -642,18 +642,23 @@ def test_md5_simhash_twin_groups_votes_map_side(spark, sf_dir):
     assert not any("text" in ln or "tok" in ln for ln in exchange_lines), exchange_lines
 
 
-def test_line_dedup_two_exchanges_only(spark, sf_dir):
-    """Corpus line dedup is exactly two shuffles — the window's
-    partition-by-line exchange and the reassembly's doc_id exchange;
-    no join, no cartesian, no third pass."""
+def test_line_dedup_aggregates_not_window(spark, sf_dir):
+    """Corpus line dedup must be hash AGGREGATES, never a window over
+    the line key: min(struct(doc_id, line_no)) partial-combines a
+    10^7-occurrence boilerplate line map-side, where row_number()
+    would sort every occurrence on one reducer (the hot-key mode).
+    Three hash exchanges (winner agg, reassembly, per-doc totals) and
+    the dropped-count join — no Window, no sort of the line rows, no
+    cartesian."""
     from utils_infra_spark.pipeline.dedup import line_dedup_corpus
     from utils_infra_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     plan = line_dedup_corpus(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 2, plan[:2000]
-    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan
 
 
 def test_char_lm_scoring_joins_broadcast(spark, sf_dir):

@@ -720,24 +720,37 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Emits ``(doc_id, clean_text, kept_lines, dropped_lines)``.
 
-    Engine shape — two shuffles, both O(corpus):
+    Engine shape — aggregations only, NO window over the line key:
 
-    1. ``row_number() OVER (PARTITION BY line ORDER BY doc_id,
-       line_no)`` — the exchange partitions by the line text itself
-       (it IS the group key). At 100 TB the payload-trimming variant
-       shuffles ``(xxhash64(line), md5(line))`` instead of the raw
-       text and re-joins winners, trading a 2^-128 collision for
-       ~half the shuffle bytes; this form keeps the exact text so the
-       result is oracle-checkable to the byte.
-    2. reassembly groupBy(doc_id) — ``collect_list`` of the kept
-       (line_no, line) structs, ``array_sort`` (struct order sorts by
-       line_no first), ``array_join``. Per-group state is one
-       document's lines — bounded by max document size, not by the
-       corpus.
+    1. winner per distinct line = ``min(struct(doc_id, line_no))`` —
+       lexicographic struct min picks the identical row a
+       ``row_number() OVER (PARTITION BY line ORDER BY doc_id,
+       line_no)`` would, but as a hash aggregate with MAP-SIDE
+       partial combine. That is the skew defense: a boilerplate line
+       occurring 10^7 times ("unsubscribe here") collapses to one
+       partial per map task before the shuffle, where the window form
+       would sort all 10^7 occurrences on a single reducer. The
+       exchange carries one (line, min-struct) partial per distinct
+       line per task — for duplicate-heavy corpora (the operator's
+       whole reason to exist) that is a small fraction of the rows.
+    2. reassembly groupBy(doc_id) over the winner rows — each winner
+       IS a surviving occurrence, so no join back to the corpus is
+       needed for the text. Per-group state is one document's lines.
+    3. per-doc non-blank totals (one more aggregate over the lines
+       frame) joined on doc_id to derive ``dropped_lines`` — both
+       sides hash-partitioned by doc_id, so the join adds no extra
+       corpus shuffle beyond the totals aggregate itself.
+
+    At 100 TB the payload-trimming variant of stage 1 aggregates
+    ``(xxhash64(line), md5(line))`` instead of raw text and re-joins
+    winners (halves shuffle bytes, 2^-128 collision); this form keeps
+    exact text so the result is oracle-checkable to the byte.
 
     Blank/whitespace-only lines are outside the dedup domain and are
     dropped in reassembly (the C4 normalization); a single newline
-    joins survivors.
+    joins survivors. Blank detection is a regex test, not trim():
+    trim strips only 0x20 spaces in both Spark and DuckDB, so a
+    tab-only line would count as content under it.
     """
     lines = (
         df.where(F.col(text_col).isNotNull())
@@ -745,30 +758,29 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(id_col).alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
         )
-        # regex blank test, not trim(): trim strips only 0x20 spaces
-        # in both Spark and DuckDB, so a tab-only line would count as
-        # content under it
         .where(~F.col("line").rlike(r"^\s*$"))
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    ranked = lines.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("line_no", "line"))
-    return (
-        ranked.groupBy("doc_id")
+    winners = lines.groupBy("line").agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
+    kept = (
+        winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.line_no").alias("line_no"), "line")
+        .groupBy("doc_id")
         .agg(
             F.array_join(
                 F.transform(
-                    # collect_list skips the when()'s null branch, so
-                    # only rank-1 lines are gathered
-                    F.array_sort(F.collect_list(kept_struct)),
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                     lambda s: s["line"],
                 ),
                 "\n",
             ).alias("clean_text"),
-            F.count(F.when(F.col("rn") == 1, 1)).alias("kept_lines"),
-            F.count(F.when(F.col("rn") > 1, 1)).alias("dropped_lines"),
+            F.count(F.lit(1)).alias("kept_lines"),
         )
-        .where(F.col("kept_lines") > 0)
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total_lines"))
+    return kept.join(totals, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "kept_lines",
+        (F.col("__total_lines") - F.col("kept_lines")).alias("dropped_lines"),
     )
 
 
