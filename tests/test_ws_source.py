@@ -513,3 +513,41 @@ def test_reader_read_raises_on_terminal_pump_death(tmp_path):
             reader.read(off)
     finally:
         srv.stop()
+
+
+def test_two_concurrent_feeds_do_not_interfere(spark, tmp_path):
+    """The reference's deployment shape: the AIS feed and the CoT feed
+    run as two simultaneous subscriptions. Two websocket_feed queries
+    in one session must each get their own pump (distinct ports,
+    distinct offsets) with no cross-delivery."""
+    from utils_infra_spark.sources.ws import WebSocketDataSource
+
+    srv_a = WSTestServer([[("text", "from-a-1"), ("text", "from-a-2"), ("wait", 30.0)]])
+    srv_b = WSTestServer([[("text", "from-b-1"), ("wait", 30.0)]])
+    spark.dataSource.register(WebSocketDataSource)
+
+    def start(srv, name):
+        rows = []
+        q = (
+            spark.readStream.format("websocket_feed")
+            .option("host", "127.0.0.1").option("port", srv.port)
+            .option("subscribe", name).load()
+            .writeStream.foreachBatch(lambda b, _id, rows=rows: rows.extend(
+                r.value for r in b.collect()))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        return q, rows
+
+    qa, rows_a = start(srv_a, "sub-a")
+    qb, rows_b = start(srv_b, "sub-b")
+    try:
+        deadline = time.monotonic() + 60
+        while (len(rows_a) < 2 or len(rows_b) < 1) and time.monotonic() < deadline:
+            time.sleep(0.5)
+    finally:
+        qa.stop(); qb.stop(); srv_a.stop(); srv_b.stop()
+    assert sorted(rows_a) == ["from-a-1", "from-a-2"]
+    assert rows_b == ["from-b-1"]
+    assert srv_a.subscriptions == ["sub-a"] and srv_b.subscriptions == ["sub-b"]
