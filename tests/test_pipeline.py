@@ -505,3 +505,28 @@ def test_bloom_novelty_flags_and_no_false_negatives(spark):
     # with <=16 of 65536 bits set, these fixed md5 positions produce
     # no false positives either (deterministic — pinned, not assumed)
     assert all(r.maybe_seen == r.exact_seen for r in out.values())
+
+
+def test_dup_span_coverage_semantics(spark):
+    from utils_infra_spark.pipeline.dedup import dup_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # one window, shared with doc 2
+            (2, "a b c d e f g h x"),          # two windows; only the first dups
+            (3, "q r s t u v w x y z"),        # no duplicated window
+            (4, "short"),                      # under the window size
+            (5, " ".join(["p"] * 16)),         # intra-doc repetition counts too
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_coverage(docs, "text", "doc_id", window=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].dup_covered_tokens == 8 and out[1].dup_token_ratio == 1.0
+    # doc 2: tokens 1..8 covered, the trailing 'x' not
+    assert out[2].n_tokens == 9 and out[2].dup_covered_tokens == 8
+    assert out[2].dup_token_ratio == round(8 / 9, 6)
+    assert out[3].dup_covered_tokens == 0 and out[3].dup_token_ratio == 0.0
+    assert out[4].n_tokens == 1 and out[4].dup_covered_tokens == 0
+    # all 9 of doc 5's windows share one hash -> every token covered
+    assert out[5].dup_covered_tokens == 16 and out[5].dup_token_ratio == 1.0

@@ -695,3 +695,22 @@ def test_uncacheable_plan_rebuilds_per_call(spark, sf_dir):
     assert q.plan(spark, sf_dir) is not q.plan(spark, sf_dir)
     qc = REGISTRY["pricing_summary"]
     assert qc.plan(spark, sf_dir) is qc.plan(spark, sf_dir)
+
+
+def test_dup_span_coverage_shuffles_hashes_not_text(spark, sf_dir):
+    """Window hashing happens in-row; every exchange downstream
+    carries hashes or (doc_id, idx) pairs. No Window operator, no
+    cartesian, and the dup-set reduction is a partial-combined hash
+    aggregate."""
+    from utils_infra_spark.pipeline.dedup import dup_span_coverage
+    from utils_infra_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        dup_span_coverage(docs, "text", "doc_id", window=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan[:1500]

@@ -883,3 +883,80 @@ def bloom_novelty(
             F.coalesce("__seen", F.lit(False)).alias("exact_seen"),
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame, text_col: str, id_col: str, *, window: int = 8
+) -> DataFrame:
+    """Exact-substring duplication coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" recipe,
+    windowed form): hash every ``window``-token sliding window, find
+    windows whose hash occurs MORE THAN ONCE in the corpus (across or
+    within documents), and report per document how many of its tokens
+    are covered by at least one duplicated window.
+
+    Emits ``(doc_id, n_tokens, dup_covered_tokens, dup_token_ratio)``
+    — the per-document signal the ExactSubstr pass thresholds on
+    before cutting spans.
+
+    Window hashes are ``md5(concat_ws(' ', slice(tokens, i, w)))`` —
+    engine-neutral, so the whole operator is oracle-checkable; the
+    O(n·w) re-concatenation per position is the price of that
+    portability (production swaps in the rolling Rabin-Karp
+    fingerprint from :func:`..text.rolling_fingerprint` — same
+    positions, O(n) — whose engine-specific hash keeps it rows-only).
+
+    Engine shape — aggregates and one semi-join, hot-key safe:
+
+    1. window rows ``(doc_id, pos, h)`` via in-row ``transform`` over
+       ``sequence`` (no shuffle to build);
+    2. duplicated-hash set = groupBy(h) HAVING count ≥ 2 — map-side
+       partial counts collapse the boilerplate windows that motivate
+       the operator;
+    3. LEFT SEMI join windows → duplicated set on h (shuffled semi —
+       the dup set is corpus-sized in the worst case, so no broadcast
+       assumption);
+    4. coverage = explode each flagged window to its token indices,
+       ``count(DISTINCT idx)`` per doc (overlapping windows double-
+       cover; DISTINCT dedups), joined to per-doc totals on doc_id.
+
+    At 100 TB every shuffle carries (hash) or (doc_id, idx) pairs —
+    never text beyond stage 1's in-row hashing.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .selectExpr(
+            f"{id_col} AS doc_id",
+            rf"split(trim({text_col}), '\\s+') AS toks",
+        )
+        .where(F.expr("size(toks) > 0 AND toks != array('')"))
+        .select("doc_id", "toks", F.expr("size(toks)").alias("n_tokens"))
+    )
+    win = toks.where(F.col("n_tokens") >= window).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n_tokens - {window} + 1),"
+                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {window}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup_hashes = win.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    flagged = win.join(dup_hashes.select("h"), "h", "left_semi")
+    covered = (
+        flagged.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {window} - 1)")).alias("idx")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("idx").alias("dup_covered_tokens"))
+    )
+    totals = toks.select("doc_id", "n_tokens")
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_covered_tokens", F.lit(0)).alias("dup_covered_tokens"),
+        F.round(
+            F.coalesce("dup_covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_ratio"),
+    )

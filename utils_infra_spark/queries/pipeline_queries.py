@@ -1267,3 +1267,43 @@ def bloom_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     return bloom_novelty(docs, "text", "doc_id", int(split))
+
+
+@register(
+    "dup_span_coverage_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    win AS (
+      SELECT doc_id,
+             unnest(range(1, n_tokens - 8 + 2)) AS pos,
+             unnest(list_transform(range(1, n_tokens - 8 + 2),
+                    i -> md5(array_to_string(ts[i : i + 7], ' ')))) AS h
+      FROM base WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+    flagged AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (h)),
+    covered AS (
+      SELECT doc_id, COUNT(DISTINCT idx) AS dup_covered_tokens
+      FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM flagged)
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id, base.n_tokens,
+           COALESCE(covered.dup_covered_tokens, 0) AS dup_covered_tokens,
+           ROUND(COALESCE(covered.dup_covered_tokens, 0) * 1.0 / base.n_tokens, 6)
+             AS dup_token_ratio
+    FROM base LEFT JOIN covered USING (doc_id)
+    """,
+    doc="Exact-substring duplication coverage (Lee et al. 2022 windowed form): "
+    "md5-hashed 8-token sliding windows, corpus-duplicated hashes (count>=2), "
+    "per-doc distinct covered-token count + ratio. Aggregates + one shuffled "
+    "semi-join; shuffles carry hashes and (doc_id, idx) pairs, never text.",
+)
+def dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, "text", "doc_id", window=8)
