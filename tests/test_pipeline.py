@@ -4,6 +4,8 @@ LSH vs brute-force ground truth, simhash), similarity, text analysis.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from utils_infra_spark.pipeline.dedup import (
@@ -530,3 +532,38 @@ def test_dup_span_coverage_semantics(spark):
     assert out[4].n_tokens == 1 and out[4].dup_covered_tokens == 0
     # all 9 of doc 5's windows share one hash -> every token covered
     assert out[5].dup_covered_tokens == 16 and out[5].dup_token_ratio == 1.0
+
+
+@pytest.mark.parametrize("seed", [7, 13, 99])
+def test_line_dedup_invariants_on_random_corpora(spark, seed):
+    """Seeded random corpora, three structural invariants:
+    (a) a non-blank line never appears twice across the output corpus;
+    (b) per doc, kept + dropped = its non-blank input lines;
+    (c) reversing input row order changes nothing (winner is value-
+        ordered, not arrival-ordered)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"line-{i}" for i in range(12)]  # small vocab -> heavy collisions
+    rows = [
+        (d, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for d in range(1, 31)
+    ]
+    from utils_infra_spark.pipeline.dedup import line_dedup_corpus
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup_corpus(df, "text", "doc_id").collect()
+
+    all_lines = [ln for r in out for ln in r.clean_text.split("\n")]
+    assert len(all_lines) == len(set(all_lines))  # (a)
+
+    nonblank = {d: len([x for x in t.split("\n") if x.strip()]) for d, t in rows}
+    for r in out:  # (b)
+        assert r.kept_lines + r.dropped_lines == nonblank[r.doc_id], r
+    assert sum(r.kept_lines for r in out) == len(set(ln for _, t in rows
+               for ln in t.split("\n") if ln.strip()))
+
+    rev = line_dedup_corpus(
+        spark.createDataFrame(rows[::-1], "doc_id long, text string"), "text", "doc_id"
+    ).collect()
+    assert sorted(map(tuple, rev)) == sorted(map(tuple, out))  # (c)
