@@ -551,3 +551,83 @@ def test_two_concurrent_feeds_do_not_interfere(spark, tmp_path):
     assert sorted(rows_a) == ["from-a-1", "from-a-2"]
     assert rows_b == ["from-b-1"]
     assert srv_a.subscriptions == ["sub-a"] and srv_b.subscriptions == ["sub-b"]
+
+
+def test_websocket_full_pipeline_matches_batch_replay(spark, tmp_path):
+    """The reference's whole AIS path, live: WebSocket frames ->
+    normalize_any -> keyed upsert state (applyInPandasWithState),
+    across a reconnect — and the streaming state must equal the batch
+    window replay of the same payloads (the T1-T3 correctness
+    contract, now fed by the real socket source)."""
+    from utils_infra_spark.sources.normalize import normalize_any
+    from utils_infra_spark.sources.ws import WebSocketDataSource
+    from utils_infra_spark.streaming.upsert import keyed_upsert_batch, keyed_upsert_stream
+
+    wire = [
+        # position first (no name), then a reconnect, then the static
+        # message carrying the name, then a NEWER position
+        json.dumps({"mmsi": 512000007, "lat": -41.0, "lon": 174.0,
+                    "ts": "2024-05-01T10:00:00Z"}),
+        # the static-data message carries its own (older-position) fix:
+        # normalize_any's validity filter is a hard contract — rows
+        # without coordinates never reach the upsert (batch replay
+        # agrees, which is the point of the parity assertion below)
+        json.dumps({"msgs": [{"mmsi": 512000007, "shipname": "TUI",
+                              "rxtime": "20240501100005",
+                              "lat": -41.1, "lon": 174.1}]}),
+        json.dumps({"mmsi": 512000007, "lat": -41.2, "lon": 174.2,
+                    "ts": "2024-05-01T10:00:10Z"}),
+    ]
+    srv = WSTestServer(
+        [
+            [("text", wire[0]), ("wait", 0.5), ("drop", None)],
+            [("text", wire[1]), ("text", wire[2]), ("wait", 30.0)],
+        ]
+    )
+    spark.dataSource.register(WebSocketDataSource)
+    raw = (
+        spark.readStream.format("websocket_feed")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("subscribe", "s").option("baseDelay", "0.05")
+        .load()
+    )
+    canonical = normalize_any(raw.select(raw.value.alias("raw")), "raw")
+    value_cols = ["lat", "lon", "name"]
+    states = keyed_upsert_stream(
+        canonical.select("mmsi", "event_ts", *value_cols),
+        "mmsi",
+        "event_ts",
+        value_cols,
+        output_schema="mmsi long, event_ts timestamp, lat double, lon double, name string",
+        state_schema="event_ts timestamp, lat double, lon double, name string",
+    )
+    updates: list = []
+    q = (
+        states.writeStream.foreachBatch(lambda b, _id: updates.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "full_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        # wait until the state reflects ALL three messages: newest
+        # position AND the static name
+        def done():
+            latest = max(updates, key=lambda r: r.event_ts) if updates else None
+            return latest is not None and latest.name == "TUI" and latest.lat == -41.2
+        while not done() and time.monotonic() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.stop()
+    final = max(updates, key=lambda r: r.event_ts)
+    # ground truth: batch replay of the same three payloads
+    batch = normalize_any(
+        spark.createDataFrame([(w,) for w in wire], "raw string"), "raw"
+    ).select("mmsi", "event_ts", *value_cols)
+    want = keyed_upsert_batch(batch, "mmsi", "event_ts", value_cols).collect()[0]
+    assert final.mmsi == want.mmsi == 512000007
+    assert final.lat == want.lat == -41.2 and final.lon == want.lon == 174.2
+    assert final.name == want.name == "TUI"
+    assert final.event_ts == want.event_ts
