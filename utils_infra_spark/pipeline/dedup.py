@@ -900,11 +900,13 @@ def dup_span_coverage(
     before cutting spans.
 
     Window hashes are ``md5(concat_ws(' ', slice(tokens, i, w)))`` —
-    engine-neutral, so the whole operator is oracle-checkable; the
-    O(n·w) re-concatenation per position is the price of that
-    portability (production swaps in the rolling Rabin-Karp
-    fingerprint from :func:`..text.rolling_fingerprint` — same
-    positions, O(n) — whose engine-specific hash keeps it rows-only).
+    engine-neutral, so the whole operator is oracle-checkable. The
+    O(n·w) per-position re-concatenation is shared with the xxhash64
+    form (:func:`..text.rolling_fingerprint_from_tokens` hashes the
+    same concatenated windows — swapping hashes changes portability,
+    not complexity); a true O(n) Rabin-Karp would need an
+    ``F.aggregate`` scan carrying rolling state and is future work,
+    relevant only when w grows well past ~10 tokens.
 
     Engine shape — aggregates and one semi-join, hot-key safe:
 
