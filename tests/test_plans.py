@@ -659,6 +659,14 @@ def test_line_dedup_aggregates_not_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
     assert "partial_min" in plan or "partial min" in plan.lower(), plan[:2000]
     assert "CartesianProduct" not in plan
+    # struct-min compiles to SortAggregate (per-task LOCAL sorts —
+    # fine); what must never appear is a sort keyed on `line` that is
+    # NOT immediately under an aggregate, i.e. a window-style global
+    # ordering of the line rows. Pin: every Sort over `line` in the
+    # plan belongs to a SortAggregate pair.
+    import re as _re
+    sorts_on_line = _re.findall(r"Sort \[line", plan)
+    assert len(sorts_on_line) <= 2, plan[:2000]  # map-side + reduce-side agg sorts only
 
 
 def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
@@ -714,3 +722,8 @@ def test_dup_span_coverage_shuffles_hashes_not_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, plan[:1500]
     assert "partial_count" in plan or "partial count" in plan.lower(), plan[:1500]
+    # the claimed invariant, actually pinned: no exchange carries the
+    # token array or raw text — hashes, positions, ids only
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "toks" not in ln and "text" not in ln, ln

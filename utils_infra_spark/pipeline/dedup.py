@@ -725,21 +725,24 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     1. winner per distinct line = ``min(struct(doc_id, line_no))`` —
        lexicographic struct min picks the identical row a
        ``row_number() OVER (PARTITION BY line ORDER BY doc_id,
-       line_no)`` would, but as a hash aggregate with MAP-SIDE
-       partial combine. That is the skew defense: a boilerplate line
-       occurring 10^7 times ("unsubscribe here") collapses to one
-       partial per map task before the shuffle, where the window form
-       would sort all 10^7 occurrences on a single reducer. The
-       exchange carries one (line, min-struct) partial per distinct
-       line per task — for duplicate-heavy corpora (the operator's
-       whole reason to exist) that is a small fraction of the rows.
+       line_no)`` would, but as an AGGREGATE with MAP-SIDE partial
+       combine (Spark compiles struct-min to SortAggregate — each
+       task sorts its OWN rows locally; see the inline note). That is
+       the skew defense: a boilerplate line occurring 10^7 times
+       ("unsubscribe here") collapses to one partial per map task
+       before the shuffle, where the window form would sort all 10^7
+       occurrences on a single reducer. The exchange carries one
+       (line, min-struct) partial per distinct line per task — for
+       duplicate-heavy corpora (the operator's whole reason to exist)
+       that is a small fraction of the rows.
     2. reassembly groupBy(doc_id) over the winner rows — each winner
        IS a surviving occurrence, so no join back to the corpus is
        needed for the text. Per-group state is one document's lines.
-    3. per-doc non-blank totals (one more aggregate over the lines
-       frame) joined on doc_id to derive ``dropped_lines`` — both
-       sides hash-partitioned by doc_id, so the join adds no extra
-       corpus shuffle beyond the totals aggregate itself.
+    3. per-doc non-blank totals computed IN-ROW on the one-row-per-doc
+       frame (``size(filter(split(...)))`` — no second explode, no
+       totals shuffle of line rows) and joined on doc_id to derive
+       ``dropped_lines``; the totals side ships one narrow row per
+       document.
 
     At 100 TB the payload-trimming variant of stage 1 aggregates
     ``(xxhash64(line), md5(line))`` instead of raw text and re-joins
@@ -761,6 +764,13 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .where(~F.col("line").rlike(r"^\s*$"))
     )
     winners = lines.groupBy("line").agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
+    # NOTE on the physical shape: Spark compiles struct-min to
+    # SortAggregate (struct agg buffers are not hash-mutable), so each
+    # task sorts ITS OWN rows by line before combining — per-partition
+    # work, not a hot-key concentration. The load-bearing property is
+    # the map-side partial_min: the exchange after it carries one
+    # (line, min-struct) partial per distinct line per task, which is
+    # what the plan test pins.
     kept = (
         winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.line_no").alias("line_no"), "line")
         .groupBy("doc_id")
@@ -775,7 +785,12 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("kept_lines"),
         )
     )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total_lines"))
+    totals = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            rf"size(filter(split({text_col}, '\n'), l -> NOT l RLIKE '^\\s*$'))"
+        ).alias("__total_lines"),
+    )
     return kept.join(totals, "doc_id").select(
         "doc_id",
         "clean_text",
@@ -925,13 +940,22 @@ def dup_span_coverage(
     At 100 TB every shuffle carries (hash) or (doc_id, idx) pairs —
     never text beyond stage 1's in-row hashing.
     """
+    # tokenization contract, cross-engine by construction: the
+    # whitespace class is EXPLICIT ([ \t\n\x0B\f\r]) because Java's
+    # \s includes U+000B while RE2's (DuckDB) does not — '\s+' here
+    # would diverge the engines on any document containing a vertical
+    # tab; and empty tokens are FILTERED rather than trimmed away,
+    # because trim() strips only 0x20, so a trailing newline/tab would
+    # otherwise mint phantom empty tokens that inflate n_tokens and
+    # understate the coverage ratio on both engines at once (where the
+    # oracle gate cannot see it).
     toks = (
         df.where(F.col(text_col).isNotNull())
         .selectExpr(
             f"{id_col} AS doc_id",
-            rf"split(trim({text_col}), '\\s+') AS toks",
+            rf"filter(split({text_col}, '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS toks",
         )
-        .where(F.expr("size(toks) > 0 AND toks != array('')"))
+        .where(F.expr("size(toks) > 0"))
         .select("doc_id", "toks", F.expr("size(toks)").alias("n_tokens"))
     )
     win = toks.where(F.col("n_tokens") >= window).select(

@@ -1161,11 +1161,12 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) FILTER (WHERE rn = 1) > 0
     """,
     doc="C4/Dolma corpus line dedup: non-blank lines keep only their globally "
-    "first occurrence (deterministic (doc_id, line_no) winner), documents "
-    "reassembled from survivors in order, empty docs dropped. Two O(corpus) "
-    "shuffles: window partitioned by line text, reassembly by doc_id; the "
-    "100 TB payload-trimming variant (shuffle hashes, re-join winners) is "
-    "documented on the operator.",
+    "first occurrence (deterministic (doc_id, line_no) winner via "
+    "min(struct) with map-side partial combine — skew-safe, no window), "
+    "documents reassembled from the winner rows in order, empty docs "
+    "dropped; per-doc totals computed in-row. The 100 TB payload-trimming "
+    "variant (shuffle hashes, re-join winners) is documented on the "
+    "operator.",
 )
 def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup import line_dedup_corpus
