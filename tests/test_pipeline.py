@@ -457,10 +457,20 @@ def test_line_dedup_corpus_deterministic_winner(spark):
 def test_char_trigram_lm_scores_hand_computed(spark):
     """Tiny corpus with hand-derivable counts: tc = {aaa:3, aab:1},
     cc = {aa:4}, V = |{a,b}| = 2, so P(aaa) = 3.5/5 and
-    P(aab) = 1.5/5 under add-0.5 smoothing."""
+    P(aab) = 1.5/5 under add-0.5 smoothing. The published score is the
+    fixed-point contract: per-trigram nanonat terms floor(x*1e9+0.5),
+    integer half-up micro-nat mean, one final float division — NOT
+    round(avg(double)), whose partial-sum order is engine-dependent."""
     import math
 
     from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+
+    def q(p: float) -> int:
+        return math.floor(-math.log(p) * 1000000000.0 + 0.5)
+
+    def score(qs: list[int]) -> float:
+        n = len(qs)
+        return ((2 * sum(qs) + n * 1000) // (2 * n * 1000)) / 1e6
 
     docs = spark.createDataFrame(
         [(1, "aaaa"), (2, "aaab"), (3, "x"), (4, None)],  # 3,4: too short/null -> no rows
@@ -469,8 +479,12 @@ def test_char_trigram_lm_scores_hand_computed(spark):
     out = {r.doc_id: r for r in char_trigram_lm_scores(docs, "text", "doc_id").collect()}
     assert set(out) == {1, 2}
     assert out[1].n_trigrams == 2 and out[2].n_trigrams == 2
-    assert out[1].avg_neg_logp == round(-math.log(3.5 / 5.0), 6)
-    assert out[2].avg_neg_logp == round((-math.log(3.5 / 5.0) - math.log(1.5 / 5.0)) / 2, 6)
+    q_aaa, q_aab = q(3.5 / 5.0), q(1.5 / 5.0)
+    assert out[1].avg_neg_logp == score([q_aaa, q_aaa])
+    assert out[2].avg_neg_logp == score([q_aaa, q_aab])
+    # the integer path stays within a micro-nat of the float form
+    assert abs(out[1].avg_neg_logp - (-math.log(3.5 / 5.0))) < 2e-6
+    assert abs(out[2].avg_neg_logp - (-math.log(3.5 / 5.0) - math.log(1.5 / 5.0)) / 2) < 2e-6
     # well-predicted text scores lower than the doc with the rare trigram
     assert out[1].avg_neg_logp < out[2].avg_neg_logp
 

@@ -1,0 +1,123 @@
+"""Adversarial whitespace parity fixtures (r6 ADVICE): the corpus
+operators' tokenization / blank-line / normalization contracts must be
+engine-identical on content the driver fixtures never contain —
+trailing newlines and tabs (phantom empty tokens under naive
+split-on-trim), and U+000B vertical tab (inside Java's ``\\s`` but
+outside RE2's, so any ``\\s``-based contract silently diverges the
+engines).
+
+Each test runs the PRODUCTION operator on a synthetic Spark DataFrame
+and the registered DuckDB oracle on the same rows (view named
+``documents``, as the driver registers it), then compares with the
+driver-style canonical form. This is the fixture net the sf-dir parity
+tests cannot provide: the generated testdata has no trailing
+whitespace and no vertical tabs, so these classes were latent there.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from test_oracle_parity import canonicalize
+from utils_infra_spark.queries import REGISTRY, _load
+
+_load()
+
+# every class the explicit [ \t\n\x0B\f\r] contract distinguishes:
+# trailing LF / trailing tab (phantom-empty-token minting), VT-only
+# lines and VT separators (Java-vs-RE2 \s membership), interior runs
+# of mixed whitespace, duplicated lines and duplicated 8-token spans
+# so the dedup operators produce non-trivial output.
+SENTENCE = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+FIXTURE_TEXTS: list[str | None] = [
+    SENTENCE + " today",                      # 10 tokens, clean
+    SENTENCE + " today\n",                    # same tokens + trailing LF
+    SENTENCE + " yesterday\t",                # shared 9-token prefix + trailing tab
+    "alpha\x0bbeta gamma " + SENTENCE,        # VT as separator
+    "\x0b",                                   # VT-only doc: zero tokens, blank line
+    "shared line\nunique one\n\x0b\nshared line",  # dup line + VT-only line
+    "shared line\nunique two\n",              # cross-doc dup line + trailing LF
+    " \t\n\x0b\f\r ",                         # all-whitespace doc
+    "",                                       # empty doc
+    None,                                     # null text
+    "x\r\ny mixed\f ws\ttokens one two three four",  # CR/FF/tab separators
+]
+
+
+@pytest.fixture(scope="module")
+def ws_spark_docs(spark):
+    rows = [(i + 1, t) for i, t in enumerate(FIXTURE_TEXTS)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def ws_duck():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"doc_id": range(1, len(FIXTURE_TEXTS) + 1), "text": FIXTURE_TEXTS}
+    ).astype({"doc_id": "int64"})
+    con.register("ws_docs", pdf)
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM ws_docs")
+    yield con
+    con.close()
+
+
+def _assert_parity(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert len(got) == len(want), f"{name}: rows {len(got)} != oracle {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns)
+    g, w = canonicalize(got), canonicalize(want)
+    mism = (g != w).any(axis=1)
+    if mism.any():
+        idx = mism[mism].index[:5]
+        raise AssertionError(
+            f"{name}: {int(mism.sum())}/{len(g)} rows differ.\nspark:\n{g.loc[idx]}\noracle:\n{w.loc[idx]}"
+        )
+
+
+def test_dup_span_coverage_whitespace_parity(ws_spark_docs, ws_duck):
+    from utils_infra_spark.pipeline.dedup import dup_span_coverage
+
+    got = dup_span_coverage(ws_spark_docs, "text", "doc_id", window=8).toPandas()
+    want = ws_duck.execute(REGISTRY["dup_span_coverage_documents"].oracle).df()
+    # the fixtures must actually exercise the dup path: docs 1 and 2
+    # share their full 10-token text modulo the trailing LF, so both
+    # carry duplicated windows — if tokenization minted a phantom
+    # token for doc 2, its hashes (and n_tokens) would diverge
+    assert (want[want["doc_id"].isin([1, 2])]["dup_covered_tokens"] > 0).all()
+    assert set(want[want["doc_id"] == 2]["n_tokens"]) == {10}
+    _assert_parity("dup_span_coverage", got, want)
+
+
+def test_line_dedup_whitespace_parity(ws_spark_docs, ws_duck):
+    from utils_infra_spark.pipeline.dedup import line_dedup_corpus
+
+    got = line_dedup_corpus(ws_spark_docs, "text", "doc_id").toPandas()
+    want = ws_duck.execute(REGISTRY["line_dedup_documents"].oracle).df()
+    # doc 6's VT-only line must count as BLANK on both engines (RE2's
+    # \s excludes \x0B — the exact divergence the explicit class
+    # fixes), and its duplicated "shared line" must be deduped
+    d6 = want[want["doc_id"] == 6]
+    assert set(d6["dropped_lines"]) == {1}
+    assert list(d6["clean_text"]) == ["shared line\nunique one"]
+    # no surviving line is whitespace-only (VT-only lines are blank)
+    import re
+
+    blank = re.compile(r"^[ \t\x0b\f\r]*$")
+    assert not any(
+        blank.match(line) for t in want["clean_text"] for line in t.split("\n")
+    )
+    _assert_parity("line_dedup", got, want)
+
+
+def test_char_lm_whitespace_parity(ws_spark_docs, ws_duck):
+    from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+
+    got = char_trigram_lm_scores(ws_spark_docs, "text", "doc_id").toPandas()
+    want = ws_duck.execute(REGISTRY["char_lm_quality_documents"].oracle).df()
+    # VT must normalize to a space on both engines: doc 4's trigrams
+    # then include 'a b' from "alpha<VT>beta"; and the all-whitespace
+    # doc 8 must be excluded (normalizes below 3 chars) on both
+    assert 8 not in set(want["doc_id"])
+    _assert_parity("char_lm", got, want)

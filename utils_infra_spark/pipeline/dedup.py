@@ -753,7 +753,11 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     dropped in reassembly (the C4 normalization); a single newline
     joins survivors. Blank detection is a regex test, not trim():
     trim strips only 0x20 spaces in both Spark and DuckDB, so a
-    tab-only line would count as content under it.
+    tab-only line would count as content under it. The class is
+    EXPLICIT (``[ \\t\\n\\x0B\\f\\r]``), never ``\\s``: Java's ``\\s``
+    includes U+000B (vertical tab) while RE2's (DuckDB) does not, so
+    ``^\\s*$`` would classify a VT-only line blank on one engine and
+    content on the other.
     """
     lines = (
         df.where(F.col(text_col).isNotNull())
@@ -761,7 +765,7 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(id_col).alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
         )
-        .where(~F.col("line").rlike(r"^\s*$"))
+        .where(~F.col("line").rlike(r"^[ \t\n\x0B\f\r]*$"))
     )
     winners = lines.groupBy("line").agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
     # NOTE on the physical shape: Spark compiles struct-min to
@@ -788,7 +792,7 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     totals = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
-            rf"size(filter(split({text_col}, '\n'), l -> NOT l RLIKE '^\\s*$'))"
+            rf"size(filter(split({text_col}, '\n'), l -> NOT l RLIKE '^[ \\t\\n\\x0B\\f\\r]*$'))"
         ).alias("__total_lines"),
     )
     return kept.join(totals, "doc_id").select(

@@ -345,26 +345,43 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     own statistics (gibberish, encoding damage, boilerplate soup)
     score high and get filtered.
 
-    Per document: normalize (lowercase, collapse whitespace), emit
-    all character trigrams, and score
-    ``avg(-ln((c3 + k) / (c2 + k*V)))`` — add-k-smoothed conditional
+    Per document: normalize (lowercase, collapse whitespace — the
+    whitespace class is EXPLICIT ``[ \\t\\n\\x0B\\f\\r]`` because
+    Java's ``\\s`` includes U+000B while RE2's does not), emit all
+    character trigrams, and score the add-k-smoothed conditional
     probability of each third character given its two-char context,
     where c3/c2 are corpus trigram/context counts and V is the
     distinct-third-character vocabulary. Emits
     ``(doc_id, n_trigrams, avg_neg_logp)`` (nats/char; lower =
-    better-predicted text). All model terms derive from integer
-    counts, so both engines compute identical per-trigram values;
-    only the final average is float-summed, rounded to 6 (the
-    cross-engine contract).
+    better-predicted text).
+
+    Cross-engine determinism contract (the event_interarrival / BM25
+    rule — round in INTEGER space, never round(avg(double))): each
+    distinct trigram's term ``-ln((c3+k)/(c2+k*V))`` is quantized
+    ONCE to integer nanonats, ``floor(x*1e9 + 0.5)``; the per-doc
+    score is then an integer half-up mean in micro-nats,
+    ``(2*sum + n*1000) div (2*n*1000)``, with ONE shared float
+    division by 1e6 at the end. A plain ``round(avg(...), 6)`` is
+    float-summed in engine/partitioning-dependent order and can flip
+    the 6-dp boundary (first observed in event_interarrival at
+    sf0.1); the integer form is order-independent by construction.
+    The quantization itself happens driver-side with ``math.log`` —
+    glibc's libm, the same ``ln`` DuckDB's oracle calls on this
+    platform — and the 1e-9 quantum guards the residual
+    last-ulp class regardless.
 
     Engine shape at 100 TB: the LM "fit" is one groupBy on a BOUNDED
     key space (≤ charset³ trigrams — the model is KBs-to-MBs no
     matter the corpus size) whose result is collected, enriched
-    driver-side (context totals, vocabulary — model-sized pandas
-    work), and broadcast back as a single scoring table; the per-doc
-    average shuffles only partial (sum, count) pairs. Exactly one
-    corpus pass to fit + one to score.
+    driver-side (context totals, vocabulary, quantized terms —
+    model-sized work), and broadcast back as a single ``(tri, q)``
+    scoring table; the per-doc mean shuffles only partial
+    (sum, count) pairs of INTEGERS — the scoring pass does no
+    transcendental math at all. Exactly one corpus pass to fit + one
+    to score.
     """
+    import math
+
     from ..sources.tables import spread
 
     # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
@@ -372,48 +389,57 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # first, or a single-partition cached scan serializes the whole
     # explode (the exact starvation mode spread() exists for)
     norm = spread(
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("t"),
+        df.where(f"{text_col} IS NOT NULL")
+        .selectExpr(
+            f"{id_col} AS doc_id",
+            rf"trim(regexp_replace(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+', ' ')) AS t",
         )
-        .where(F.char_length("t") >= 3),
+        .where("char_length(t) >= 3"),
         min_bytes=0,
     )
-    tris = norm.select(
+    tris = norm.selectExpr(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")
-        ).alias("tri"),
+        "explode(transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))) AS tri",
     )
     # FIT: one corpus pass aggregates trigram counts, then the model
     # comes to the driver — it is bounded by charset^3 (tens of KBs)
     # no matter the corpus size, the same small-by-contract collect as
-    # similarity.py's query vectors. Deriving context totals and the
-    # vocabulary from the collected counts costs a model-sized pandas
-    # groupby and spares the cluster THREE re-aggregations of the
-    # corpus explode (the naive all-DataFrame form re-ran it for the
-    # context counts, the vocab count, and each broadcast build —
-    # measured 2x slower end-to-end at sf0.1).
+    # similarity.py's query vectors. Deriving context totals, the
+    # vocabulary, and the quantized per-trigram terms from the
+    # collected counts costs model-sized driver work and spares the
+    # cluster THREE re-aggregations of the corpus explode (the naive
+    # all-DataFrame form re-ran it for the context counts, the vocab
+    # count, and each broadcast build — measured 2x slower end-to-end
+    # at sf0.1) — and removes transcendental math from the scoring
+    # pass entirely: the executors sum broadcast-looked-up integers.
     tc_pdf = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3")).toPandas()
     tc_pdf["ctx"] = tc_pdf["tri"].str.slice(0, 2)
     tc_pdf["c2"] = tc_pdf.groupby("ctx")["c3"].transform("sum")
     vsz = int(tc_pdf["tri"].str.slice(2, 3).nunique())
+    # integer-nanonat quantization of each distinct trigram's term;
+    # operation order mirrors the oracle SQL exactly:
+    # (CAST(c3 AS DOUBLE)+k) / (CAST(c2 AS DOUBLE)+k*V), -ln, *1e9,
+    # +0.5, floor — every step an IEEE double op or libm ln
+    denom_k = add_k * float(vsz)
+    tc_pdf["q"] = [
+        math.floor(-math.log((float(c3) + add_k) / (float(c2) + denom_k)) * 1000000000.0 + 0.5)
+        for c3, c2 in zip(tc_pdf["c3"].tolist(), tc_pdf["c2"].tolist())
+    ]
     model = F.broadcast(
-        tris.sparkSession.createDataFrame(
-            tc_pdf[["tri", "c3", "c2"]], "tri string, c3 bigint, c2 bigint"
-        )
+        tris.sparkSession.createDataFrame(tc_pdf[["tri", "q"]], "tri string, q bigint")
     )
     # SCORE: the second corpus pass joins the broadcast model and
-    # averages per document — the shuffle carries partial (sum, count)
-    # pairs per doc only.
+    # reduces per document — the shuffle carries partial (sum, count)
+    # INTEGER pairs per doc only; the half-up micro-nat mean stays in
+    # integer space to the last shared float division (see docstring).
     return (
         tris.join(model, "tri")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(
-                F.avg(-F.log((F.col("c3") + add_k) / (F.col("c2") + add_k * F.lit(vsz)))), 6
-            ).alias("avg_neg_logp"),
+            F.expr("COUNT(1) AS n_trigrams"),
+            F.expr(
+                "CAST((2*SUM(q) + COUNT(1)*1000) DIV (2*COUNT(1)*1000) AS DOUBLE) / 1000000.0"
+                " AS avg_neg_logp"
+            ),
         )
     )

@@ -1151,7 +1151,8 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT doc_id, line_no, line,
              row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-      FROM lines WHERE NOT regexp_matches(line, '^\\s*$')
+      -- explicit class, not \\s: Java \\s includes U+000B, RE2's does not
+      FROM lines WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')
     )
     SELECT doc_id,
            string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE rn = 1) AS clean_text,
@@ -1179,9 +1180,9 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char_lm_quality_documents",
     oracle="""
     WITH nz AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
       FROM documents WHERE text IS NOT NULL
-        AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 3
+        AND length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) >= 3
     ),
     tris AS (
       -- lateral unnest(range(...)) measured 3x faster than
@@ -1193,18 +1194,29 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tc AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
     cc AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c3) AS c2 FROM tc GROUP BY 1),
-    v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS vsz FROM tc)
+    v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS vsz FROM tc),
+    -- per-DISTINCT-trigram term quantized ONCE to integer nanonats
+    -- (floor(x*1e9 + 0.5)) so the per-doc reduction is pure integer
+    -- arithmetic — order-independent across engines and partitionings
+    -- (the event_interarrival / BM25 fixed-point rule)
+    q AS (
+      SELECT tc.tri,
+             CAST(FLOOR(-ln((CAST(tc.c3 AS DOUBLE) + 0.5) /
+                            (CAST(cc.c2 AS DOUBLE) + 0.5 * CAST(v.vsz AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM tc JOIN cc ON substr(tc.tri, 1, 2) = cc.ctx CROSS JOIN v
+    )
     SELECT s.doc_id,
            COUNT(*) AS n_trigrams,
-           ROUND(AVG(-ln((tc.c3 + 0.5) / (cc.c2 + 0.5 * v.vsz))), 6) AS avg_neg_logp
-    FROM tris s
-    JOIN tc USING (tri)
-    JOIN cc ON substr(s.tri, 1, 2) = cc.ctx
-    CROSS JOIN v
+           CAST((2*SUM(q.q) + COUNT(*)*1000) // (2*COUNT(*)*1000) AS DOUBLE) / 1000000.0
+             AS avg_neg_logp
+    FROM tris s JOIN q USING (tri)
     GROUP BY s.doc_id
     """,
     doc="CCNet-style model-based quality score from a SELF-TRAINED char-trigram "
-    "LM: avg add-k-smoothed -ln P(c3|c1c2) per document (nats/char). The fit "
+    "LM: add-k-smoothed -ln P(c3|c1c2) per document (nats/char), reduced as an "
+    "integer half-up micro-nat mean over per-trigram nanonat terms — "
+    "order-independent cross-engine (never round(avg(double))). The fit "
     "collects the bounded model with a corpus pass AT BUILD TIME, so the plan "
     "is registered uncacheable: every plan() call re-fits — a timing loop can "
     "never amortize the fit away while the paired oracle still pays it.",
@@ -1273,10 +1285,19 @@ def bloom_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dup_span_coverage_documents",
     oracle="""
-    WITH base AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    WITH tok AS (
+      -- tokenization mirrors the operator's contract EXACTLY: split on
+      -- the explicit space/tab/LF/VT/FF/CR class (Java's backslash-s
+      -- includes U+000B, RE2's does not) and FILTER empty tokens rather
+      -- than trim() (trim strips only 0x20, so trailing LF/tab would
+      -- mint phantom empty tokens and inflate n_tokens)
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, ts, len(ts) AS n_tokens FROM tok WHERE len(ts) > 0
     ),
     win AS (
       SELECT doc_id,
