@@ -158,6 +158,56 @@ def _time_interleaved(
     return warm, cold, duck, spark_runs, {k: v for k, v in duck_runs.items() if v}
 
 
+# keys that make up the driver-facing stdout line. The driver captures
+# only the LAST 2000 bytes of this process's output and json-parses
+# them: BENCH_r04/r05 overflowed with raw run arrays, and r06 STILL
+# overflowed after moving those to BENCH_result.json because the line
+# kept three per-query dicts plus attempt summaries (`parsed: null`
+# three rounds running). The contract now: stdout carries the driver's
+# required keys (metric/value/unit/queries/sf) plus SCALARS only —
+# every other per-query dict, attempt detail, and the methodology
+# prose live in BENCH_result.json, pointed to by `detail`.
+_LINE_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "sf",
+    "cold_total",
+    "spark_oracle_subset_total",
+    "duck_total",
+    "ratio_warm",
+    "spark_full_total",
+    "duck_full_total",
+    "ratio_warm_full",
+    "floor_sec",
+    "loadavg_1m",
+    "cold_from_attempt",
+    "cold_loadavg_1m",
+    "attempts",
+    "input_bytes",
+    "input_cached",
+    "input_cache_build_sec",
+    "tuned_confs",
+    "detail",
+)
+# hard budget with headroom for the driver's 2000-byte tail capture
+_LINE_BUDGET = 1900
+
+
+def compact_line(payload: dict) -> str:
+    """The single stdout JSON line: driver-contract keys + scalars.
+    If some future headline-set growth pushes past the capture budget,
+    per-query warm times are the one droppable dict (they remain in
+    BENCH_result.json) — dropping beats an unparseable truncation."""
+    line = json.dumps({k: payload[k] for k in _LINE_KEYS if k in payload})
+    if len(line) > _LINE_BUDGET:
+        slim = {k: payload[k] for k in _LINE_KEYS if k in payload and k != "queries"}
+        slim["queries_in"] = "BENCH_result.json"
+        line = json.dumps(slim)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -324,22 +374,22 @@ def main() -> None:
             k: spark.conf.get(k)
             for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
         },
+        "detail": "BENCH_result.json",
     }
-    # Two artifacts, by audience:
-    #  * stdout — the driver captures a bounded TAIL of this process's
-    #    output, and BENCH_r05's line overflowed it (raw per-run arrays)
-    #    → `parsed: null`. So stdout gets a COMPACT line: totals,
-    #    per-query warm/duck dicts, ratio, methodology — no raw arrays.
-    #  * BENCH_result.json — the full payload INCLUDING every attempt's
-    #    raw spark_runs/duck_runs samples, so the ratio stays
-    #    re-derivable from disk.
+    # Two artifacts, by audience (see _LINE_KEYS):
+    #  * stdout — driver-contract keys + scalars, bounded to the
+    #    driver's 2000-byte tail capture.
+    #  * BENCH_result.json — the full payload: per-query duck/cold
+    #    dicts, attempt summaries, methodology prose, and every
+    #    attempt's raw spark_runs/duck_runs samples, so the ratio
+    #    stays re-derivable from disk.
     full = dict(payload)
     full["attempt_raw_runs"] = [
         {"spark_runs": a["spark_runs"], "duck_runs": a["duck_runs"]} for a in attempts
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json"), "w") as f:
         f.write(json.dumps(full) + "\n")
-    line = json.dumps(payload)
+    line = compact_line(payload)
     # stop Spark FIRST so shutdown chatter can't land after the line,
     # then emit the compact line as the absolute last output
     spark.stop()

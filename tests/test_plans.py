@@ -727,3 +727,53 @@ def test_dup_span_coverage_shuffles_hashes_not_text(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "toks" not in ln and "text" not in ln, ln
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver json-parses the LAST 2000 bytes of bench.py's
+    output; r4-r6 all shipped `parsed: null` because the line carried
+    per-query dicts and methodology prose past that window. Pin the
+    contract: a representative full-payload compact line (current
+    headline set, worst-case-width values) parses, keeps the driver's
+    required keys, and stays under the capture budget."""
+    import json
+
+    from bench import HEADLINE, _LINE_BUDGET, compact_line
+
+    payload = {
+        "metric": "headline_queries_total_runtime_warm",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {name: 123.4567 for name in HEADLINE},
+        "cold_queries": {name: 123.4567 for name in HEADLINE},  # must be dropped
+        "duck_queries": {name: 123.4567 for name in HEADLINE},  # must be dropped
+        "sf": 0.1,
+        "cold_total": 123.456,
+        "spark_oracle_subset_total": 123.456,
+        "duck_total": 123.456,
+        "ratio_warm": 12.34,
+        "spark_full_total": 123.456,
+        "duck_full_total": 123.456,
+        "ratio_warm_full": 12.34,
+        "floor_sec": 0.1234,
+        "loadavg_1m": [12.34, 12.34],
+        "cold_from_attempt": 1,
+        "cold_loadavg_1m": [12.34, 12.34],
+        "attempts": 3,
+        "attempt_summaries": [{"x": 1}] * 3,  # must be dropped
+        "methodology": "x" * 1200,  # must be dropped
+        "input_bytes": 17504410,
+        "input_cached": True,
+        "input_cache_build_sec": 12.345,
+        "input_cache_partitions": {name: 20 for name in HEADLINE},  # must be dropped
+        "tuned_confs": {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "false"},
+        "detail": "BENCH_result.json",
+    }
+    line = compact_line(payload)
+    assert len(line) <= _LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf", "ratio_warm", "ratio_warm_full"):
+        assert k in parsed, k
+    for k in ("cold_queries", "duck_queries", "attempt_summaries", "methodology",
+              "input_cache_partitions"):
+        assert k not in parsed, k
