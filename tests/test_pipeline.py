@@ -523,6 +523,54 @@ def test_bloom_novelty_flags_and_no_false_negatives(spark):
     assert all(r.maybe_seen == r.exact_seen for r in out.values())
 
 
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_bloom_novelty_sharded_verdict_equality(spark, n_shards):
+    """The 100 TB sharded form (filter words stay a DataFrame,
+    digest-prefix co-partitioned equi-join) must produce EXACTLY the
+    broadcast/literal form's verdicts — sharding is a physical
+    strategy, never a semantics change. Run a corpus big enough that
+    the filter has real collisions in play (FP positions possible),
+    plus exact dups, across 1/4/8 shards."""
+    from utils_infra_spark.pipeline.dedup import bloom_novelty
+
+    rows = [(i, f"document number {i} payload {i % 37}") for i in range(1, 201)]
+    # increment half: 30 exact dups of corpus texts + 70 novel
+    rows += [(200 + i, f"document number {i} payload {i % 37}") for i in range(1, 31)]
+    rows += [(230 + i, f"novel increment text {i}") for i in range(1, 71)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lit_form = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novelty(docs, "text", "doc_id", 200, with_exact=False).collect()
+    }
+    sharded = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novelty(
+            docs, "text", "doc_id", 200, sharded=n_shards, with_exact=False
+        ).collect()
+    }
+    assert lit_form == sharded
+    # the 30 exact dups must all be maybe_seen in both forms
+    assert all(lit_form[200 + i] for i in range(1, 31))
+
+
+def test_bloom_novelty_sharded_plan_never_broadcasts_filter(spark):
+    """sharded=N exists because the filter is too big to broadcast at
+    scale — so its plan must contain NO BroadcastExchange anywhere
+    (with_exact=False drops the scaffolding join too) and must carry
+    the shard key on both sides of the word join."""
+    from utils_infra_spark.pipeline.dedup import bloom_novelty
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 41)], "doc_id long, text string"
+    )
+    plan = (
+        bloom_novelty(docs, "text", "doc_id", 20, sharded=4, with_exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "__shard" in plan
+
+
 def test_dup_span_coverage_semantics(spark):
     from utils_infra_spark.pipeline.dedup import dup_span_coverage
 

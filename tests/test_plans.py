@@ -670,10 +670,14 @@ def test_line_dedup_aggregates_not_window(spark, sf_dir):
 
 
 def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
-    """The LM tables (trigram counts, context counts, vocab scalar)
-    must reach the scoring join as broadcasts — the model is bounded
-    by charset^3 regardless of corpus size, so nothing about scoring
-    should shuffle the corpus-side trigrams for a join."""
+    """The model — bounded by charset^3 regardless of corpus size —
+    must reach the scoring join as a single broadcast local relation
+    (collected + quantized driver-side): nothing about scoring may
+    shuffle or re-aggregate the corpus-side trigrams for a join, and
+    the score pass re-derives trigrams with exactly one explode.
+    (A zero-shuffle in-row variant via `aggregate` HOF was measured
+    2.5x slower — HOF lambdas run interpreted — so the codegen'd
+    explode+join shape is the pinned one.)"""
     from utils_infra_spark.pipeline.text import char_trigram_lm_scores
     from utils_infra_spark.sources import load_table
 
@@ -682,7 +686,7 @@ def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
         char_trigram_lm_scores(docs, "text", "doc_id")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("BroadcastExchange") >= 1, plan[:1500]
+    assert plan.count("BroadcastExchange") == 1, plan[:1500]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # the model is a collected local relation — scoring must NOT
     # re-aggregate the corpus (one explode for the score pass only)

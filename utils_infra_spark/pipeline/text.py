@@ -428,10 +428,16 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     model = F.broadcast(
         tris.sparkSession.createDataFrame(tc_pdf[["tri", "q"]], "tri string, q bigint")
     )
-    # SCORE: the second corpus pass joins the broadcast model and
+    # SCORE: the second corpus pass hash-joins the broadcast model and
     # reduces per document — the shuffle carries partial (sum, count)
     # INTEGER pairs per doc only; the half-up micro-nat mean stays in
     # integer space to the last shared float division (see docstring).
+    # (A fully in-row variant — one-row broadcast map + `aggregate`
+    # HOF folding each doc's trigram sequence, zero shuffles — was
+    # measured 2.5x SLOWER at sf0.1: HOF lambdas evaluate interpreted,
+    # outside whole-stage codegen, so the explode + codegen'd
+    # broadcast-hash-join + partial-sum shape wins despite
+    # materializing per-trigram rows.)
     return (
         tris.join(model, "tri")
         .groupBy("doc_id")

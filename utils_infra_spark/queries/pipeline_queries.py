@@ -1265,7 +1265,10 @@ def _bloom_pos_sql(j: int) -> str:
     "= doc_id <= max/2, increment = the rest; maybe_seen is the Bloom verdict "
     "(m=2^16 bits as 2048 bit_or'd 32-bit words, k=4 md5-slice positions), exact_seen "
     "the ground truth — exact_seen implies maybe_seen (no false negatives), "
-    "their gap is the measured FP set. Probe side never shuffles the corpus.",
+    "their gap is the measured FP set. The filter reaches the probe as a "
+    "one-row broadcast map scalar, bits tested in-row — no probe-side "
+    "explode/agg, and the corpus never shuffles. Every fresh QueryExecution "
+    "re-executes the filter build (broadcast subplans are part of the plan).",
 )
 def bloom_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup import bloom_novelty
