@@ -67,3 +67,49 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries().keys()) >= set(e.oracle_sql().keys())
+
+
+# Queries whose results pass through float-derived or order-sensitive
+# reductions — the class where cross-engine/cross-partitioning bugs
+# first appear at scale (event_interarrival went red only at sf0.1
+# when partial-merge order changed; char_lm had the same latent shape
+# until its fixed-point rewrite). The invariance probe would have
+# caught both a round early, at any sf.
+PARTITION_SENSITIVE = [
+    "char_lm_quality_documents",
+    "line_dedup_documents",
+    "bloom_novelty_documents",
+    "dup_span_coverage_documents",
+    "event_interarrival",
+    "corr_price_quantity",
+    "pricing_summary",
+]
+
+
+@pytest.mark.parametrize("name", PARTITION_SENSITIVE)
+def test_partitioning_invariance(name, spark, sf_dir):
+    """The published values of a query must be BYTE-IDENTICAL under
+    2/8/32 shuffle partitions: partial-aggregate merge order, task
+    count, and reducer layout are physical concerns and may never
+    reach a result. This runs at whatever scale SPARK_GRAFT_TEST_SF_DIR
+    points to — the round checklist runs it at sf0.1, where
+    order-dependence first manifests in practice."""
+    q = REGISTRY[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = None
+    try:
+        for n in (2, 8, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            # q.fn, not q.plan: bypass the plan cache so builders that
+            # execute at build time (char_lm's fit) also re-run under
+            # the new partitioning
+            c = canonicalize(q.fn(spark, sf_dir).toPandas())
+            if baseline is None:
+                baseline = (n, c)
+            else:
+                assert c.equals(baseline[1]), (
+                    f"{name}: result differs between shuffle.partitions="
+                    f"{baseline[0]} and {n}"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

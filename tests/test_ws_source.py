@@ -408,11 +408,21 @@ def test_normalize_cot_both_group_forms(spark):
         json.dumps({"type": "chat", "data": {"id": "c9", "geometry": {"type": "Point",
             "coordinates": [3.0, 4.0]}, "properties": {"callsign": "D",
             "group": "Blue", "time": "2024-05-01T10:00:04Z"}}}),
+        # legitimate group NAME that merely starts with '{' — must take
+        # the string branch and survive, not parse-to-null and drop
+        json.dumps({"type": "cot", "data": {"id": "c3", "geometry": {"type": "Point",
+            "coordinates": [170.0, -45.0]}, "properties": {"callsign": "DELTA",
+            "group": "{weird team", "time": "2024-05-01T10:00:05Z"}}}),
+        # group is a real JSON object with no usable name — dropped
+        json.dumps({"type": "cot", "data": {"id": "c4", "geometry": {"type": "Point",
+            "coordinates": [171.0, -44.0]}, "properties": {"callsign": "ECHO",
+            "group": {}, "time": "2024-05-01T10:00:06Z"}}}),
     ]
     df = spark.createDataFrame([(f,) for f in frames], "raw string")
     out = normalize_cot(df, "raw", group_colors={"Blue": "#0000ff", "Red": "#ff0000"})
     rows = {r.contact_id: r for r in out.collect()}
-    assert set(rows) == {"c1", "c2", "CHARLIE"}
+    assert set(rows) == {"c1", "c2", "CHARLIE", "c3"}
+    assert rows["c3"].group_name == "{weird team"
     assert rows["c1"].group_name == "Blue" and rows["c1"].marker_color == "#0000ff"
     assert rows["c2"].group_name == "Red" and rows["c2"].marker_color == "#ff0000"
     assert rows["CHARLIE"].marker_color == "#ffffff"  # unknown group fallback
@@ -631,3 +641,44 @@ def test_websocket_full_pipeline_matches_batch_replay(spark, tmp_path):
     assert final.lat == want.lat == -41.2 and final.lon == want.lon == 174.2
     assert final.name == want.name == "TUI"
     assert final.event_ts == want.event_ts
+
+
+def test_reader_rebases_sequence_after_driver_restart():
+    """Driver-restart recovery: a NEW reader (fresh pump counting from
+    0) handed the CHECKPOINTED start offset {seq: N} must rebase its
+    rows onto the checkpoint's offset line — rows delivered AT/ABOVE
+    N with an advancing end offset — so a same-process batch retry via
+    readBetweenOffsets replays them instead of returning empty (the
+    pre-fix behavior: rows under a non-advancing offset, pruned by the
+    first commit, silently lost on retry)."""
+    from utils_infra_spark.sources.ws import _WSFeedReader
+
+    srv = WSTestServer([[("text", "r1"), ("text", "r2"), ("text", "r3"),
+                         ("wait", 30.0)]])
+    try:
+        # restart emulation: initialOffset() is NOT called (a
+        # checkpoint exists); the first read carries the old offset
+        reader = _WSFeedReader(
+            {"host": "127.0.0.1", "port": str(srv.port), "subscribe": "s",
+             "basedelay": "0.05", "pinginterval": "1e9"}
+        )
+        start = {"seq": 7}
+        deadline = time.monotonic() + 10
+        rows, end = [], start
+        while len(rows) < 3 and time.monotonic() < deadline:
+            got, end = reader.read(end if rows else start)
+            rows.extend(got)
+            time.sleep(0.05)
+        assert [r[2] for r in rows] == ["r1", "r2", "r3"]
+        # offsets monotone with the checkpoint line, not the pump line
+        assert all(r[0] >= 7 for r in rows)
+        assert end["seq"] == rows[-1][0] + 1 > 7
+        # same-process retry of the whole uncommitted span replays all
+        replayed = list(reader.readBetweenOffsets(start, end))
+        assert [r[2] for r in replayed] == ["r1", "r2", "r3"]
+        # commit prunes the window
+        reader.commit(end)
+        assert list(reader.readBetweenOffsets(start, end)) == []
+        reader._pump.stop()
+    finally:
+        srv.stop()

@@ -282,13 +282,24 @@ def normalize_cot(
     s = _parse(raw, _COT_GROUP_STR)
     o = _parse(raw, _COT_GROUP_OBJ)
     # PERMISSIVE from_json STRINGIFIES an object that lands in a
-    # string-typed field (it does not null it), so the string form is
-    # authoritative only when it isn't itself serialized JSON; the
-    # object form covers the rest.
+    # string-typed field (it does not null it), so the object form is
+    # authoritative whenever it yields a name; the string form covers
+    # the rest — INCLUDING a legitimate name that merely STARTS with
+    # '{' ("{weird team"): a brace prefix alone must not route a frame
+    # to the object branch (where it parses to null and the frame is
+    # silently dropped). The string is demoted only when it is ITSELF
+    # valid serialized JSON (get_json_object(sg, '$') non-null — a
+    # from_json probe can't distinguish: it returns an all-null
+    # struct, not null, for garbage), i.e. a real object wire form
+    # that simply lacks a usable name.
     sg = s["data"]["properties"]["group"]
-    group = F.when(
-        sg.isNotNull() & ~sg.startswith("{"), sg
-    ).otherwise(o["data"]["properties"]["group"]["name"])
+    group = F.coalesce(
+        o["data"]["properties"]["group"]["name"],
+        F.when(
+            sg.isNotNull() & (~sg.startswith("{") | F.get_json_object(sg, "$").isNull()),
+            sg,
+        ),
+    )
 
     def leaf(*path: str) -> Column:
         # the two schemas differ ONLY at properties.group, so every

@@ -41,7 +41,11 @@ Scale/semantics contract:
   process-local: a driver restart replays nothing (at-most-once across
   restarts) — the same trade the reference makes, whose vessel cache
   file snapshot is also the only restart state. Production hardening
-  would WAL the window to the checkpoint dir.
+  would WAL the window to the checkpoint dir. Within the RESTARTED
+  run, delivery is still exactly-once: the reader rebases the new
+  pump's 0-based sequence onto the checkpointed start offset at first
+  read, so live rows never hide under a non-advancing offset and the
+  replay window stays valid for same-process batch retries.
 - **Load shedding, not unbounded memory.** The pending buffer is
   bounded (``maxBuffer``); overflow drops the OLDEST pending rows and
   counts them (the reference's bounded vessel cache makes the same
@@ -421,6 +425,11 @@ try:  # pragma: no cover - import guard so non-Spark tools can load the client
             self._options = options
             self._pump: FeedPump | None = None
             self._replay: deque[tuple[int, datetime, str]] = deque()
+            # offset rebase for driver restarts: a fresh FeedPump
+            # counts from 0, but the checkpointed start offset is
+            # whatever the previous run reached — anchored on first
+            # read (see read())
+            self._seq_base: int | None = None
 
         def _ensure_pump(self) -> FeedPump:
             if self._pump is None:
@@ -453,6 +462,24 @@ try:  # pragma: no cover - import guard so non-Spark tools can load the client
                 # from an idle feed. Buffered rows drain first; the
                 # failure surfaces on the first empty batch after death.
                 raise RuntimeError(f"websocket_feed terminated: {pump.stop_reason}")
+            if self._seq_base is None:
+                # Rebase the pump's process-local sequence onto the
+                # checkpointed offset line. After a driver restart the
+                # new pump restarts at 0 while start['seq'] is N;
+                # without this, post-restart rows would be delivered
+                # under a non-advancing offset (the max() clamp),
+                # commit(N) would immediately prune them from the
+                # replay window, and a same-process batch retry via
+                # readBetweenOffsets would return empty — silent row
+                # loss on recovery. With the rebase, offsets stay
+                # monotone with live data and the replay window stays
+                # valid across the restart. (In a fresh run
+                # initialOffset() returns {seq: 0}, so the base is 0
+                # and this is the identity.)
+                self._seq_base = start["seq"]
+            if self._seq_base:
+                base = self._seq_base
+                rows = [(s + base, ts, v) for s, ts, v in rows]
             self._replay.extend(rows)
             next_seq = rows[-1][0] + 1 if rows else start["seq"]
             return iter(rows), {"seq": max(next_seq, start["seq"])}
