@@ -629,3 +629,52 @@ def test_line_dedup_invariants_on_random_corpora(spark, seed):
         spark.createDataFrame(rows[::-1], "doc_id long, text string"), "text", "doc_id"
     ).collect()
     assert sorted(map(tuple, rev)) == sorted(map(tuple, out))  # (c)
+
+
+def test_repetition_profile_hand_computed(spark):
+    """Gopher rules on hand-derivable fixtures, checking the integer
+    micro rounding to the digit (values derived in the docstring of
+    each assertion)."""
+    from utils_infra_spark.pipeline.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # lines [a b, a b, c d]: dup_line 1/3, dup chars 6/9,
+            # top 2-gram "a b" x2 (6 chars) over "a b a b c d" (11)
+            (1, "a b\na b\nc d"),
+            # no repetition, 12 distinct tokens: top gram ties break to
+            # the ASC-least gram "eight nine" (10 chars over 62)
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+            (3, None),
+            (4, " \t\n\x0b "),  # no non-blank line -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_profile(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1.n_lines == 3
+    assert r1.dup_line_frac == 0.333333       # half-up(1/3 micro)
+    assert r1.dup_line_char_frac == 0.666667  # 6 of 9 chars in dup lines
+    assert r1.dup_para_frac == 0.0
+    assert r1.top_2gram_char_frac == 0.545455  # 2*3 chars over 11
+    assert r1.gopher_pass is False             # 0.333333 > 0.30
+    r2 = out[2]
+    assert r2.n_lines == 1 and r2.dup_line_frac == 0.0
+    assert r2.top_2gram_char_frac == 0.16129   # 10/62 -> 161290 micro
+    assert r2.gopher_pass is True
+
+
+def test_repetition_profile_paragraphs_and_thresholds(spark):
+    """Paragraph dedup (split on blank lines) and the 0.20 dup-char
+    threshold firing while dup-line stays under 0.30."""
+    from utils_infra_spark.pipeline.text import repetition_profile
+
+    para_doc = "para one here\n\npara two here\n\npara one here"
+    docs = spark.createDataFrame([(1, para_doc)], "doc_id long, text string")
+    [r] = repetition_profile(docs, "text", "doc_id").collect()
+    # 3 paragraphs, one repeated -> 1/3
+    assert r.dup_para_frac == 0.333333
+    # identical lines are also the repeated paragraphs here
+    assert r.n_lines == 3 and r.dup_line_frac == 0.333333
+    assert r.gopher_pass is False

@@ -121,3 +121,16 @@ def test_char_lm_whitespace_parity(ws_spark_docs, ws_duck):
     # doc 8 must be excluded (normalizes below 3 chars) on both
     assert 8 not in set(want["doc_id"])
     _assert_parity("char_lm", got, want)
+
+
+def test_gopher_repetition_whitespace_parity(ws_spark_docs, ws_duck):
+    from utils_infra_spark.pipeline.text import repetition_profile
+
+    got = repetition_profile(ws_spark_docs, "text", "doc_id").toPandas()
+    want = ws_duck.execute(REGISTRY["gopher_repetition_documents"].oracle).df()
+    # the all-whitespace / empty / null docs (8, 9, 10) have no
+    # non-blank line and must be excluded by BOTH engines; doc 6's
+    # VT-only line must not count as a line
+    assert {8, 9, 10}.isdisjoint(set(want["doc_id"]))
+    assert set(want[want["doc_id"] == 6]["n_lines"]) == {3}
+    _assert_parity("gopher_repetition", got, want)

@@ -51,7 +51,7 @@ lines AS (
 ranked AS (
   SELECT doc_id, line_no, line,
          row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-  FROM lines WHERE NOT regexp_matches(line, '^\\s*$')
+  FROM lines WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')
 )
 SELECT doc_id,
        string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE rn = 1) AS clean_text,

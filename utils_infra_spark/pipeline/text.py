@@ -449,3 +449,106 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
             ),
         )
     )
+
+
+def repetition_profile(df, text_col: str, id_col: str):
+    """Gopher repetition rules (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1) as ONE oracle-checkable per-document
+    profile: duplicate-line fraction, duplicate-line CHARACTER
+    fraction, duplicate-paragraph fraction, top-2-gram character
+    fraction, and the combined keep/drop verdict at the published
+    thresholds (0.30 / 0.20 / 0.30 / 0.20).
+
+    Emits ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, top_2gram_char_frac, gopher_pass)`` for every doc
+    with at least one non-blank line.
+
+    Contracts (each engine-identical by construction):
+
+    * line/paragraph blankness uses the EXPLICIT whitespace class
+      (``[ \\t\\n\\x0B\\f\\r]`` — Java ``\\s`` includes U+000B, RE2's
+      does not); kept segments compare TRIMMED (``trim`` strips only
+      0x20 in both Spark and DuckDB — and a kept segment always has a
+      non-whitespace char, so it never trims to empty);
+    * tokenization = the dup-span contract (explicit class split,
+      empty tokens filtered);
+    * every fraction derives from exact integers and is published via
+      the integer half-up micro rule ``(2*a*1e6 + b) div (2*b) / 1e6``
+      — never ``round(double)``; the verdict compares the integer
+      micros against integer thresholds (300000/200000), immune to
+      0.3's float unrepresentability;
+    * the top 2-gram tie-breaks (count DESC, gram ASC) via
+      row_number, deterministic across engines and partitionings.
+
+    Engine shape at 100 TB — every key is doc-scoped, so no corpus
+    hot key exists by construction: one explode of non-blank lines →
+    groupBy (doc, line) with map-side partial counts → per-doc
+    reduction; paragraphs and token stats stay IN-ROW (array ops, no
+    explode); one explode of 2-grams → (doc, gram) counts → per-doc
+    row_number window whose partitions are single documents. The
+    line-stat shuffle carries (doc, line-text) once; unlike the in-row
+    ``dup_line_char_fraction`` HOF (O(lines²) per doc) this form is
+    linear and safe for adversarially line-heavy documents.
+    """
+    blank = r"'^[ \\t\\n\\x0B\\f\\r]*$'"
+    base = df.where(f"{text_col} IS NOT NULL").selectExpr(
+        f"{id_col} AS doc_id", f"{text_col} AS __text"
+    )
+    lines = base.selectExpr(
+        "doc_id",
+        rf"explode(filter(split(__text, '\\n'), l -> NOT l RLIKE {blank})) AS l",
+    ).selectExpr("doc_id", "trim(l) AS line")
+    lc = lines.groupBy("doc_id", "line").agg(F.expr("COUNT(1) AS cnt"))
+    ls = lc.groupBy("doc_id").agg(
+        F.expr("SUM(cnt) AS n_lines"),
+        F.expr("COUNT(1) AS n_distinct"),
+        F.expr("SUM(cnt * char_length(line)) AS total_lc"),
+        F.expr("SUM(IF(cnt = 1, char_length(line), 0)) AS single_lc"),
+    )
+    pt = base.selectExpr(
+        "doc_id",
+        rf"filter(split(__text, '\\n{{2,}}'), p -> NOT p RLIKE {blank}) AS __paras",
+        rf"filter(split(__text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS __toks",
+    ).selectExpr(
+        "doc_id",
+        "size(__paras) AS n_paras",
+        "size(array_distinct(transform(__paras, p -> trim(p)))) AS n_distinct_paras",
+        "char_length(array_join(__toks, ' ')) AS tok_chars",
+        "__toks",
+    )
+    grams = pt.where("size(__toks) >= 2").selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))) AS gram",
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.expr("COUNT(1) AS cnt"))
+    gtop = (
+        gc.withColumn(
+            "rn",
+            F.expr("row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC)"),
+        )
+        .where("rn = 1")
+        .selectExpr("doc_id", "cnt * char_length(gram) AS top_chars")
+    )
+    return (
+        ls.join(pt.select("doc_id", "n_paras", "n_distinct_paras", "tok_chars"), "doc_id")
+        .join(gtop, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_lines AS BIGINT) AS n_lines",
+            "(2*(n_lines - n_distinct)*1000000 + n_lines) DIV (2*n_lines) AS __m_line",
+            "(2*(total_lc - single_lc)*1000000 + total_lc) DIV (2*total_lc) AS __m_lchar",
+            "(2*(n_paras - n_distinct_paras)*1000000 + n_paras) DIV (2*n_paras) AS __m_para",
+            "(2*COALESCE(top_chars, 0)*1000000 + tok_chars) DIV (2*tok_chars) AS __m_gram",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "CAST(__m_line AS DOUBLE) / 1000000.0 AS dup_line_frac",
+            "CAST(__m_lchar AS DOUBLE) / 1000000.0 AS dup_line_char_frac",
+            "CAST(__m_para AS DOUBLE) / 1000000.0 AS dup_para_frac",
+            "CAST(__m_gram AS DOUBLE) / 1000000.0 AS top_2gram_char_frac",
+            "(__m_line <= 300000 AND __m_lchar <= 200000 AND __m_para <= 300000"
+            " AND __m_gram <= 200000) AS gopher_pass",
+        )
+    )

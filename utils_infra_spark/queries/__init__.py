@@ -134,7 +134,10 @@ _SAMPLING_PRIORITY = [
     "rate_limit_violations",
     "template_render",
     "sitrep_summarize",  # rows-only by design — driver records the weaker check
-    # --- remaining 42 slots: the bench headline set and the most
+    # new-in-r7 oracle-backed operator — inside the window so its first
+    # driver proof lands the round it ships
+    "gopher_repetition_documents",
+    # --- remaining 41 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace
     # classes, fixed-point char-LM scoring).

@@ -1332,3 +1332,75 @@ def dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(docs, "text", "doc_id", window=8)
+
+
+@register(
+    "gopher_repetition_documents",
+    oracle="""
+    WITH base AS (SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL),
+    lx AS (
+      SELECT doc_id, trim(l) AS line
+      FROM base, LATERAL unnest(string_split(t, chr(10))) AS u(l)
+      WHERE NOT regexp_matches(l, '^[ \\t\\n\\x0B\\f\\r]*$')
+    ),
+    lc AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lx GROUP BY 1, 2),
+    ls AS (
+      SELECT doc_id, SUM(cnt) AS n_lines, COUNT(*) AS n_distinct,
+             SUM(cnt * length(line)) AS total_lc,
+             SUM(CASE WHEN cnt = 1 THEN length(line) ELSE 0 END) AS single_lc
+      FROM lc GROUP BY 1
+    ),
+    pt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\\n{2,}'),
+                         p -> NOT regexp_matches(p, '^[ \\t\\n\\x0B\\f\\r]*$')) AS paras,
+             list_filter(string_split_regex(t, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+      FROM base
+    ),
+    pp AS (
+      SELECT doc_id, len(paras) AS n_paras,
+             len(list_distinct(list_transform(paras, p -> trim(p)))) AS n_distinct_paras,
+             length(array_to_string(ts, ' ')) AS tok_chars, ts
+      FROM pt
+    ),
+    gx AS (
+      SELECT doc_id, ts[CAST(u.i AS INT)] || ' ' || ts[CAST(u.i AS INT) + 1] AS gram
+      FROM pp, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+      WHERE len(ts) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM gx GROUP BY 1, 2),
+    gtop AS (
+      SELECT doc_id, cnt * length(gram) AS top_chars
+      FROM (SELECT doc_id, gram, cnt,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+            FROM gc)
+      WHERE rn = 1
+    ),
+    m AS (
+      SELECT ls.doc_id, ls.n_lines,
+             (2*(ls.n_lines - ls.n_distinct)*1000000 + ls.n_lines) // (2*ls.n_lines) AS m_line,
+             (2*(ls.total_lc - ls.single_lc)*1000000 + ls.total_lc) // (2*ls.total_lc) AS m_lchar,
+             (2*(pp.n_paras - pp.n_distinct_paras)*1000000 + pp.n_paras) // (2*pp.n_paras) AS m_para,
+             (2*COALESCE(gtop.top_chars, 0)*1000000 + pp.tok_chars) // (2*pp.tok_chars) AS m_gram
+      FROM ls JOIN pp USING (doc_id) LEFT JOIN gtop USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(m_line AS DOUBLE) / 1000000.0 AS dup_line_frac,
+           CAST(m_lchar AS DOUBLE) / 1000000.0 AS dup_line_char_frac,
+           CAST(m_para AS DOUBLE) / 1000000.0 AS dup_para_frac,
+           CAST(m_gram AS DOUBLE) / 1000000.0 AS top_2gram_char_frac,
+           (m_line <= 300000 AND m_lchar <= 200000 AND m_para <= 300000
+            AND m_gram <= 200000) AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher repetition rules (Rae et al. 2021 Table A1) as one per-doc "
+    "profile: duplicate-line / duplicate-line-char / duplicate-paragraph / "
+    "top-2-gram-char fractions plus the keep-drop verdict at the published "
+    "thresholds (0.30/0.20/0.30/0.20). All fractions integer-derived and "
+    "published via the half-up micro rule; verdict compared in integer "
+    "micros. Every grouping key is doc-scoped (no corpus hot key); lines "
+    "and 2-grams explode once each, paragraphs/tokens stay in-row.",
+)
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_profile(docs, "text", "doc_id")
