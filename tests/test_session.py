@@ -62,11 +62,27 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # queries whose purpose is driver proof must sit INSIDE the window
+    # r7 goal: the 8 names never driver-proven through r6 (plus the
+    # round's new operator) must sit INSIDE the window — proving them
+    # closes cumulative driver coverage
     window = set(names[:DRIVER_SAMPLE_WINDOW])
-    assert {"simhash_documents_md5", "minhash_band_keys_md5"} <= window
-    # everything in the window must be drawable evidence: oracle-backed
-    assert all(REGISTRY[n].oracle is not None for n in names[:DRIVER_SAMPLE_WINDOW])
+    assert {
+        "line_dedup_documents",
+        "char_lm_quality_documents",
+        "bloom_novelty_documents",
+        "dup_span_coverage_documents",
+        "user_sessions",
+        "rate_limit_violations",
+        "template_render",
+        "sitrep_summarize",
+        "gopher_repetition_documents",
+    } <= window
+    # everything in the window is drawable evidence: oracle-backed,
+    # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output
+    # is not SQL-expressible) and deliberately sampled this round so
+    # the driver records its weaker rows-green check
+    for n in names[:DRIVER_SAMPLE_WINDOW]:
+        assert REGISTRY[n].oracle is not None or n == "sitrep_summarize", n
 
 
 def test_checkpoint_with_ids_attributes_exactly_its_own_rdd(spark):

@@ -154,7 +154,9 @@ _SAMPLING_PRIORITY = [
     "mercator_tile_cover",
     "point_in_polygon_regions",
     "dedup_exact_documents",
-    "minhash_near_dup_documents",
+    # minhash evidence via the oracle-backed md5 twin (the headline
+    # minhash query itself is rows-only by design — weaker signal)
+    "minhash_band_keys_md5",
     "embedding_topk_cosine",
     "embedding_bucketed_pairs",
     "text_stats_documents",
