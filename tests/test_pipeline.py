@@ -678,3 +678,23 @@ def test_repetition_profile_paragraphs_and_thresholds(spark):
     # identical lines are also the repeated paragraphs here
     assert r.n_lines == 3 and r.dup_line_frac == 0.333333
     assert r.gopher_pass is False
+
+
+def test_dup_span_xxhash64_verdict_equality(spark):
+    """hash_fn='xxhash64' (the production setting: bigint hashes, 8 B
+    shuffle keys) must produce the identical coverage profile as the
+    oracle-checkable md5 form — the hash is an implementation detail
+    of the dup-set membership, never a semantics change."""
+    from utils_infra_spark.pipeline.dedup import dup_span_coverage
+
+    rows = [(i, f"tok{i % 7} " * 12 + f"tail {i}") for i in range(1, 41)]
+    rows += [(100 + i, "the same boilerplate sentence repeated verbatim here okay")
+             for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    md5_form = sorted(map(tuple, dup_span_coverage(docs, "text", "doc_id", window=8).collect()))
+    xx_form = sorted(map(tuple, dup_span_coverage(
+        docs, "text", "doc_id", window=8, hash_fn="xxhash64").collect()))
+    assert md5_form == xx_form
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dup_span_coverage(docs, "text", "doc_id", hash_fn="sha1")

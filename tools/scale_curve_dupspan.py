@@ -35,17 +35,22 @@ con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DATA}/*.parq
 _load()
 DUCK_SQL = REGISTRY["dup_span_coverage_documents"].oracle  # the registered oracle, verbatim
 
-s_runs, d_runs = [], []
+s_runs, x_runs, d_runs = [], [], []
 for _ in range(3):
     t0 = time.perf_counter()
     st = dup_span_coverage(docs, "text", "doc_id", window=8).toArrow()
     s_runs.append(round(time.perf_counter() - t0, 2))
     t0 = time.perf_counter()
+    xt = dup_span_coverage(docs, "text", "doc_id", window=8, hash_fn="xxhash64").toArrow()
+    x_runs.append(round(time.perf_counter() - t0, 2))
+    t0 = time.perf_counter()
     dt = con.execute(DUCK_SQL).arrow()
     d_runs.append(round(time.perf_counter() - t0, 2))
-assert st.num_rows == dt.num_rows
+assert st.num_rows == dt.num_rows == xt.num_rows
 cov = sum(1 for v in st.column("dup_covered_tokens").to_pylist() if v > 0)
 print(f"[dup_span] n_docs={N} rows={st.num_rows} docs_with_dup_spans={cov}")
-print(f"[dup_span] spark runs: {s_runs} warm: {min(s_runs[1:])}")
-print(f"[dup_span] duck runs:  {d_runs} warm: {min(d_runs[1:])}")
-print(f"[dup_span] spark/duck ratio: {round(min(s_runs[1:]) / min(d_runs[1:]), 2)}")
+print(f"[dup_span] spark md5 runs:  {s_runs} warm: {min(s_runs[1:])}  (oracle-checkable form)")
+print(f"[dup_span] spark xx64 runs: {x_runs} warm: {min(x_runs[1:])}  (production form)")
+print(f"[dup_span] duck md5 runs:   {d_runs} warm: {min(d_runs[1:])}")
+print(f"[dup_span] md5/duck ratio:  {round(min(s_runs[1:]) / min(d_runs[1:]), 2)}"
+      f"  xx64/duck ratio: {round(min(x_runs[1:]) / min(d_runs[1:]), 2)}")
