@@ -84,10 +84,21 @@ R5_SET = frozenset(HEADLINE[:18])
 
 RUNS = 4  # spark runs per sweep; the very first is cold (plan build + codegen + JIT)
 SWEEPS = 2  # full passes over the headline list, minutes apart
-# 1-minute loadavg above which an attempt counts as weather-suspect;
-# ONE constant feeds both the accept gate and the cooldown wait so
-# they can never drift apart
+# loadavg above which an attempt counts as weather-suspect; ONE
+# constant feeds both the accept gate and the cooldown wait so they
+# can never drift apart. The gate reads max(1-min, 5-min): the r7
+# driver run exposed a 1-min-only hole — the 1-min average dipped
+# under 2.0 for a moment while the 5-min average sat at ~6 from prior
+# host work, the attempt was accepted, and the paired DuckDB side
+# itself came in 35% over its stable band (proof of real
+# contention). Still OUTCOME-BLIND: the decision reads only load,
+# never the ratio.
 LOAD_GATE = 2.0
+
+
+def _load_signal() -> float:
+    l1, l5, _ = os.getloadavg()
+    return max(l1, l5)
 
 
 def _time_interleaved(
@@ -260,11 +271,11 @@ def main() -> None:
     MAX_ATTEMPTS = 3
     attempts = []
     for attempt in range(MAX_ATTEMPTS):
-        load_before = os.getloadavg()[0]
+        load_before = _load_signal()
         warm, cold, duck, spark_runs, duck_runs = _time_interleaved(
             spark, sf_dir, cached_input
         )
-        load_after = os.getloadavg()[0]
+        load_after = _load_signal()
         # ratio_warm keeps the r1-r5 definition: the FROZEN legacy
         # subset, so the number is comparable across every round's
         # artifact. The full current paired set ships as
@@ -301,8 +312,10 @@ def main() -> None:
             # its warm numbers would carry the documented degradation.
             # Wait for the 1-min average to decay under the gate
             # (bounded, so a genuinely busy box doesn't stall forever).
-            deadline = time.time() + 300
-            while time.time() < deadline and os.getloadavg()[0] > LOAD_GATE:
+            # 600 s cap (not 300): the 5-min component of the gate
+            # decays slower than the 1-min-only signal it replaced
+            deadline = time.time() + 600
+            while time.time() < deadline and _load_signal() > LOAD_GATE:
                 time.sleep(15)
     best = min(enumerate(attempts), key=lambda ia: (ia[1]["loadavg_1m"][0], ia[0]))[1]
     warm, duck = best["warm"], best["duck"]
@@ -358,10 +371,12 @@ def main() -> None:
         "per-run alternating "
         f"spark/duck pairing; {SWEEPS} time-separated sweeps x {RUNS} runs; "
         f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; outcome-blind retry: paired "
-        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt loadavg>2, lowest "
-        "pre-attempt-load attempt kept, cold from attempt 1 only, all attempts recorded "
-        "in BENCH_result.json; retries wait (<=300s) for 1-min load to decay under the "
-        "gate so they don't start on bench's own self-heat; headline set = r1-r5 "
+        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt max(1m,5m) loadavg>2 "
+        "(r7: 5-min added after a 1-min dip admitted a contended run — decision still "
+        "reads load only, never the ratio), lowest pre-attempt-load attempt kept, cold "
+        "from attempt 1 only, all attempts recorded in BENCH_result.json; retries wait "
+        "(<=600s) for the load signal to decay under the gate so they don't start on "
+        "bench's own self-heat; headline set = r1-r5 "
         "queries + 3 r6 pipeline ops (char-LM scoring, line dedup, bloom novelty) — "
         "ratio_warm keeps its r1-r5 definition (frozen legacy subset) for "
         "cross-round comparability; ratio_warm_full covers the full paired set"
