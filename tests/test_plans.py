@@ -781,3 +781,25 @@ def test_bench_stdout_line_fits_driver_capture():
     for k in ("cold_queries", "duck_queries", "attempt_summaries", "methodology",
               "input_cache_partitions"):
         assert k not in parsed, k
+
+
+def test_char_lm_rebuild_never_reuses_previous_cache(spark, sf_dir):
+    """char_lm persists its trigram stream so fit+score share one
+    explode WITHIN a build. Across builds the pin must hold: each
+    rebuild unpersists the predecessor (Spark's CacheManager matches
+    by logical-plan equality, so a stale entry would silently serve
+    the old run's explode — cross-run amortization the cache_plan=False
+    honesty pin forbids). Observable contract: persistent-RDD count
+    grows by at most ONE cached tris no matter how many times the
+    builder runs."""
+    from utils_infra_spark.pipeline.text import char_trigram_lm_scores
+    from utils_infra_spark.sources import load_table
+    from utils_infra_spark.sources.tables import _persistent_rdd_ids
+
+    spark.catalog.clearCache()
+    base = len(_persistent_rdd_ids(spark))
+    docs = load_table(spark, sf_dir, "documents")
+    for _ in range(3):
+        char_trigram_lm_scores(docs, "text", "doc_id").collect()
+    assert len(_persistent_rdd_ids(spark)) <= base + 1
+    spark.catalog.clearCache()

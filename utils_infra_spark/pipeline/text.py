@@ -8,8 +8,15 @@ scan, no Python in the loop.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# session -> the char-LM build's persisted trigram stream; each new
+# build unpersists its predecessor (leak bound + the honesty pin —
+# see char_trigram_lm_scores)
+_TRIS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -382,6 +389,8 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     """
     import math
 
+    from pyspark import StorageLevel
+
     from ..sources.tables import spread
 
     # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
@@ -401,6 +410,24 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
         "doc_id",
         "explode(transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))) AS tri",
     )
+    # fit and score both consume the trigram stream — persist it so
+    # the explode runs ONCE per build instead of twice (measured
+    # 0.86 s → 0.62 s warm at sf0.1). The PREVIOUS build's cache is
+    # unpersisted first, and not only as a leak bound: Spark's
+    # CacheManager matches cache entries by logical-plan equality, so
+    # without the unpersist a REBUILD (cache_plan=False re-fits per
+    # plan() call) would silently serve the old run's cached explode
+    # — exactly the cross-run amortization the uncacheable-plan
+    # honesty pin exists to prevent. Pinned by test.
+    sess = tris.sparkSession
+    prev = _TRIS_CACHE.pop(sess, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=True)
+        except Exception:
+            pass
+    tris = tris.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRIS_CACHE[sess] = tris
     # FIT: one corpus pass aggregates trigram counts, then the model
     # comes to the driver — it is bounded by charset^3 (tens of KBs)
     # no matter the corpus size, the same small-by-contract collect as
