@@ -673,8 +673,7 @@ def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
     """The model — bounded by charset^3 regardless of corpus size —
     must reach the scoring join as a single broadcast local relation
     (collected + quantized driver-side): nothing about scoring may
-    shuffle or re-aggregate the corpus-side trigrams for a join, and
-    the score pass re-derives trigrams with exactly one explode.
+    shuffle or re-aggregate the corpus-side trigrams for a join.
     (A zero-shuffle in-row variant via `aggregate` HOF was measured
     2.5x slower — HOF lambdas run interpreted — so the codegen'd
     explode+join shape is the pinned one.)"""
@@ -688,9 +687,14 @@ def test_char_lm_scoring_joins_broadcast(spark, sf_dir):
     )
     assert plan.count("BroadcastExchange") == 1, plan[:1500]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # the model is a collected local relation — scoring must NOT
-    # re-aggregate the corpus (one explode for the score pass only)
-    assert plan.count("Generate explode") == 1, plan[:1500]
+    # the model reached the plan as a COLLECTED local relation...
+    assert "LocalTableScan" in plan, plan[:1500]
+    # ...so scoring must never re-run the fit: no aggregate keyed on
+    # the trigram anywhere in the score plan (the per-doc reduction
+    # keys on doc_id only). String-level but materialization-proof —
+    # it holds whether tris prints as a live explode or as the
+    # persisted InMemoryRelation.
+    assert "keys=[tri" not in plan, plan[:1500]
 
 
 def test_uncacheable_plan_rebuilds_per_call(spark, sf_dir):

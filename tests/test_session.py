@@ -76,6 +76,7 @@ def test_registry_surfaces_unproven_names_first():
         "template_render",
         "sitrep_summarize",
         "gopher_repetition_documents",
+        "semdedup_embeddings",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

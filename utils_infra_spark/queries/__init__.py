@@ -134,9 +134,10 @@ _SAMPLING_PRIORITY = [
     "rate_limit_violations",
     "template_render",
     "sitrep_summarize",  # rows-only by design — driver records the weaker check
-    # new-in-r7 oracle-backed operator — inside the window so its first
-    # driver proof lands the round it ships
+    # new-in-r7 oracle-backed operators — inside the window so their
+    # first driver proofs land the round they ship
     "gopher_repetition_documents",
+    "semdedup_embeddings",
     # --- remaining 41 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace

@@ -1404,3 +1404,79 @@ def dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.repetition_profile(docs, "text", "doc_id")
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=None,  # filled in below (needs the literal codebook)
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup over embeddings - IVF "
+    "coarse-quantize to semantic clusters, intra-cluster cosine>=0.4 pairs "
+    "via the per-bucket Gram kernel, connected components, keep the min-id "
+    "representative per component. Pure composition of three proven "
+    "operators (ivf_assign + bucketed_pairs + connected_components); "
+    "oracle reproduces assignment, quadratic intra-list pairs, and the "
+    "closure with a recursive CTE. 100 TB: assignment is a shuffle-free "
+    "projection, the quadratic shrinks nlist-fold and shuffles once on the "
+    "list key, CC rounds shuffle ~16 B/edge - vectors never pair across "
+    "clusters and documents never shuffle at all.",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.cluster import connected_components
+    from ..pipeline.similarity import bucketed_pairs, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, _ivf_centroids(), vec_col="embedding", id_col="vec_id")
+    pairs = bucketed_pairs(
+        assigned, vec_col="embedding", id_col="vec_id", bucket_col="list_id", threshold=0.4
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("cluster_id"))
+        .selectExpr(
+            "vec_id",
+            "cluster_id",
+            "COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size",
+            "vec_id = cluster_id AS is_representative",
+        )
+    )
+
+
+REGISTRY["semdedup_embeddings"].oracle = f"""
+    WITH RECURSIVE {_cents_sql(_ivf_centroids())},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, c.cid, {_IVF_DIST.format(v="e.v", c="c.cv")} AS dq
+      FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    ev AS (SELECT e.vec_id, e.v, asg.list_id FROM e JOIN asg USING (vec_id)),
+    -- floor(x*1e6 + 0.5): the kernel's quantization rule (threshold
+    -- values are positive, where floor-half-up == ROUND, but the rule
+    -- is mirrored verbatim anyway)
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM ev a JOIN ev b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE FLOOR(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  * 1000000 + 0.5) / 1000000 >= 0.4
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(cc.comp, e.vec_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(cc.comp, e.vec_id)) AS cluster_size,
+           e.vec_id = COALESCE(cc.comp, e.vec_id) AS is_representative
+    FROM e LEFT JOIN cc ON cc.node = e.vec_id
+    """
