@@ -698,3 +698,20 @@ def test_dup_span_xxhash64_verdict_equality(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dup_span_coverage(docs, "text", "doc_id", hash_fn="sha1")
+
+
+def test_kmeans_refine_moves_assignments(spark, sf_dir):
+    """Two Lloyd rounds must actually refine: the final partition
+    differs from the round-0 literal-codebook assignment for some
+    vectors (the seeded codebook is random gaussians, so means move),
+    while every vector stays assigned exactly once."""
+    from utils_infra_spark.queries.pipeline_queries import (
+        ivf_assign_lists,
+        kmeans_refine_assignments,
+    )
+
+    base = {r.vec_id: r.list_id for r in ivf_assign_lists(spark, sf_dir).collect()}
+    refined = {r.vec_id: r.list_id for r in kmeans_refine_assignments(spark, sf_dir).collect()}
+    assert set(base) == set(refined)  # same vectors, exactly once
+    moved = sum(1 for v in base if base[v] != refined[v])
+    assert moved > 0, "refinement changed nothing — Lloyd rounds are dead code"

@@ -77,6 +77,7 @@ def test_registry_surfaces_unproven_names_first():
         "sitrep_summarize",
         "gopher_repetition_documents",
         "semdedup_embeddings",
+        "kmeans_refine_assignments",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

@@ -138,6 +138,7 @@ _SAMPLING_PRIORITY = [
     # first driver proofs land the round they ship
     "gopher_repetition_documents",
     "semdedup_embeddings",
+    "kmeans_refine_assignments",
     # --- remaining 41 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace

@@ -1480,3 +1480,106 @@ REGISTRY["semdedup_embeddings"].oracle = f"""
            e.vec_id = COALESCE(cc.comp, e.vec_id) AS is_representative
     FROM e LEFT JOIN cc ON cc.node = e.vec_id
     """
+
+
+def _kmeans_iter_sql(prev_cents: str, e: str, tag: str, dim: int = 64) -> str:
+    """One unrolled Lloyd round in SQL: argmin assignment against
+    ``prev_cents`` (the shared floor-quantized distance + ties to the
+    smallest cid), then per-(cluster, coordinate) FIXED-POINT means:
+    each coordinate quantizes to integer micro-units before the sum
+    (exact, order-independent) and the mean rounds half-up via
+    FLOOR(S/C + 0.5) on the exact double S/C — NOT integer division,
+    whose negative-operand semantics differ between engines (Spark
+    DIV truncates toward zero, DuckDB // floors). Emits CTEs
+    ``a{tag}`` (vec_id, cid) and ``c{tag}`` (cid, cv) — empty
+    clusters drop (no rows, no centroid), identically on both
+    engines."""
+    d = _IVF_DIST.format(v=f"{e}.v", c="p.cv")
+    return f"""
+    d{tag} AS (
+      SELECT {e}.vec_id, p.cid, {d} AS dq
+      FROM {e} CROSS JOIN {prev_cents} p
+    ),
+    a{tag} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+        FROM d{tag}
+      ) WHERE rn = 1
+    ),
+    m{tag} AS (
+      SELECT a{tag}.cid, t.i AS pos,
+             CAST(FLOOR(CAST(SUM(CAST(FLOOR({e}.v[CAST(t.i AS INT) + 1] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS m
+      FROM {e} JOIN a{tag} USING (vec_id), range(0, {dim}) t(i)
+      GROUP BY a{tag}.cid, t.i
+    ),
+    c{tag} AS (
+      SELECT cid, list(CAST(m AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+      FROM m{tag} GROUP BY cid
+    )"""
+
+
+@register(
+    "kmeans_refine_assignments",
+    oracle=None,  # filled in below (unrolled Lloyd rounds over the literal codebook)
+    doc="Iterative k-means (2 Lloyd rounds) done Spark-first: Arrow-kernel "
+    "argmin assignment (shuffle-free projection) -> distributed per-"
+    "(cluster,coordinate) FIXED-POINT means (posexplode + bounded "
+    "(nlist x dim)-key shuffle; coordinates quantize to integer micros "
+    "before the sum, so the mean is order-independent) -> nlist x dim "
+    "model collected to the driver and fed back as the next round's "
+    "literal codebook. The oracle unrolls both rounds in SQL - the whole "
+    "iterative algorithm is hash-checkable, not rows-only. The builder "
+    "EXECUTES a job per round at plan time, so the plan is uncacheable "
+    "(cache_plan=False): a timing loop pays every Lloyd round every run. "
+    "100 TB: per round, one scan + one bounded-key shuffle; the model "
+    "(nlist x dim x 8 B) rides the closure; empty clusters drop on both "
+    "engines.",
+    cache_plan=False,
+)
+def kmeans_refine_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import ivf_assign
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    for _ in range(2):
+        assigned = ivf_assign(emb, cents, vec_col="embedding", id_col="vec_id")
+        rows = (
+            assigned.select(
+                "list_id",
+                F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                    "pos", "val"
+                ),
+            )
+            .selectExpr("list_id", "pos", "CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT) AS q")
+            .groupBy("list_id", "pos")
+            .agg(
+                F.expr(
+                    "CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(1) + 0.5) AS BIGINT) AS m"
+                )
+            )
+            .collect()
+        )
+        by: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by.setdefault(int(r["list_id"]), {})[int(r["pos"])] = int(r["m"])
+        # micro-int / 1e6 reproduces the oracle's CAST(m AS DOUBLE)/1000000.0 bit-for-bit
+        cents = [(cid, [by[cid][p] / 1e6 for p in range(dim)]) for cid in sorted(by)]
+    final = ivf_assign(emb, cents, vec_col="embedding", id_col="vec_id")
+    return final.select("vec_id", F.col("list_id").cast("bigint").alias("list_id"))
+
+
+REGISTRY["kmeans_refine_assignments"].oracle = f"""
+    WITH {_cents_sql(_ivf_centroids())},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_kmeans_iter_sql("cents", "e", "1")},
+    {_kmeans_iter_sql("c1", "e", "2")},
+    df AS (
+      SELECT e.vec_id, p.cid, {_IVF_DIST.format(v="e.v", c="p.cv")} AS dq
+      FROM e CROSS JOIN c2 p
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS list_id FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn FROM df
+    ) WHERE rn = 1
+    """
