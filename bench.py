@@ -193,6 +193,7 @@ _LINE_KEYS = (
     "ratio_warm_full",
     "floor_sec",
     "loadavg_1m",
+    "load_signal",
     "cold_from_attempt",
     "cold_loadavg_1m",
     "attempts",
@@ -271,11 +272,15 @@ def main() -> None:
     MAX_ATTEMPTS = 3
     attempts = []
     for attempt in range(MAX_ATTEMPTS):
-        load_before = _load_signal()
+        # two distinct load fields, never conflated: loadavg_1m keeps
+        # its r1-r6 meaning (actual 1-minute average, comparable
+        # across rounds' artifacts); load_signal is the max(1m, 5m)
+        # the gate/selection reads
+        l1_before, load_before = os.getloadavg()[0], _load_signal()
         warm, cold, duck, spark_runs, duck_runs = _time_interleaved(
             spark, sf_dir, cached_input
         )
-        load_after = _load_signal()
+        l1_after, load_after = os.getloadavg()[0], _load_signal()
         # ratio_warm keeps the r1-r5 definition: the FROZEN legacy
         # subset, so the number is comparable across every round's
         # artifact. The full current paired set ships as
@@ -299,7 +304,8 @@ def main() -> None:
                 "spark_full_total": spark_full,
                 "duck_full_total": duck_full,
                 "ratio_warm_full": ratio_full,
-                "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
+                "loadavg_1m": [round(l1_before, 2), round(l1_after, 2)],
+                "load_signal": [round(load_before, 2), round(load_after, 2)],
             }
         )
         if load_before <= LOAD_GATE:
@@ -317,7 +323,7 @@ def main() -> None:
             deadline = time.time() + 600
             while time.time() < deadline and _load_signal() > LOAD_GATE:
                 time.sleep(15)
-    best = min(enumerate(attempts), key=lambda ia: (ia[1]["loadavg_1m"][0], ia[0]))[1]
+    best = min(enumerate(attempts), key=lambda ia: (ia[1]["load_signal"][0], ia[0]))[1]
     warm, duck = best["warm"], best["duck"]
     # cold numbers come from attempt 1 ONLY: later attempts re-read
     # parquet that attempt 1 already pulled through the OS page cache,
@@ -354,6 +360,7 @@ def main() -> None:
         "ratio_warm_full": best["ratio_warm_full"],
         "floor_sec": floor_sec,
         "loadavg_1m": best["loadavg_1m"],
+        "load_signal": best["load_signal"],
         "cold_from_attempt": 1,
         # cold numbers always come from attempt 1 (the only
         # genuinely-cold pass); when a retry was selected, attempt 1
@@ -363,7 +370,7 @@ def main() -> None:
         "cold_loadavg_1m": attempts[0]["loadavg_1m"],
         "attempts": len(attempts),
         "attempt_summaries": [
-            {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m")}
+            {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal")}
             for a in attempts
         ],
         "methodology": "prepared-plan; fresh QueryExecution per run (full re-exec, "
@@ -371,9 +378,11 @@ def main() -> None:
         "per-run alternating "
         f"spark/duck pairing; {SWEEPS} time-separated sweeps x {RUNS} runs; "
         f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; outcome-blind retry: paired "
-        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt max(1m,5m) loadavg>2 "
-        "(r7: 5-min added after a 1-min dip admitted a contended run — decision still "
-        "reads load only, never the ratio), lowest pre-attempt-load attempt kept, cold "
+        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt load_signal="
+        "max(1m,5m) loadavg>2 (r7: 5-min added after a 1-min dip admitted a contended "
+        "run; loadavg_1m keeps its r1-r6 1-minute meaning, the gate signal ships "
+        "separately as load_signal — decision still reads load only, never the ratio), "
+        "lowest pre-attempt-load_signal attempt kept, cold "
         "from attempt 1 only, all attempts recorded in BENCH_result.json; retries wait "
         "(<=600s) for the load signal to decay under the gate so they don't start on "
         "bench's own self-heat; headline set = r1-r5 "

@@ -569,6 +569,12 @@ def test_bloom_novelty_sharded_plan_never_broadcasts_filter(spark):
     )
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "__shard" in plan
+    # the 100 TB contract, pinned on the exchanges themselves: the
+    # word-routing and reduction shuffles carry (doc_id, pos/word)
+    # pairs — never the document text
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln, ln
 
 
 def test_dup_span_coverage_semantics(spark):

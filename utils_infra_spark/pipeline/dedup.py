@@ -921,29 +921,38 @@ def bloom_novelty(
         )
     else:
         # digest-prefix sharded probe: filter words stay distributed,
-        # both sides co-partition on the shard owning each word
+        # both sides co-partition on the shard owning each word. The
+        # exploded probe rows carry (doc_id, pos) ONLY — the document
+        # text is dropped BEFORE the join, so the word-routing shuffle
+        # and the per-doc bool_and reduction move 16-byte pairs, never
+        # text (the operator's 100 TB contract, pinned by plan test);
+        # with_exact rejoins text by doc_id afterwards at test scale.
         span = (m_words + sharded - 1) // sharded
         shard_words = corpus_words.selectExpr(f"w div {span} AS __shard", "w", "word").repartition(
             sharded, "__shard"
         )
         positions = (
             base.where(F.col("doc_id") > split_id)
-            .selectExpr("doc_id", "__text", "explode(array(" + ", ".join(pos_sql) + ")) AS pos")
-            .selectExpr("doc_id", "__text", "pos", "(pos div 32) AS w")
+            .selectExpr("doc_id", "explode(array(" + ", ".join(pos_sql) + ")) AS pos")
+            .selectExpr("doc_id", "pos", "(pos div 32) AS w")
             .withColumn("__shard", F.expr(f"w div {span}"))
         )
-        probes = (
+        verdicts = (
             positions.join(shard_words, ["__shard", "w"], "left")
             .select(
                 "doc_id",
-                "__text",
                 F.coalesce(
                     F.expr("(word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) != 0"),
                     F.lit(False),
                 ).alias("hit"),
             )
-            .groupBy("doc_id", "__text")
+            .groupBy("doc_id")
             .agg(F.expr("bool_and(hit) AS maybe_seen"))
+        )
+        if not with_exact:
+            return verdicts.select("doc_id", "maybe_seen")
+        probes = verdicts.join(
+            base.where(F.col("doc_id") > split_id).select("doc_id", "__text"), "doc_id"
         )
     if not with_exact:
         return probes.select("doc_id", "maybe_seen")

@@ -391,7 +391,7 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
 
     from pyspark import StorageLevel
 
-    from ..sources.tables import spread
+    from ..sources.tables import prune_stopped_sessions, spread
 
     # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
     # small-but-hot input: round-robin the narrow rows across cores
@@ -420,6 +420,11 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # — exactly the cross-run amortization the uncacheable-plan
     # honesty pin exists to prevent. Pinned by test.
     sess = tris.sparkSession
+    # weak keys alone cannot bound this dict: the cached DataFrame
+    # value strongly references its session key (DataFrame._session),
+    # so entries of STOPPED sessions would live forever — prune on
+    # access, the same discipline as the registry's plan cache
+    prune_stopped_sessions(_TRIS_CACHE)
     prev = _TRIS_CACHE.pop(sess, None)
     if prev is not None:
         try:
@@ -516,6 +521,15 @@ def repetition_profile(df, text_col: str, id_col: str):
     line-stat shuffle carries (doc, line-text) once; unlike the in-row
     ``dup_line_char_fraction`` HOF (O(lines²) per doc) this form is
     linear and safe for adversarially line-heavy documents.
+
+    Known single-node inefficiency, deliberately kept: the line
+    explode, the paragraph/token projection, and the 2-gram explode
+    each re-read the text column (3 scans of the cached input; the
+    whitespace splitting is recomputed per branch). Fusing them via a
+    persisted base (the char-LM pattern) would save ~2× the split
+    cost per run — worth doing only if this query ever joins a timed
+    headline set; at 100 TB the scans share the columnar source and
+    the split cost is per-core work that scales out linearly.
     """
     blank = r"'^[ \\t\\n\\x0B\\f\\r]*$'"
     base = df.where(f"{text_col} IS NOT NULL").selectExpr(

@@ -139,7 +139,7 @@ _SAMPLING_PRIORITY = [
     "gopher_repetition_documents",
     "semdedup_embeddings",
     "kmeans_refine_assignments",
-    # --- remaining 41 in-window slots: the bench headline set and the most
+    # --- remaining 39 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace
     # classes, fixed-point char-LM scoring).
@@ -184,9 +184,11 @@ _SAMPLING_PRIORITY = [
     "pack_documents_shards",
     "stratified_sample_by_lang",
     "sessionize_events",
-    "purchase_funnel",
-    "weekly_retention",
-    "asof_click_purchase",
+    # (purchase_funnel / weekly_retention / asof_click_purchase were
+    # listed here in an early r7 draft but sat at positions 50-52 —
+    # OUTSIDE the 50-slot window, silently unproven; all three are
+    # already pass(p) from prior rounds, so they were cut rather than
+    # displace never-proven names. The head must stay <= 50 entries.)
 ]
 
 # the driver's CORRECTNESS runner verifies this many registry entries,

@@ -1421,7 +1421,7 @@ def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clusters and documents never shuffle at all.",
 )
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.cluster import connected_components
+    from ..pipeline.cluster import cluster_documents
     from ..pipeline.similarity import bucketed_pairs, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1430,18 +1430,10 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, vec_col="embedding", id_col="vec_id", bucket_col="list_id", threshold=0.4
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(edges).withColumnRenamed("node", "vec_id")
-    return (
-        emb.select("vec_id")
-        .join(cc, "vec_id", "left")
-        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("cluster_id"))
-        .selectExpr(
-            "vec_id",
-            "cluster_id",
-            "COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size",
-            "vec_id = cluster_id AS is_representative",
-        )
-    )
+    # cluster_documents owns the singleton-coalesce / cluster_size /
+    # min-id-representative contract — one implementation, shared with
+    # near_dup_clusters, so the tie-break can never drift between them
+    return cluster_documents(emb.select("vec_id"), edges, "vec_id")
 
 
 REGISTRY["semdedup_embeddings"].oracle = f"""
