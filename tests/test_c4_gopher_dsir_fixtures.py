@@ -1,0 +1,148 @@
+"""Adversarial parity fixtures for the r7 corpus-quality trio —
+Gopher quality rules, C4 line cleaning, DSIR importance weights — on
+content the generated testdata never contains: CRLF line endings
+(which defeat terminal-punctuation checks unless the per-line
+edge-trim strips \r), vertical tabs (Java-\\s vs RE2-\\s membership),
+bullet/ellipsis line shapes, lorem-ipsum/brace screens, and
+negative-score DSIR documents.
+
+Same harness as test_whitespace_fixtures: production operator on a
+synthetic Spark frame vs the registered DuckDB oracle on identical
+rows, compared in the driver's canonical form.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from test_oracle_parity import canonicalize
+from utils_infra_spark.queries import REGISTRY, _load
+
+_load()
+
+_SW = "the be to of and that have with"  # all 8 Gopher stopwords
+# a 56-word paragraph that passes every Gopher quality gate
+_GOOD = ("the quick brown fox jumps over a lazy dog and then walks back "
+         "to town because it wants food that people have left with care "
+         "for animals in need of warmth be it summer or winter and this "
+         "line keeps going until the word count clears fifty easily now ok")
+
+FIXTURES: list[tuple[str | None, str]] = [
+    # (text, lang)
+    (_GOOD, "en"),                                            # 1: passes quality
+    ("short doc", "en"),                                      # 2: word count fail
+    ("# " * 60 + _SW, "en"),                                  # 3: symbol-ratio fail
+    ("- bullet one\n- bullet two\n- bullet three\n" + _GOOD, "en"),   # 4: bullets
+    ("trailing dots...\nmore dots…\nclean line here\n" + _GOOD, "en"),  # 5: ellipses
+    ("\t- tab-led bullet line\n• real bullet\n* star\n" + _SW, "en"),  # 6: tab-led bullet
+    ("12345 67890 !!! ??? " * 20 + _SW, "en"),                # 7: alpha-frac fail
+    ("this crlf line has five words.\r\nanother crlf sentence sits right here.\r\n"
+     "short line.\r\n", "en"),                                # 8: CRLF endings
+    ("this page contains lorem ipsum filler text in volume.\n"
+     "a second proper sentence lives here today.\n"
+     "and a third proper sentence follows it naturally.", "en"),  # 9: lorem screen
+    ("var x = {a: 1};\nthis line mentions javascript explicitly here.\n"
+     "a perfectly good sentence ends right here.", "en"),     # 10: brace + javascript
+    ("une phrase française assez longue pour être utile ici.", "fr"),  # 11: non-target
+    ("没有空格的中文文本不会分词", "zh"),                      # 12: zero-space CJK
+    ("ends with quote \"so it counts.\"\nno terminal punct here\n"
+     "only four words here.\nfive proper words end here.", "en"),  # 13: quote-end
+    ("\x0b\nvertical\x0btab separated tokens here.\n \t\r ", "en"),  # 14: VT
+    ("", "en"),                                               # 15: empty
+    (None, "en"),                                             # 16: null
+    ("....\nfour dots make one ellipsis plus a dot.\n" + _SW, "en"),  # 17: '....'
+]
+
+
+@pytest.fixture(scope="module")
+def qx_spark_docs(spark):
+    rows = [(i + 1, t, lang) for i, (t, lang) in enumerate(FIXTURES)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def qx_duck():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(FIXTURES) + 1),
+            "text": [t for t, _ in FIXTURES],
+            "lang": [lg for _, lg in FIXTURES],
+        }
+    ).astype({"doc_id": "int64"})
+    con.register("qx_docs", pdf)
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text, lang FROM qx_docs")
+    yield con
+    con.close()
+
+
+def _assert_parity(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert len(got) == len(want), f"{name}: rows {len(got)} != oracle {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns)
+    g, w = canonicalize(got), canonicalize(want)
+    mism = (g != w).any(axis=1)
+    if mism.any():
+        idx = mism[mism].index[:5]
+        raise AssertionError(
+            f"{name}: {int(mism.sum())}/{len(g)} rows differ.\n"
+            f"spark:\n{g.loc[idx]}\noracle:\n{w.loc[idx]}"
+        )
+
+
+def test_gopher_quality_whitespace_parity(qx_spark_docs, qx_duck):
+    from utils_infra_spark.pipeline.text import quality_profile
+
+    got = quality_profile(qx_spark_docs, "text", "doc_id").toPandas()
+    want = qx_duck.execute(REGISTRY["gopher_quality_documents"].oracle).df()
+    w = want.set_index("doc_id")
+    assert bool(w.loc[1, "quality_pass"])            # the designed pass
+    assert not bool(w.loc[2, "quality_pass"])        # word count
+    assert w.loc[3, "symbol_word_ratio"] > 0.1       # hash symbols counted
+    assert w.loc[4, "bullet_line_frac"] > 0          # dash bullets counted
+    assert w.loc[5, "ellipsis_line_frac"] > 0        # both ellipsis forms
+    assert w.loc[6, "bullet_line_frac"] == 0.5       # tab-led line NOT a bullet
+    assert w.loc[7, "alpha_word_frac"] < 0.8         # digit/punct tokens
+    # doc 17: '....' = one non-overlapping '...' occurrence (+ none unicode)
+    assert w.loc[17, "symbol_word_ratio"] > 0
+    assert 15 not in w.index and 16 not in w.index   # empty/null excluded
+    _assert_parity("gopher_quality", got, want)
+
+
+def test_c4_line_filters_whitespace_parity(qx_spark_docs, qx_duck):
+    from utils_infra_spark.pipeline.text import c4_line_filter
+
+    got = c4_line_filter(qx_spark_docs, "text", "doc_id").toPandas()
+    want = qx_duck.execute(REGISTRY["c4_line_filters_documents"].oracle).df()
+    w = want.set_index("doc_id")
+    # CRLF doc: both \r\n-terminated sentences survive the edge-trim
+    # (the 'short line.' has < 5 words and drops)
+    assert w.loc[8, "kept_lines"] == 2
+    assert "\r" not in w.loc[8, "clean_text"]
+    assert bool(w.loc[9, "has_lorem"]) and not bool(w.loc[9, "c4_keep"])
+    assert bool(w.loc[10, "has_brace"]) and not bool(w.loc[10, "c4_keep"])
+    # javascript line dropped even though it has 5+ words and a period
+    assert "javascript" not in w.loc[10, "clean_text"]
+    # quote-terminated line retained; bare line dropped
+    assert 'counts."' in w.loc[13, "clean_text"]
+    assert w.loc[13, "kept_lines"] == 2
+    assert w.loc[15, "kept_lines"] == 0              # empty doc audited, not dropped
+    _assert_parity("c4_line_filters", got, want)
+
+
+def test_dsir_importance_whitespace_parity(qx_spark_docs, qx_duck):
+    from utils_infra_spark.pipeline.text import dsir_importance_scores
+
+    got = dsir_importance_scores(qx_spark_docs, "text", "doc_id").toPandas()
+    want = qx_duck.execute(REGISTRY["dsir_importance_documents"].oracle).df()
+    w = want.set_index("doc_id")
+    # the French doc's tokens skew away from the en-heavy target: its
+    # per-token score must undercut the designed-English doc's
+    g1 = w.loc[1, "dsir_nanonats"] / w.loc[1, "n_tokens"]
+    g11 = w.loc[11, "dsir_nanonats"] / w.loc[11, "n_tokens"]
+    assert g1 > g11
+    # zero-space CJK is ONE token (no whitespace to split on)
+    assert w.loc[12, "n_tokens"] == 1
+    assert 15 not in w.index and 16 not in w.index
+    _assert_parity("dsir_importance", got, want)

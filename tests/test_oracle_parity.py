@@ -83,6 +83,10 @@ PARTITION_SENSITIVE = [
     "event_interarrival",
     "corr_price_quantity",
     "pricing_summary",
+    # r7: DSIR's fit collects bucket counts whose values must not
+    # depend on partitioning, and its score is an integer sum — probe
+    # both under 2/8/32 shuffle partitions
+    "dsir_importance_documents",
 ]
 
 

@@ -78,6 +78,9 @@ def test_registry_surfaces_unproven_names_first():
         "gopher_repetition_documents",
         "semdedup_embeddings",
         "kmeans_refine_assignments",
+        "gopher_quality_documents",
+        "c4_line_filters_documents",
+        "dsir_importance_documents",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

@@ -593,3 +593,242 @@ def repetition_profile(df, text_col: str, id_col: str):
             " AND __m_gram <= 200000) AS gopher_pass",
         )
     )
+
+
+def quality_profile(df, text_col: str, id_col: str):
+    """Gopher QUALITY rules (Rae et al. 2021 Table A1 — the
+    non-repetition half; the repetition half is
+    :func:`repetition_profile`) as one oracle-checkable per-document
+    profile: word count, mean word length, symbol-to-word ratio
+    (``#`` + ellipsis), bullet-start / ellipsis-end line fractions,
+    alphabetic-word fraction, required-stopword hits, and the
+    combined keep/drop verdict at the published thresholds
+    (50 <= words <= 100000, 3 <= mean len <= 10, symbol ratio <= 0.1,
+    bullet lines <= 0.9, ellipsis lines <= 0.3, alpha words >= 0.8,
+    >= 2 of the 8 required stopwords).
+
+    Contracts (engine-identical by construction):
+
+    * tokenization = the dup-span contract: split on the EXPLICIT
+      whitespace class ``[ \\t\\n\\x0B\\f\\r]`` (Java ``\\s`` includes
+      U+000B, RE2's does not), empty tokens filtered;
+    * "alphabetic word" = token containing an ASCII letter
+      (``[A-Za-z]`` — deliberately ASCII so Java and RE2 agree
+      without Unicode-property divergence; documented bias against
+      non-Latin scripts mirrors Gopher's own English-centric rules);
+    * ellipsis occurrences are counted via ``replace`` deltas
+      (left-to-right non-overlapping in both engines): U+2026 plus
+      three-ASCII-dot runs;
+    * stopword hits count how many of the 8 published words appear
+      as an EXACT lowercased token (punctuation-attached tokens do
+      not match — documented);
+    * every fraction derives from exact integers and is published via
+      the integer half-up micro rule ``(2*a*1e6 + b) div (2*b)`` —
+      never ``round(double)``; the verdict compares integer micros
+      against integer thresholds.
+
+    Engine shape at 100 TB: the whole profile is ONE narrow in-row
+    projection over the documents scan — token and line arrays are
+    per-row HOF folds, so there is NO shuffle and no corpus-wide key
+    at all; the operator scales embarrassingly. (HOF lambdas run
+    interpreted, outside whole-stage codegen — acceptable here
+    because the work is per-row and this query is not a timed
+    headline; the explode+groupBy alternative buys codegen at the
+    price of a corpus-sized shuffle.)
+    """
+    ws = r"'[ \\t\\n\\x0B\\f\\r]+'"
+    blank = r"'^[ \\t\\n\\x0B\\f\\r]*$'"
+    stop = "array('the','be','to','of','and','that','have','with')"
+    base = df.where(f"{text_col} IS NOT NULL").selectExpr(
+        f"{id_col} AS doc_id",
+        f"{text_col} AS __t",
+        rf"filter(split({text_col}, {ws}), x -> x != '') AS __toks",
+        rf"filter(split({text_col}, '\\n'), l -> NOT l RLIKE {blank}) AS __lines",
+    )
+    stats = base.where("size(__toks) >= 1").selectExpr(
+        "doc_id",
+        "size(__toks) AS n_words",
+        "aggregate(__toks, 0L, (a, x) -> a + char_length(x)) AS __sum_len",
+        "size(filter(__toks, x -> x RLIKE '[A-Za-z]')) AS __alpha_words",
+        "char_length(__t) - char_length(replace(__t, '#', ''))"
+        " + char_length(__t) - char_length(replace(__t, '…', ''))"
+        " + (char_length(__t) - char_length(replace(__t, '...', ''))) DIV 3 AS __symbols",
+        "size(__lines) AS __n_lines",
+        "size(filter(__lines, l -> array_contains(array('-', '•', '*'),"
+        " substring(ltrim(l), 1, 1)))) AS __bullet_lines",
+        "size(filter(__lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))"
+        " AS __ellipsis_lines",
+        f"size(filter({stop}, s -> exists(__toks, x -> lower(x) = s))) AS stopword_hits",
+    )
+    return stats.selectExpr(
+        "doc_id",
+        "n_words",
+        "(2*__sum_len*1000000 + n_words) DIV (2*n_words) AS __m_mwl",
+        "(2*__symbols*1000000 + n_words) DIV (2*n_words) AS __m_sym",
+        "(2*__bullet_lines*1000000 + __n_lines) DIV (2*__n_lines) AS __m_bullet",
+        "(2*__ellipsis_lines*1000000 + __n_lines) DIV (2*__n_lines) AS __m_ell",
+        "(2*__alpha_words*1000000 + n_words) DIV (2*n_words) AS __m_alpha",
+        "stopword_hits",
+    ).selectExpr(
+        "doc_id",
+        "CAST(n_words AS BIGINT) AS n_words",
+        "CAST(__m_mwl AS DOUBLE) / 1000000.0 AS mean_word_len",
+        "CAST(__m_sym AS DOUBLE) / 1000000.0 AS symbol_word_ratio",
+        "CAST(__m_bullet AS DOUBLE) / 1000000.0 AS bullet_line_frac",
+        "CAST(__m_ell AS DOUBLE) / 1000000.0 AS ellipsis_line_frac",
+        "CAST(__m_alpha AS DOUBLE) / 1000000.0 AS alpha_word_frac",
+        "CAST(stopword_hits AS BIGINT) AS stopword_hits",
+        "(n_words BETWEEN 50 AND 100000 AND __m_mwl BETWEEN 3000000 AND 10000000"
+        " AND __m_sym <= 100000 AND __m_bullet <= 900000 AND __m_ell <= 300000"
+        " AND __m_alpha >= 800000 AND stopword_hits >= 2) AS quality_pass",
+    )
+
+
+def c4_line_filter(df, text_col: str, id_col: str):
+    """C4 line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning…" §2.2): keep only lines that end in
+    a terminal punctuation mark (``. ! ? "``), contain at least five
+    words, and do not contain the word "javascript"; drop whole
+    documents that mention "lorem ipsum" or contain a curly brace;
+    require at least three retained lines (the line-level proxy for
+    C4's >= 3 sentences — documented deviation: we count retained
+    LINES, not parsed sentences).
+
+    Emits ``(doc_id, clean_text, n_lines, kept_lines, dropped_lines,
+    has_lorem, has_brace, c4_keep)`` for every non-null document —
+    including ones where nothing survives (``clean_text = ''``), so
+    the output doubles as an audit table.
+
+    Contracts: line ends are ``\\n``; per-line edge-trim uses an
+    explicit ``[ \\t\\f\\r\\x0B]`` class via regexp_replace (plain
+    ``trim`` strips only 0x20 and would leave CRLF carriage returns
+    to defeat the terminal-punctuation test); the word count uses the
+    dup-span tokenization contract; "javascript" / "lorem ipsum"
+    matching is lowercased substring containment.
+
+    Engine shape at 100 TB: one narrow in-row projection — split,
+    per-line lambda filter, array_join — with NO shuffle and no
+    corpus-wide key; scales embarrassingly (same HOF-interpreted
+    caveat as :func:`quality_profile`).
+    """
+    edge = r"'^[ \\t\\f\\r\\x0B]+|[ \\t\\f\\r\\x0B]+$'"
+    ws = r"'[ \\t\\x0B\\f\\r]+'"
+    keep_l = (
+        f"size(filter(split(l, {ws}), x -> x != '')) >= 5"
+        " AND right(l, 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    base = df.where(f"{text_col} IS NOT NULL").selectExpr(
+        f"{id_col} AS doc_id",
+        f"{text_col} AS __t",
+        rf"transform(split({text_col}, '\\n'), l -> regexp_replace(l, {edge}, '')) AS __lines",
+    )
+    return base.selectExpr(
+        "doc_id",
+        f"array_join(filter(__lines, l -> {keep_l}), '\\n') AS clean_text",
+        "CAST(size(__lines) AS BIGINT) AS n_lines",
+        f"CAST(size(filter(__lines, l -> {keep_l})) AS BIGINT) AS kept_lines",
+        f"CAST(size(__lines) - size(filter(__lines, l -> {keep_l})) AS BIGINT)"
+        " AS dropped_lines",
+        "contains(lower(__t), 'lorem ipsum') AS has_lorem",
+        "contains(__t, '{') AS has_brace",
+        f"(size(filter(__lines, l -> {keep_l})) >= 3"
+        " AND NOT contains(lower(__t), 'lorem ipsum')"
+        " AND NOT contains(__t, '{')) AS c4_keep",
+    )
+
+
+def dsir_importance_scores(df, text_col: str, id_col: str, *, target_sql: str = "lang = 'en'",
+                           n_buckets: int = 1024):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log importance weight
+    ``sum_w ln(p_target(b(w)) / p_raw(b(w)))`` over hashed unigram
+    buckets, where the target distribution is fit on the subset
+    matching ``target_sql`` (default ``lang = 'en'``) and the raw
+    distribution on the whole corpus. High scores = documents that
+    look like the target domain; resampling by these weights is the
+    published recipe for domain-matched pretraining selection.
+
+    Emits ``(doc_id, n_tokens, dsir_nanonats)`` — the raw INTEGER
+    nanonat sum rather than a mean, so no division ever happens on a
+    possibly-negative quantity (Spark's ``DIV`` truncates toward
+    zero while DuckDB's ``//`` floors, so negative integer division
+    is NOT engine-portable; a sum of per-bucket integers is).
+
+    Cross-engine determinism contract (the char-LM rule): both
+    bucket probabilities are add-½ smoothed; each bucket's log-ratio
+    is quantized ONCE to integer nanonats ``floor(x*1e9 + 0.5)``
+    driver-side with ``math.log`` — glibc's libm, the same ``ln``
+    the DuckDB oracle calls — with the IEEE op order mirrored
+    exactly (two correctly-rounded divisions, one division, ln); the
+    per-doc reduction is a pure integer sum, order-independent.
+
+    Engine shape at 100 TB: the "fit" is one corpus pass groupBy on
+    a BOUNDED key space (``n_buckets`` rows — the hashed feature
+    table is KBs no matter the corpus size) collected and quantized
+    driver-side, broadcast back as a ``(bucket, q)`` scoring table;
+    the scoring pass hash-joins the broadcast and shuffles only
+    per-doc partial integer (sum, count) pairs. Two corpus passes
+    total, no transcendental math on executors. Buckets are
+    md5-derived (first 3 hex nibbles mod ``n_buckets``) so the
+    feature hash is stable across engines, runs, and partitionings.
+    """
+    import math
+
+    from ..sources.tables import spread
+
+    ws = r"'[ \\t\\n\\x0B\\f\\r]+'"
+    base = spread(
+        df.where(f"{text_col} IS NOT NULL").selectExpr(
+            f"{id_col} AS doc_id",
+            f"({target_sql}) AS __is_target",
+            rf"filter(split(lower({text_col}), {ws}), x -> x != '') AS __toks",
+        ).where("size(__toks) >= 1"),
+        min_bytes=0,
+    )
+    tok = base.selectExpr(
+        "doc_id",
+        "__is_target",
+        "explode(__toks) AS w",
+    ).selectExpr(
+        "doc_id",
+        "__is_target",
+        f"CAST(conv(substring(md5(w), 1, 3), 16, 10) AS INT) % {n_buckets} AS b",
+    )
+    # FIT: one corpus pass over a bounded key space; the model comes
+    # to the driver (<= n_buckets rows — small-by-contract) where the
+    # log-ratios are quantized with glibc ln and sent back broadcast
+    bc = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.expr("IF(__is_target, 1, 0)")).alias("ct"),
+    )
+    rows = bc.collect()
+    tr = float(sum(r["cr"] for r in rows))
+    tt = float(sum(r["ct"] for r in rows))
+    half_b = 0.5 * float(n_buckets)
+    q_rows = [
+        (
+            int(r["b"]),
+            math.floor(
+                math.log(
+                    ((float(r["ct"]) + 0.5) / (tt + half_b))
+                    / ((float(r["cr"]) + 0.5) / (tr + half_b))
+                )
+                * 1000000000.0
+                + 0.5
+            ),
+        )
+        for r in rows
+    ]
+    model = F.broadcast(df.sparkSession.createDataFrame(q_rows, "b int, q bigint"))
+    # SCORE: broadcast hash join + per-doc integer sum — the shuffle
+    # carries (doc_id, partial sum, partial count) only
+    return (
+        tok.join(model, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("COUNT(1) AS n_tokens"),
+            F.expr("CAST(SUM(q) AS BIGINT) AS dsir_nanonats"),
+        )
+    )

@@ -139,6 +139,9 @@ _SAMPLING_PRIORITY = [
     "gopher_repetition_documents",
     "semdedup_embeddings",
     "kmeans_refine_assignments",
+    "gopher_quality_documents",
+    "c4_line_filters_documents",
+    "dsir_importance_documents",
     # --- remaining 39 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace

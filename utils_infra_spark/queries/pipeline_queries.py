@@ -1575,3 +1575,163 @@ REGISTRY["kmeans_refine_assignments"].oracle = f"""
       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn FROM df
     ) WHERE rn = 1
     """
+
+
+@register(
+    "gopher_quality_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS ts,
+             list_filter(string_split(text, chr(10)),
+                         l -> NOT regexp_matches(l, '^[ \\t\\n\\x0B\\f\\r]*$')) AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(ts) AS n_words,
+             list_sum(list_transform(ts, x -> length(x))) AS sum_len,
+             len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+             length(t) - length(replace(t, '#', ''))
+               + length(t) - length(replace(t, '…', ''))
+               + (length(t) - length(replace(t, '...', ''))) // 3 AS symbols,
+             len(ls) AS n_lines,
+             len(list_filter(ls, l -> list_contains(['-', '•', '*'],
+                                                    substr(ltrim(l), 1, 1)))) AS bullet_lines,
+             len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+               AS ell_lines,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(list_transform(ts, x -> lower(x)), s)))
+               AS stopword_hits
+      FROM base WHERE len(ts) >= 1
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             (2*sum_len*1000000 + n_words) // (2*n_words) AS m_mwl,
+             (2*symbols*1000000 + n_words) // (2*n_words) AS m_sym,
+             (2*bullet_lines*1000000 + n_lines) // (2*n_lines) AS m_bullet,
+             (2*ell_lines*1000000 + n_lines) // (2*n_lines) AS m_ell,
+             (2*alpha_words*1000000 + n_words) // (2*n_words) AS m_alpha,
+             stopword_hits
+      FROM s
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(m_mwl AS DOUBLE) / 1000000.0 AS mean_word_len,
+           CAST(m_sym AS DOUBLE) / 1000000.0 AS symbol_word_ratio,
+           CAST(m_bullet AS DOUBLE) / 1000000.0 AS bullet_line_frac,
+           CAST(m_ell AS DOUBLE) / 1000000.0 AS ellipsis_line_frac,
+           CAST(m_alpha AS DOUBLE) / 1000000.0 AS alpha_word_frac,
+           CAST(stopword_hits AS BIGINT) AS stopword_hits,
+           (n_words BETWEEN 50 AND 100000 AND m_mwl BETWEEN 3000000 AND 10000000
+            AND m_sym <= 100000 AND m_bullet <= 900000 AND m_ell <= 300000
+            AND m_alpha >= 800000 AND stopword_hits >= 2) AS quality_pass
+    FROM m
+    """,
+    doc="Gopher QUALITY rules (Rae et al. 2021 Table A1, non-repetition half): "
+    "word count / mean word length / symbol ratio / bullet+ellipsis line "
+    "fractions / alpha-word fraction / required-stopword hits plus the "
+    "keep-drop verdict at the published thresholds. All fractions "
+    "integer-derived, published via the half-up micro rule; verdict compared "
+    "in integer micros. ONE narrow in-row projection — zero shuffles, no "
+    "corpus-wide key (companion to gopher_repetition_documents).",
+)
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_profile(docs, "text", "doc_id")
+
+
+@register(
+    "c4_line_filters_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text AS t,
+             list_transform(string_split(text, chr(10)),
+                            l -> regexp_replace(l, '^[ \\t\\f\\r\\x0B]+|[ \\t\\f\\r\\x0B]+$',
+                                                '', 'g')) AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    k AS (
+      SELECT doc_id, t, ls,
+             list_filter(ls, l ->
+               len(list_filter(string_split_regex(l, '[ \\t\\x0B\\f\\r]+'),
+                               x -> x <> '')) >= 5
+               AND right(l, 1) IN ('.', '!', '?', '"')
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM base
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string yields NULL for an empty list
+           -- where Spark's array_join yields '' — pin the '' contract
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS kept_lines,
+           CAST(len(ls) - len(kept) AS BIGINT) AS dropped_lines,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS c4_keep
+    FROM k
+    """,
+    doc="C4 line-level cleaning (Raffel et al. 2020 §2.2): retain lines with "
+    ">=5 words ending in terminal punctuation and no 'javascript'; drop docs "
+    "mentioning 'lorem ipsum' or containing a brace; require >=3 retained "
+    "lines (line-level proxy for C4's sentence rule, documented). Per-line "
+    "edge-trim uses an explicit class so CRLF endings cannot defeat the "
+    "punctuation test. One narrow in-row projection — zero shuffles.",
+)
+def c4_line_filters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.c4_line_filter(docs, "text", "doc_id")
+
+
+def _dsir_bucket_sql(col: str, n_buckets: int) -> str:
+    nib = lambda i: f"(instr('0123456789abcdef', substr(md5({col}), {i}, 1)) - 1)"
+    return f"(({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)}) % {n_buckets})"
+
+
+@register(
+    "dsir_importance_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, is_t, {_dsir_bucket_sql("u.w", 1024)} AS b
+      FROM base, LATERAL (SELECT unnest(ts) AS w) u
+      WHERE len(ts) >= 1
+    ),
+    bc AS (
+      SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE is_t) AS ct
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+    -- per-bucket log importance ratio quantized ONCE to integer
+    -- nanonats (floor(x*1e9 + 0.5)); identical IEEE op order to the
+    -- Spark build's driver-side glibc-ln quantization
+    q AS (
+      SELECT bc.b,
+             CAST(FLOOR(ln(((CAST(bc.ct AS DOUBLE) + 0.5) / (CAST(tot.tt AS DOUBLE) + 512.0))
+                           / ((CAST(bc.cr AS DOUBLE) + 0.5) / (CAST(tot.tr AS DOUBLE) + 512.0)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM bc CROSS JOIN tot
+    )
+    SELECT tok.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(q.q) AS BIGINT) AS dsir_nanonats
+    FROM tok JOIN q USING (b)
+    GROUP BY tok.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): hashed-unigram (md5 mod "
+    "1024 buckets) log ratio of target (lang='en') vs raw distributions, "
+    "add-half smoothed, per-bucket terms quantized to integer nanonats "
+    "driver-side with glibc ln, per-doc INTEGER sum published raw (no "
+    "division — negative integer division is not engine-portable). Fit is "
+    "one bounded-key corpus pass collected+broadcast; registered "
+    "uncacheable so every plan() call re-pays the fit.",
+    cache_plan=False,
+)
+def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dsir_importance_scores(docs, "text", "doc_id")
