@@ -13,8 +13,8 @@ import weakref
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# session -> the char-LM build's persisted trigram stream; each new
-# build unpersists its predecessor (leak bound + the honesty pin —
+# session -> the char-LM build's persisted normalized-docs scan; each
+# new build unpersists its predecessor (leak bound + the honesty pin —
 # see char_trigram_lm_scores)
 _TRIS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
@@ -406,20 +406,21 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
         .where("char_length(t) >= 3"),
         min_bytes=0,
     )
-    tris = norm.selectExpr(
-        "doc_id",
-        "explode(transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))) AS tri",
-    )
-    # fit and score both consume the trigram stream — persist it so
-    # the explode runs ONCE per build instead of twice (measured
-    # 0.86 s → 0.62 s warm at sf0.1). The PREVIOUS build's cache is
-    # unpersisted first, and not only as a leak bound: Spark's
-    # CacheManager matches cache entries by logical-plan equality, so
-    # without the unpersist a REBUILD (cache_plan=False re-fits per
-    # plan() call) would silently serve the old run's cached explode
-    # — exactly the cross-run amortization the uncacheable-plan
-    # honesty pin exists to prevent. Pinned by test.
-    sess = tris.sparkSession
+    # fit and score both consume the normalized docs — persist the
+    # NARROW normalized form (one short row per doc) rather than the
+    # exploded trigram stream: the normalize (lower + regexp collapse)
+    # runs once, each pass re-runs the cheap codegen'd explode, and
+    # the block manager never materializes the ~2000x-wider trigram
+    # rows (A/B at sf0.1: tris-persist 0.78-0.83 s, norm-persist
+    # 0.69-0.74 s, (doc,tri) pair-agg 0.94-1.27 s). The PREVIOUS
+    # build's cache is unpersisted first, and not only as a leak
+    # bound: Spark's CacheManager matches cache entries by
+    # logical-plan equality, so without the unpersist a REBUILD
+    # (cache_plan=False re-fits per plan() call) would silently serve
+    # the old run's cached scan — exactly the cross-run amortization
+    # the uncacheable-plan honesty pin exists to prevent. Pinned by
+    # test.
+    sess = norm.sparkSession
     # weak keys alone cannot bound this dict: the cached DataFrame
     # value strongly references its session key (DataFrame._session),
     # so entries of STOPPED sessions would live forever — prune on
@@ -431,8 +432,12 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
             prev.unpersist(blocking=True)
         except Exception:
             pass
-    tris = tris.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRIS_CACHE[sess] = tris
+    norm = norm.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRIS_CACHE[sess] = norm
+    tris = norm.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))) AS tri",
+    )
     # FIT: one corpus pass aggregates trigram counts, then the model
     # comes to the driver — it is bounded by charset^3 (tens of KBs)
     # no matter the corpus size, the same small-by-contract collect as
