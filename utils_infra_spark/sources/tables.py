@@ -348,6 +348,35 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
         partitions = df.sparkSession.sparkContext.defaultParallelism
     if min_bytes is None:
         min_bytes = _SPREAD_MIN_BYTES
+    # The layout probe below (inputFiles + a Py4J RDD materialization)
+    # costs ~40-50 ms per FRESH Dataset — uncacheable-plan builders
+    # (char-LM, DSIR fits) pay it on every rebuild. The answer is a
+    # function of the logical plan within a session, so memoize it by
+    # semantic hash (~0.5 ms). A table persisted AFTER a memoized
+    # probe could flip the right answer — the stale entry costs only
+    # parallelism on that one stage, never correctness, and dies with
+    # the session (weak key).
+    memo_key = None
+    try:
+        memo_key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            partitions,
+            min_bytes,
+        )
+        per_sess = _SPREAD_MEMO.get(df.sparkSession)
+        if per_sess is not None and memo_key in per_sess:
+            return df.repartition(partitions) if per_sess[memo_key] else df
+    except Exception:
+        pass
+    need = _spread_needs_exchange(df, partitions, min_bytes)
+    if memo_key is not None:
+        _SPREAD_MEMO.setdefault(df.sparkSession, {})[memo_key] = need
+    return df.repartition(partitions) if need else df
+
+
+def _spread_needs_exchange(df: DataFrame, partitions: int, min_bytes: int) -> bool:
+    """The actual layout probe behind :func:`spread` (see its
+    docstring for the decision table)."""
     try:
         files = df.inputFiles()
     except Exception:  # multi-source / non-file plans: keep the exchange
@@ -366,20 +395,20 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
             from utils_infra_spark.session import is_tiny_input
 
             if is_tiny_input(df.sparkSession):
-                return df
+                return False
         # non-file scan (e.g. the block-manager input cache): if the
         # physical plan already carries >= `partitions` partitions the
         # exchange adds nothing — the cached copy was repartitioned at
         # materialization time precisely so this check short-circuits
         try:
             if df.rdd.getNumPartitions() >= partitions:
-                return df
+                return False
         except Exception:
             pass  # streaming/unresolvable plans: keep the exchange
     if files:
         # many-splits layout: already parallel, shuffle adds nothing
         if len(files) >= partitions:
-            return df
+            return False
         total = 0
         for f in files:
             path = f.removeprefix("file:")
@@ -392,9 +421,13 @@ def spread(df: DataFrame, partitions: int | None = None, min_bytes: int | None =
                 total = None
                 break
         if total is not None and total < min_bytes:
-            return df
-    return df.repartition(partitions)
+            return False
+    return True
 
+
+# session -> {(semanticHash, partitions, min_bytes) -> bool}: memoized
+# spread() layout decisions (see spread; entries die with the session)
+_SPREAD_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 # gate below which spread() skips its exchange (see docstring)
 _SPREAD_MIN_BYTES = 32 * 1024 * 1024
