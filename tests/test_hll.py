@@ -1,0 +1,102 @@
+"""HyperLogLog sketch properties (pipeline/sketch.py).
+
+The oracle parity test checks the full query cross-engine; these pin
+the algorithm itself: registers match a pure-Python reference, merge
+of partials equals the direct sketch exactly (register-for-register),
+and the estimate lands within the published error regime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from utils_infra_spark.pipeline.sketch import (
+    HLL_M,
+    _LC_MICRO,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _py_register(value: str) -> tuple[int, int]:
+    """Pure-Python reference for (idx, rho): md5 hex, first two
+    nibbles mod 64, leading-zero bits of the next 52 + 1."""
+    h = hashlib.md5(value.encode()).hexdigest()
+    idx = (int(h[0], 16) * 16 + int(h[1], 16)) % HLL_M
+    bits = bin(int(h[2:15], 16))[2:].zfill(52)
+    rho = len(bits) - len(bits.lstrip("0")) + 1
+    return idx, rho
+
+
+def test_registers_match_python_reference(spark):
+    vals = [str(v) for v in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string").selectExpr(
+        "'g' AS g", "u"
+    )
+    got = {
+        (r["idx"], r["m"])
+        for r in hll_sketch(df, ["g"], "u").collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        idx, rho = _py_register(v)
+        want[idx] = max(want.get(idx, 0), rho)
+    assert got == set(want.items())
+
+
+def test_merge_of_partials_equals_direct_sketch(spark):
+    rows = [(i % 7, f"user{i % 300}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "day int, u string").selectExpr(
+        "'g' AS g", "day", "u"
+    )
+    direct = {
+        (r["idx"], r["m"]) for r in hll_sketch(df, ["g"], "u").collect()
+    }
+    per_day = hll_sketch(df, ["g", "day"], "u").drop("day")
+    merged = {
+        (r["idx"], r["m"]) for r in hll_merge(per_day, ["g"]).collect()
+    }
+    assert merged == direct  # max is associative: any merge tree agrees
+
+
+def test_estimate_accuracy_and_small_range_branch(spark):
+    # large group: raw branch; small group: linear-counting branch
+    rows = [("big", f"u{i}") for i in range(3000)] + [
+        ("small", f"v{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    est = {r["g"]: r["hll_estimate"] for r in hll_distinct(df, ["g"], "u").collect()}
+    assert abs(est["big"] - 3000) / 3000 < 0.4  # ~13% sigma, 3-sigma bound
+    assert abs(est["small"] - 10) / 10 < 0.6
+    # the small group's value must come from the shared literal table
+    direct = hll_sketch(df.where("g = 'small'"), ["g"], "u").count()
+    v = HLL_M - direct
+    assert est["small"] == _LC_MICRO[v - 1] / 1e6
+
+
+def test_lc_table_matches_formula():
+    for v in (1, 13, 64):
+        assert _LC_MICRO[v - 1] == math.floor(HLL_M * math.log(HLL_M / v) * 1e6 + 0.5)
+
+
+def test_estimate_partition_invariant(spark):
+    rows = [("g", f"u{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    vals = set()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in (2, 8, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            vals.add(
+                hll_distinct(df.repartition(int(n)), ["g"], "u").collect()[0][
+                    "hll_estimate"
+                ]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert len(vals) == 1  # integer register sum: merge order can't leak

@@ -81,6 +81,7 @@ def test_registry_surfaces_unproven_names_first():
         "gopher_quality_documents",
         "c4_line_filters_documents",
         "dsir_importance_documents",
+        "hll_distinct_users_by_type",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

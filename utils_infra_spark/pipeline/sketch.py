@@ -100,3 +100,128 @@ def cms_estimate(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
     return items.join(est, item_col)
+
+
+# ---------------------------------------------------------------- HLL
+# Linear-counting values for the HLL small-range branch, m = 64:
+# floor(m * ln(m / V) * 1e6 + 0.5) for V = 1..64, precomputed ONCE at
+# import with glibc ln and embedded as the SAME literal table in the
+# Spark plan and the DuckDB oracle — query time does no transcendental
+# math at all, so the branch is bit-identical across engines by
+# construction (stronger than the char-LM quantize rule: here even the
+# fit-time libm call is shared).
+def _hll_lc_micro(m: int) -> list[int]:
+    import math
+
+    return [math.floor(m * math.log(m / v) * 1e6 + 0.5) for v in range(1, m + 1)]
+
+
+HLL_M = 64
+_LC_MICRO = _hll_lc_micro(HLL_M)
+# 0.709 is the PUBLISHED alpha_64 constant (Flajolet et al. 2007
+# Fig. 3); 2^53 is the integer scale of the register sum (below).
+# The product is computed ONCE in Python IEEE doubles and embedded as
+# one exact-round-trip literal — inline `0.709 * 4096.0 * ...` would
+# parse as DECIMAL arithmetic in DuckDB (and overflow DECIMAL(18))
+# while Spark folds it differently; a single CAST'd literal is the
+# same bit pattern in both engines.
+_HLL_NUM = f"CAST({0.709 * 4096.0 * 9007199254740992.0!r} AS DOUBLE)"
+
+
+def hll_register_expr(value_sql: str) -> tuple[str, str]:
+    """SQL fragments ``(idx, rho)`` for one value's HLL update —
+    md5-derived so Spark and DuckDB sketch identical registers.
+
+    idx = first two hex nibbles mod 64; rho = 1 + number of leading
+    zero BITS in the next 13 nibbles (52 bits), computed from the hex
+    string itself (leading '0' chars x 4, plus the first nonzero
+    nibble's own leading zeros) — no 52-bit integer parse, so no
+    engine-specific conv()/from_hex dependency. rho ranges 1..53
+    (53 = all 52 bits zero).
+    """
+    h = f"md5(CAST({value_sql} AS STRING))"
+    nib = lambda i: f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    idx = f"(({nib(1)} * 16 + {nib(2)}) % {HLL_M})"
+    hx = f"substr({h}, 3, 13)"
+    t = f"trim(LEADING '0' FROM {hx})"
+    n1 = f"(instr('0123456789abcdef', substr({t}, 1, 1)) - 1)"
+    blen = f"(CASE WHEN {n1} >= 8 THEN 4 WHEN {n1} >= 4 THEN 3 WHEN {n1} >= 2 THEN 2 ELSE 1 END)"
+    rho = (
+        f"(CASE WHEN {t} = '' THEN 53 "
+        f"ELSE 4 * (13 - char_length({t})) + (4 - {blen}) + 1 END)"
+    )
+    return idx, rho
+
+
+def hll_sketch(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Per-key HLL registers: ``(keys..., idx, m)`` — at most 64 rows
+    per key regardless of input size. Mergeable: union register
+    tables and take ``max(m)`` per (keys..., idx) (:func:`hll_merge`)
+    — the property that lets per-day/per-partition sketches reduce
+    through a bounded shuffle instead of re-scanning the corpus.
+
+    Engine shape at 100 TB: the scan computes two narrow codegen'd
+    hash columns; the groupBy keys on (keys x 64) — map-side partial
+    max collapses each task's registers before network, so the
+    shuffle carries at most ``tasks x keys x 64`` tiny rows.
+    """
+    idx, rho = hll_register_expr(value_col)
+    base = df.where(f"{value_col} IS NOT NULL").selectExpr(
+        *key_cols, f"{idx} AS idx", f"{rho} AS rho"
+    )
+    return base.groupBy(*key_cols, "idx").agg(F.expr("MAX(rho) AS m"))
+
+
+def hll_merge(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge register tables (already unioned) down to one sketch per
+    key: max per register — associative/commutative, so any tree of
+    partial merges yields the identical sketch."""
+    return registers.groupBy(*key_cols, "idx").agg(F.expr("MAX(m) AS m"))
+
+
+def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """HLL estimate from a register table, cross-engine deterministic:
+
+    * the harmonic-mean denominator is summed in INTEGER space —
+      ``sum(2^(53-m))`` over present registers plus ``2^53`` per
+      absent one — exact and order-independent (a float ``sum(2^-m)``
+      would round differently under different partial-merge orders:
+      ``(1 + 2^-53) + 2^-53 != 1 + (2^-53 + 2^-53)``);
+    * the raw estimate is one exact constant multiply and one
+      correctly-rounded IEEE division — bit-identical everywhere;
+    * the small-range (linear counting) branch, taken when raw <= 2.5m
+      and empty registers exist, reads the precomputed ``_LC_MICRO``
+      literal table — no query-time ln().
+
+    Emits ``(keys..., hll_estimate)`` (micro-rounded double).
+    Error is ~1.04/sqrt(64) ≈ 13% relative (Flajolet et al. 2007).
+    The large-range (2^32-scale) correction is omitted: it exists for
+    32-bit hashes; this sketch draws 52 bits.
+    """
+    lc = "array(" + ", ".join(str(v) for v in _LC_MICRO) + ")"
+    keys = ", ".join(key_cols)
+    agg = registers.groupBy(*key_cols).agg(
+        F.expr("CAST(SUM(SHIFTLEFT(CAST(1 AS BIGINT), 53 - m)) AS BIGINT) AS s_present"),
+        F.expr(f"CAST({HLL_M} - COUNT(1) AS INT) AS v_zero"),
+    )
+    return agg.selectExpr(
+        keys,
+        f"s_present + CAST(v_zero AS BIGINT) * SHIFTLEFT(CAST(1 AS BIGINT), 53) AS __s_int",
+        "v_zero AS __v",
+    ).selectExpr(
+        keys,
+        f"{_HLL_NUM} / CAST(__s_int AS DOUBLE) AS __raw",
+        "__v",
+    ).selectExpr(
+        keys,
+        f"CAST(CASE WHEN __raw <= {2.5 * HLL_M} AND __v > 0 THEN element_at({lc}, __v) "
+        "ELSE CAST(FLOOR(__raw * 1000000.0 + 0.5) AS BIGINT) END AS DOUBLE) / 1000000.0"
+        " AS hll_estimate",
+    )
+
+
+def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Sketch + estimate in one call: approximate COUNT(DISTINCT
+    value) per key with 64 registers (~13% relative error), fully
+    mergeable, two bounded shuffles."""
+    return hll_estimate(hll_sketch(df, key_cols, value_col), key_cols)

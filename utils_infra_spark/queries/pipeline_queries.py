@@ -1735,3 +1735,85 @@ def _dsir_bucket_sql(col: str, n_buckets: int) -> str:
 def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.dsir_importance_scores(docs, "text", "doc_id")
+
+
+def _hll_duck_fragments(value_sql: str) -> tuple[str, str]:
+    """DuckDB twin of pipeline.sketch.hll_register_expr (VARCHAR cast,
+    ltrim instead of TRIM LEADING — semantics identical)."""
+    h = f"md5(CAST({value_sql} AS VARCHAR))"
+    nib = lambda i: f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    idx = f"(({nib(1)} * 16 + {nib(2)}) % 64)"
+    t = f"ltrim(substr({h}, 3, 13), '0')"
+    n1 = f"(instr('0123456789abcdef', substr({t}, 1, 1)) - 1)"
+    blen = (
+        f"(CASE WHEN {n1} >= 8 THEN 4 WHEN {n1} >= 4 THEN 3"
+        f" WHEN {n1} >= 2 THEN 2 ELSE 1 END)"
+    )
+    rho = (
+        f"(CASE WHEN {t} = '' THEN 53 "
+        f"ELSE 4 * (13 - length({t})) + (4 - {blen}) + 1 END)"
+    )
+    return idx, rho
+
+
+def _hll_oracle() -> str:
+    from ..pipeline.sketch import _LC_MICRO, _HLL_NUM
+
+    idx, rho = _hll_duck_fragments("user_id")
+    lc = "[" + ", ".join(str(v) for v in _LC_MICRO) + "]"
+    return f"""
+    WITH base AS (
+      SELECT event_type, {idx} AS idx, {rho} AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    reg AS (SELECT event_type, idx, MAX(rho) AS m FROM base GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_present,
+             CAST(64 - COUNT(*) AS INT) AS v_zero
+      FROM reg GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, v_zero,
+             {_HLL_NUM} / CAST(s_present + CAST(v_zero AS BIGINT) * (1::BIGINT << 53)
+                               AS DOUBLE) AS raw
+      FROM agg
+    )
+    SELECT est.event_type,
+           CAST(CASE WHEN raw <= 160.0 AND v_zero > 0 THEN {lc}[v_zero]
+                ELSE CAST(FLOOR(raw * 1000000.0 + 0.5) AS BIGINT) END AS DOUBLE)
+             / 1000000.0 AS hll_estimate,
+           x.exact_distinct
+    FROM est JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ) x USING (event_type)
+    """
+
+
+@register(
+    "hll_distinct_users_by_type",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog approximate COUNT(DISTINCT user_id) per event type "
+    "(Flajolet et al. 2007; m=64 registers, published alpha_64=0.709, "
+    "small-range linear counting), alongside the exact count for audit. "
+    "Cross-engine deterministic BY CONSTRUCTION: md5-derived registers, "
+    "INTEGER harmonic-denominator sum (2^(53-m) per register — a float "
+    "sum(2^-m) would be partial-merge-order sensitive), one correctly- "
+    "rounded IEEE division, and an import-time precomputed linear-counting "
+    "literal table shared by both engines — zero query-time ln(). The "
+    "sketch is mergeable (max per register): per-day partials reduce "
+    "through a keys*64-row shuffle, never a re-scan (the approximate "
+    "swap-in for bitmap_distinct_rollup at 100 TB cardinalities).",
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = (
+        ev.where("user_id IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.expr("COUNT(DISTINCT user_id) AS exact_distinct"))
+    )
+    return est.join(exact, "event_type")
