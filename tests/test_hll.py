@@ -100,3 +100,53 @@ def test_estimate_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert len(vals) == 1  # integer register sum: merge order can't leak
+
+
+# ---------------------------------------------------------------- JL
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """Achlioptas' guarantee, pinned empirically: for unit-ish random
+    vectors, squared distances in the 16-dim projection (scaled by
+    1/out_dim) track the 64-dim originals within a loose 3-sigma band
+    — JL is an approximation, the test asserts the STATISTIC, not
+    per-pair exactness."""
+    import numpy as np
+
+    from utils_infra_spark.pipeline.similarity import jl_signs
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 64))
+    S = np.array(jl_signs(64, 16), dtype=float)      # (16, 64)
+    P = X @ S.T / np.sqrt(16.0)
+    ratios = []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 7):
+            d0 = np.sum((X[a] - X[b]) ** 2)
+            d1 = np.sum((P[a] - P[b]) ** 2)
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert 0.4 < r.mean() < 1.6
+    assert (np.abs(r - 1.0) < 1.5).mean() > 0.9
+
+
+def test_jl_long_form_matches_numpy(spark):
+    import numpy as np
+
+    from utils_infra_spark.pipeline.similarity import jl_project_long, jl_signs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((5, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r["vec_id"], r["out_dim"]): r["p"]
+        for r in jl_project_long(df, in_dim=64, out_dim=16).collect()
+    }
+    S = np.array(jl_signs(64, 16), dtype=np.float64)
+    for i in range(5):
+        want = S @ vecs[i].astype(np.float64)
+        for d in range(16):
+            # same quantization contract as the operator
+            import math
+
+            w = math.floor(float(want[d]) * 1e6 + 0.5) / 1e6
+            assert abs(got[(i, d)] - w) <= 1e-6  # fold order may differ from numpy by <=1 ulp pre-quantize

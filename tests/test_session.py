@@ -82,6 +82,7 @@ def test_registry_surfaces_unproven_names_first():
         "c4_line_filters_documents",
         "dsir_importance_documents",
         "hll_distinct_users_by_type",
+        "embedding_jl_projection",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

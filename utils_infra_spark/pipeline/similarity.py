@@ -389,3 +389,67 @@ def dequant_max_err(emb: Column | str, quant: Column) -> Column:
     v = _vec(emb)
     deq = F.transform(quant["q"], lambda qi: qi.cast(DOUBLE) * quant["scale"])
     return F.array_max(F.zip_with(v, deq, lambda x, d: F.abs(x - d)))
+
+
+# ------------------------------------------------- JL random projection
+def jl_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 — the
+    database-friendly Johnson-Lindenstrauss construction: iid signs
+    preserve pairwise distances within (1±eps) at out_dim =
+    O(ln n / eps²), no Gaussians needed). Signs derive from md5 of
+    the (row, col) coordinates, so the matrix is reproducible from
+    the code alone — any engine, any run, no stored state."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def jl_project_terms(signs_row: list[int], element_sql) -> str:
+    """One output coordinate as an explicit left-associative sum of
+    signed elements: ``0.0 + v1 - v2 + ...``. Both engines parse ``+``
+    / ``-`` left-associative and each step is one correctly-rounded
+    IEEE double add, so the fold is bit-identical cross-engine AND
+    partition-independent (it never leaves the row)."""
+    parts = ["0.0"]
+    for j, s in enumerate(signs_row):
+        parts.append(("+ " if s > 0 else "- ") + element_sql(j + 1))
+    return "(" + " ".join(parts) + ")"
+
+
+def jl_project_long(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Project every vector to ``out_dim`` signed-sum coordinates,
+    emitted LONG-FORM ``(id, out_dim, p)`` — one row per output
+    coordinate, micro-quantized (half-up, integer space).
+
+    Engine shape at 100 TB: a pure narrow projection (the stack is
+    in-row) — no shuffle, no UDF; each coordinate is a codegen'd
+    64-term double chain. 4× fewer bytes per vector afterwards
+    (64→16 dims), which is the point: the projected table is what
+    the ANN index / cluster stages shuffle. Distances are preserved
+    within the JL bound (unit tests pin Achlioptas' guarantee
+    empirically at the 3-sigma level)."""
+    signs = jl_signs(in_dim, out_dim)
+    el = lambda j: f"CAST(element_at({vec_col}, {j}) AS DOUBLE)"
+    exprs = []
+    for i, row in enumerate(signs):
+        raw = jl_project_terms(row, el)
+        exprs.append(f"{i}, CAST(FLOOR({raw} * 1000000.0 + 0.5) AS BIGINT)")
+    stack = f"stack({out_dim}, " + ", ".join(exprs) + ") AS (out_dim, __p)"
+    return df.selectExpr(f"{id_col}", stack).selectExpr(
+        id_col,
+        "CAST(out_dim AS INT) AS out_dim",
+        "CAST(__p AS DOUBLE) / 1000000.0 AS p",
+    )

@@ -143,6 +143,7 @@ _SAMPLING_PRIORITY = [
     "c4_line_filters_documents",
     "dsir_importance_documents",
     "hll_distinct_users_by_type",
+    "embedding_jl_projection",
     # --- remaining 39 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace

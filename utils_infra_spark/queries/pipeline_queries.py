@@ -1817,3 +1817,40 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("COUNT(DISTINCT user_id) AS exact_distinct"))
     )
     return est.join(exact, "event_type")
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    from ..pipeline.similarity import jl_project_terms, jl_signs
+
+    signs = jl_signs(in_dim, out_dim)
+    el = lambda j: f"CAST(embedding[{j}] AS DOUBLE)"
+    structs = ", ".join(
+        "{'out_dim': %d, 'q': CAST(FLOOR(%s * 1000000.0 + 0.5) AS BIGINT)}"
+        % (i, jl_project_terms(row, el))
+        for i, row in enumerate(signs)
+    )
+    return f"""
+    SELECT vec_id, CAST(u.r.out_dim AS INT) AS out_dim,
+           CAST(u.r.q AS DOUBLE) / 1000000.0 AS p
+    FROM embeddings, LATERAL (SELECT unnest([{structs}]) AS r) u
+    """
+
+
+@register(
+    "embedding_jl_projection",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1 "
+    "construction): 64-dim float vectors down to 16 signed-sum coordinates, "
+    "long-form (vec_id, out_dim, p). The sign matrix is md5-derived at "
+    "import (reproducible from code, no stored state) and embedded in both "
+    "engines; each coordinate is an explicit left-associative 64-term IEEE "
+    "double chain quantized half-up in integer space — bit-identical "
+    "cross-engine, partition-independent (never leaves the row). Pure "
+    "narrow projection: no shuffle, no UDF; the 4x-smaller projected table "
+    "is what downstream ANN/cluster stages shuffle at 100 TB.",
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import jl_project_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_project_long(emb, vec_col="embedding", id_col="vec_id", in_dim=64, out_dim=16)
