@@ -56,10 +56,29 @@ FIXTURES: list[tuple[str | None, str]] = [
 ]
 
 
+# boilerplate/control-char shapes: three same-source docs sharing a
+# footer line (boilerplate at min_docs=3), a two-doc repeat (NOT
+# boilerplate), and encoding damage (U+FFFD / C0 controls)
+FIXTURES += [
+    ("unique alpha content line.\nFOOTER: all rights reserved\nmore body text.", "en"),
+    ("different middle body line.\nFOOTER: all rights reserved", "en"),
+    ("FOOTER: all rights reserved\nclosing words of the third doc.", "en"),
+    ("twice-shared line only\nown content here.", "en"),
+    ("twice-shared line only\nother own content.", "en"),
+    ("clean text then damage \ufffd\ufffd here.", "en"),
+    ("control\x01chars\x1fin\x7fhere", "en"),
+]
+
+
 @pytest.fixture(scope="module")
 def qx_spark_docs(spark):
-    rows = [(i + 1, t, lang) for i, (t, lang) in enumerate(FIXTURES)]
-    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    rows = [
+        (i + 1, t, lang, "webA" if i >= len(FIXTURES) - 7 else "webB")
+        for i, (t, lang) in enumerate(FIXTURES)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -70,10 +89,16 @@ def qx_duck():
             "doc_id": range(1, len(FIXTURES) + 1),
             "text": [t for t, _ in FIXTURES],
             "lang": [lg for _, lg in FIXTURES],
+            "source": [
+                "webA" if i >= len(FIXTURES) - 7 else "webB"
+                for i in range(len(FIXTURES))
+            ],
         }
     ).astype({"doc_id": "int64"})
     con.register("qx_docs", pdf)
-    con.execute("CREATE VIEW documents AS SELECT doc_id, text, lang FROM qx_docs")
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, text, lang, source FROM qx_docs"
+    )
     yield con
     con.close()
 
@@ -146,3 +171,44 @@ def test_dsir_importance_whitespace_parity(qx_spark_docs, qx_duck):
     assert w.loc[12, "n_tokens"] == 1
     assert 15 not in w.index and 16 not in w.index
     _assert_parity("dsir_importance", got, want)
+
+
+def test_boilerplate_line_removal_parity(qx_spark_docs, qx_duck):
+    from utils_infra_spark.pipeline.dedup import boilerplate_line_removal
+
+    got = boilerplate_line_removal(
+        qx_spark_docs, "text", "doc_id", "source", min_docs=3
+    ).toPandas()
+    want = qx_duck.execute(
+        REGISTRY["boilerplate_line_removal_documents"].oracle
+    ).df()
+    w = want.set_index("doc_id")
+    n = len(FIXTURES)
+    d1, d2, d3, t1, t2 = n - 6, n - 5, n - 4, n - 3, n - 2
+    # the footer appears in 3 distinct same-source docs -> removed everywhere
+    for d in (d1, d2, d3):
+        assert w.loc[d, "removed_lines"] == 1, d
+        assert "FOOTER" not in w.loc[d, "clean_text"]
+    # a doc that was ONLY the footer + one line keeps its other line
+    assert w.loc[d2, "kept_lines"] == 1
+    # a line shared by only TWO docs survives (distinct-doc threshold)
+    assert w.loc[t1, "removed_lines"] == 0 and w.loc[t2, "removed_lines"] == 0
+    assert "twice-shared" in w.loc[t1, "clean_text"]
+    _assert_parity("boilerplate_line_removal", got, want)
+
+
+def test_control_char_profile_parity(qx_spark_docs, qx_duck):
+    from utils_infra_spark.pipeline.text import control_char_profile
+
+    got = control_char_profile(qx_spark_docs, "text", "doc_id").toPandas()
+    want = qx_duck.execute(REGISTRY["control_char_profile_documents"].oracle).df()
+    w = want.set_index("doc_id")
+    n = len(FIXTURES)
+    dmg, ctl = n - 1, n
+    assert w.loc[dmg, "replacement_chars"] == 2
+    assert not bool(w.loc[dmg, "encoding_pass"])
+    assert w.loc[ctl, "control_chars"] == 3
+    assert not bool(w.loc[ctl, "encoding_pass"])
+    # the clean designed doc passes
+    assert bool(w.loc[1, "encoding_pass"])
+    _assert_parity("control_char_profile", got, want)

@@ -83,6 +83,8 @@ def test_registry_surfaces_unproven_names_first():
         "dsir_importance_documents",
         "hll_distinct_users_by_type",
         "embedding_jl_projection",
+        "boilerplate_line_removal_documents",
+        "control_char_profile_documents",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

@@ -1066,3 +1066,73 @@ def dup_span_coverage(
             F.coalesce("dup_covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_token_ratio"),
     )
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    *,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-source boilerplate line removal (the RefinedWeb/Dolma
+    companion to :func:`line_dedup_corpus`): a non-blank line that
+    appears in at least ``min_docs`` DISTINCT documents of the SAME
+    source is navigation/footer/legal boilerplate and is removed from
+    EVERY document (line_dedup's keep-first rule intentionally keeps
+    one copy; boilerplate removal keeps none). Documents are
+    reassembled from their surviving lines in original order.
+
+    Emits ``(doc_id, clean_text, kept_lines, removed_lines)`` for
+    every document with at least one non-blank line — including ones
+    where everything was boilerplate (``clean_text = ''``), so the
+    output doubles as an audit table.
+
+    Contracts: EXACT raw-line matching (no trim — leading indentation
+    distinguishes lines, same as line_dedup); blank detection via the
+    explicit ``[ \\t\\n\\x0B\\f\\r]`` class; ``min_docs`` compares
+    COUNT(DISTINCT doc_id), so a line repeated many times inside one
+    document is not boilerplate by itself.
+
+    Engine shape at 100 TB — no hot-key liability by construction:
+
+    1. per-(source, line) distinct-doc counts via hash aggregate —
+       map-side partial distinct collapses each task's repeats of a
+       boilerplate line before the exchange (never a window over the
+       line key);
+    2. the count table has ONE row per distinct line, so joining it
+       back to the line stream cannot blow up on a 10^7-occurrence
+       line (the hot side is the probe, not the build); AQE may
+       broadcast the count table when small;
+    3. reassembly is one groupBy(doc_id) whose state is a single
+       document's lines; counts derive in the same aggregate.
+    """
+    blank = r"'^[ \\t\\n\\x0B\\f\\r]*$'"
+    lines = (
+        df.where(f"{text_col} IS NOT NULL")
+        .selectExpr(
+            f"{id_col} AS doc_id",
+            f"{source_col} AS __src",
+            rf"posexplode(split({text_col}, '\\n')) AS (line_no, line)",
+        )
+        .where(f"NOT line RLIKE {blank}")
+    )
+    counts = lines.groupBy("__src", "line").agg(
+        F.expr("COUNT(DISTINCT doc_id) AS __nd")
+    )
+    flagged = lines.join(counts, ["__src", "line"]).selectExpr(
+        "doc_id",
+        "line_no",
+        "line",
+        f"(__nd >= {int(min_docs)}) AS __boiler",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN NOT __boiler THEN struct(line_no, line) END)), s -> s.line), '\\n')"
+            " AS clean_text"
+        ),
+        F.expr("COUNT(CASE WHEN NOT __boiler THEN 1 END) AS kept_lines"),
+        F.expr("COUNT(CASE WHEN __boiler THEN 1 END) AS removed_lines"),
+    )

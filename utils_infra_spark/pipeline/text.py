@@ -862,3 +862,42 @@ def dsir_importance_scores(df, text_col: str, id_col: str, *, target_sql: str = 
             F.expr("CAST(SUM(q) AS BIGINT) AS dsir_nanonats"),
         )
     )
+
+
+def control_char_profile(df, text_col: str, id_col: str):
+    """Encoding-damage screen (the Dolma/RedPajama "mojibake" rule):
+    per document, counts of U+FFFD replacement characters (the
+    tombstone a lossy decode leaves behind) and of non-whitespace C0
+    control characters plus DEL (``[\\x00-\\x08\\x0E-\\x1F\\x7F]`` —
+    deliberately EXCLUDING tab/newline/VT/FF/CR, which the corpus
+    whitespace contract owns), the combined per-char fraction, and a
+    keep verdict (no replacement chars, damage fraction <= 0.1%).
+
+    Counting is replace/regexp_replace length deltas — one narrow
+    in-row projection, no shuffle, no explode. The U+FFFD literal is
+    embedded as the raw character (not an escape) so both engines'
+    parsers see the identical codepoint; the control class uses
+    two-digit ``\\xNN`` escapes, valid in both Java regex and RE2.
+    Fractions follow the integer half-up micro rule.
+    """
+    rep = "�"
+    ctrl = r"'[\\x00-\\x08\\x0E-\\x1F\\x7F]'"
+    base = df.where(f"{text_col} IS NOT NULL AND char_length({text_col}) >= 1").selectExpr(
+        f"{id_col} AS doc_id",
+        f"char_length({text_col}) AS n_chars",
+        f"char_length({text_col}) - char_length(replace({text_col}, '{rep}', ''))"
+        " AS replacement_chars",
+        f"char_length({text_col}) - char_length(regexp_replace({text_col}, {ctrl}, ''))"
+        " AS control_chars",
+    )
+    return base.selectExpr(
+        "doc_id",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        "CAST(replacement_chars AS BIGINT) AS replacement_chars",
+        "CAST(control_chars AS BIGINT) AS control_chars",
+        "CAST((2*(replacement_chars + control_chars)*1000000 + n_chars) DIV (2*n_chars)"
+        " AS DOUBLE) / 1000000.0 AS damage_frac",
+        "(replacement_chars = 0 AND"
+        " (2*(replacement_chars + control_chars)*1000000 + n_chars) DIV (2*n_chars) <= 1000)"
+        " AS encoding_pass",
+    )

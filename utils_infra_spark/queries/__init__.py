@@ -144,6 +144,8 @@ _SAMPLING_PRIORITY = [
     "dsir_importance_documents",
     "hll_distinct_users_by_type",
     "embedding_jl_projection",
+    "boilerplate_line_removal_documents",
+    "control_char_profile_documents",
     # --- remaining 39 in-window slots: the bench headline set and the most
     # load-bearing operators, for re-proof under the current code
     # (several had contract changes this round: explicit whitespace

@@ -1854,3 +1854,80 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return jl_project_long(emb, vec_col="embedding", id_col="vec_id", in_dim=64, out_dim=16)
+
+
+@register(
+    "boilerplate_line_removal_documents",
+    oracle="""
+    WITH lx AS (
+      SELECT doc_id, source AS src, string_split(text, chr(10)) AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    raw AS (
+      SELECT doc_id, src, unnest(range(len(ls))) AS line_no, unnest(ls) AS line
+      FROM lx
+    ),
+    lines AS (
+      SELECT * FROM raw WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')
+    ),
+    c AS (SELECT src, line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1, 2),
+    f AS (
+      SELECT l.doc_id, l.line_no, l.line, (c.nd >= 3) AS boiler
+      FROM lines l JOIN c USING (src, line)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                    FILTER (WHERE NOT boiler), '') AS clean_text,
+           COUNT(*) FILTER (WHERE NOT boiler) AS kept_lines,
+           COUNT(*) FILTER (WHERE boiler) AS removed_lines
+    FROM f GROUP BY doc_id
+    """,
+    doc="Per-source boilerplate line removal (RefinedWeb/Dolma rule — the "
+    "companion to line_dedup's keep-first): a non-blank line appearing in "
+    ">=3 DISTINCT docs of the same source is removed from EVERY doc; docs "
+    "reassembled in original order, zero-survivor docs kept as audit rows. "
+    "Skew-safe: distinct-doc counts via hash aggregate with map-side "
+    "partial distinct (no window over the line key); the count table has "
+    "one row per distinct line so the join back cannot blow up on a hot "
+    "boilerplate line.",
+)
+def boilerplate_line_removal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import boilerplate_line_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_line_removal(docs, "text", "doc_id", "source", min_docs=3)
+
+
+@register(
+    "control_char_profile_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+             AS replacement_chars,
+           CAST(length(text) -
+                length(regexp_replace(text, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'))
+             AS BIGINT) AS control_chars,
+           CAST((2*((length(text) - length(replace(text, chr(65533), '')))
+                    + (length(text) -
+                       length(regexp_replace(text, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'))))
+                 *1000000 + length(text)) // (2*length(text)) AS DOUBLE) / 1000000.0
+             AS damage_frac,
+           ((length(text) - length(replace(text, chr(65533), ''))) = 0 AND
+            (2*((length(text) - length(replace(text, chr(65533), '')))
+                + (length(text) -
+                   length(regexp_replace(text, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'))))
+             *1000000 + length(text)) // (2*length(text)) <= 1000) AS encoding_pass
+    FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+    """,
+    doc="Encoding-damage screen (Dolma/RedPajama mojibake rule): U+FFFD "
+    "replacement-char and non-whitespace C0-control/DEL counts per doc, "
+    "combined damage fraction (integer half-up micros), keep verdict (no "
+    "tombstones, damage <= 0.1%). Counting is replace/regexp length deltas "
+    "— one narrow in-row projection, zero shuffles; the control class "
+    "deliberately excludes tab/newline/VT/FF/CR (owned by the whitespace "
+    "contract) and uses \\\\xNN escapes valid in both Java regex and RE2.",
+)
+def control_char_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.control_char_profile(docs, "text", "doc_id")
