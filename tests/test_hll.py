@@ -141,12 +141,17 @@ def test_jl_long_form_matches_numpy(spark):
         (r["vec_id"], r["out_dim"]): r["p"]
         for r in jl_project_long(df, in_dim=64, out_dim=16).collect()
     }
-    S = np.array(jl_signs(64, 16), dtype=np.float64)
-    for i in range(5):
-        want = S @ vecs[i].astype(np.float64)
-        for d in range(16):
-            # same quantization contract as the operator
-            import math
+    import math
 
-            w = math.floor(float(want[d]) * 1e6 + 0.5) / 1e6
-            assert abs(got[(i, d)] - w) <= 1e-6  # fold order may differ from numpy by <=1 ulp pre-quantize
+    S = np.array(jl_signs(64, 16), dtype=np.int64)
+    for i in range(5):
+        # the operator's exact contract: per-element integer
+        # nano-quantize, then sign-weighted INTEGER sums — so the
+        # reference reproduces it bit-for-bit, no tolerance needed
+        qv = np.array(
+            [math.floor(float(v) * 1e9 + 0.5) for v in vecs[i].astype(np.float64)],
+            dtype=np.int64,
+        )
+        want = S @ qv
+        for d in range(16):
+            assert got[(i, d)] == int(want[d]) / 1e9

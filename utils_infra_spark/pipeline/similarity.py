@@ -410,18 +410,6 @@ def jl_signs(in_dim: int, out_dim: int) -> list[list[int]]:
     ]
 
 
-def jl_project_terms(signs_row: list[int], element_sql) -> str:
-    """One output coordinate as an explicit left-associative sum of
-    signed elements: ``0.0 + v1 - v2 + ...``. Both engines parse ``+``
-    / ``-`` left-associative and each step is one correctly-rounded
-    IEEE double add, so the fold is bit-identical cross-engine AND
-    partition-independent (it never leaves the row)."""
-    parts = ["0.0"]
-    for j, s in enumerate(signs_row):
-        parts.append(("+ " if s > 0 else "- ") + element_sql(j + 1))
-    return "(" + " ".join(parts) + ")"
-
-
 def jl_project_long(
     df: DataFrame,
     *,
@@ -432,24 +420,56 @@ def jl_project_long(
 ) -> DataFrame:
     """Project every vector to ``out_dim`` signed-sum coordinates,
     emitted LONG-FORM ``(id, out_dim, p)`` — one row per output
-    coordinate, micro-quantized (half-up, integer space).
+    coordinate.
 
-    Engine shape at 100 TB: a pure narrow projection (the stack is
-    in-row) — no shuffle, no UDF; each coordinate is a codegen'd
-    64-term double chain. 4× fewer bytes per vector afterwards
-    (64→16 dims), which is the point: the projected table is what
-    the ANN index / cluster stages shuffle. Distances are preserved
-    within the JL bound (unit tests pin Achlioptas' guarantee
-    empirically at the 3-sigma level)."""
+    Cross-engine contract (order-independent BY CONSTRUCTION): each
+    INPUT element is quantized ONCE to integer nano-units
+    (``floor(v*1e9 + 0.5)``); every output coordinate is then a
+    ±1-weighted INTEGER sum of those — associative/commutative, so
+    neither engine's evaluation order, partial-agg merge order, nor
+    partitioning can flip a bit. (The first draft spelled each
+    coordinate as a 64-term double chain, exact but 16×64 literal
+    expression nodes — past the JIT's huge-method limit, the
+    whole-stage codegen fell back to interpreted and ran ~9× slower
+    than DuckDB at sf0.1, the exact failure mode docs/SCALE.md
+    measured and rejected for the top-k twins. The integer-sum form
+    is a plain explode + hash aggregate: fully codegen'd, map-side
+    combined.)
+
+    Engine shape at 100 TB: posexplode (in_dim narrow rows per
+    vector) → ONE hash aggregate keyed on the vector id computing all
+    ``out_dim`` sign-weighted sums at once (map-side partial combine
+    collapses to one row per vector before any exchange; the sign
+    matrix lives in the plan as ``out_dim`` 64-int literal arrays) →
+    in-row stack to long form. The output is 4× smaller vectors,
+    which is the point: the projected table is what downstream
+    ANN/cluster stages shuffle. Distances are preserved within the JL
+    bound (unit tests pin Achlioptas' guarantee empirically).
+    """
     signs = jl_signs(in_dim, out_dim)
-    el = lambda j: f"CAST(element_at({vec_col}, {j}) AS DOUBLE)"
-    exprs = []
-    for i, row in enumerate(signs):
-        raw = jl_project_terms(row, el)
-        exprs.append(f"{i}, CAST(FLOOR({raw} * 1000000.0 + 0.5) AS BIGINT)")
-    stack = f"stack({out_dim}, " + ", ".join(exprs) + ") AS (out_dim, __p)"
-    return df.selectExpr(f"{id_col}", stack).selectExpr(
+    q = df.selectExpr(
+        f"{id_col}",
+        f"posexplode({vec_col}) AS (j0, v)",
+    ).selectExpr(
+        id_col,
+        "j0 + 1 AS j",
+        "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS q",
+    )
+    aggs = [
+        F.expr(
+            "SUM(element_at(array(" + ", ".join(str(x) for x in row) + "), j) * q)"
+            f" AS __p{i}"
+        )
+        for i, row in enumerate(signs)
+    ]
+    wide = q.groupBy(id_col).agg(*aggs)
+    stack = (
+        f"stack({out_dim}, "
+        + ", ".join(f"{i}, __p{i}" for i in range(out_dim))
+        + ") AS (out_dim, __pq)"
+    )
+    return wide.selectExpr(id_col, stack).selectExpr(
         id_col,
         "CAST(out_dim AS INT) AS out_dim",
-        "CAST(__p AS DOUBLE) / 1000000.0 AS p",
+        "CAST(__pq AS DOUBLE) / 1000000000.0 AS p",
     )

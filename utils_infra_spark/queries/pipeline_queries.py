@@ -1820,19 +1820,32 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
-    from ..pipeline.similarity import jl_project_terms, jl_signs
+    from ..pipeline.similarity import jl_signs
 
     signs = jl_signs(in_dim, out_dim)
-    el = lambda j: f"CAST(embedding[{j}] AS DOUBLE)"
-    structs = ", ".join(
-        "{'out_dim': %d, 'q': CAST(FLOOR(%s * 1000000.0 + 0.5) AS BIGINT)}"
-        % (i, jl_project_terms(row, el))
+    sums = ",\n             ".join(
+        "CAST(SUM(([" + ", ".join(str(x) for x in row) + "])[j] * q) AS BIGINT)"
+        f" AS p{i}"
         for i, row in enumerate(signs)
     )
+    structs = ", ".join(
+        "{'out_dim': %d, 'pq': p%d}" % (i, i) for i in range(out_dim)
+    )
     return f"""
+    WITH q AS (
+      SELECT vec_id, u.j,
+             CAST(FLOOR(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM embeddings, LATERAL (SELECT unnest(range(1, {in_dim + 1})) AS j) u
+    ),
+    w AS (
+      SELECT vec_id,
+             {sums}
+      FROM q GROUP BY vec_id
+    )
     SELECT vec_id, CAST(u.r.out_dim AS INT) AS out_dim,
-           CAST(u.r.q AS DOUBLE) / 1000000.0 AS p
-    FROM embeddings, LATERAL (SELECT unnest([{structs}]) AS r) u
+           CAST(u.r.pq AS DOUBLE) / 1000000000.0 AS p
+    FROM w, LATERAL (SELECT unnest([{structs}]) AS r) u
     """
 
 
@@ -1843,11 +1856,13 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
     "construction): 64-dim float vectors down to 16 signed-sum coordinates, "
     "long-form (vec_id, out_dim, p). The sign matrix is md5-derived at "
     "import (reproducible from code, no stored state) and embedded in both "
-    "engines; each coordinate is an explicit left-associative 64-term IEEE "
-    "double chain quantized half-up in integer space — bit-identical "
-    "cross-engine, partition-independent (never leaves the row). Pure "
-    "narrow projection: no shuffle, no UDF; the 4x-smaller projected table "
-    "is what downstream ANN/cluster stages shuffle at 100 TB.",
+    "engines as literal arrays; each INPUT element quantizes once to "
+    "integer nano-units, each coordinate is a ±1-weighted INTEGER sum — "
+    "order-independent by construction, fully codegen'd (the 64-term "
+    "double-chain draft fell to interpreted past the JIT method limit and "
+    "was replaced; see docstring). Explode + ONE map-side-combined hash "
+    "aggregate; the 4x-smaller projected table is what downstream "
+    "ANN/cluster stages shuffle at 100 TB.",
 )
 def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.similarity import jl_project_long
