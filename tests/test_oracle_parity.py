@@ -87,6 +87,11 @@ PARTITION_SENSITIVE = [
     # depend on partitioning, and its score is an integer sum — probe
     # both under 2/8/32 shuffle partitions
     "dsir_importance_documents",
+    # r7: JL's coordinates are sign-weighted integer sums (explicitly
+    # order-independent — probe pins the claim); boilerplate removal
+    # reassembles from a collect_list whose order only array_sort fixes
+    "embedding_jl_projection",
+    "boilerplate_line_removal_documents",
 ]
 
 
