@@ -124,13 +124,15 @@ def test_gopher_quality_whitespace_parity(qx_spark_docs, qx_duck):
     w = want.set_index("doc_id")
     assert bool(w.loc[1, "quality_pass"])            # the designed pass
     assert not bool(w.loc[2, "quality_pass"])        # word count
-    assert w.loc[3, "symbol_word_ratio"] > 0.1       # hash symbols counted
+    assert w.loc[3, "hash_word_ratio"] > 0.1         # hash symbols counted
+    assert not bool(w.loc[3, "quality_pass"])        # EITHER ratio fails alone
     assert w.loc[4, "bullet_line_frac"] > 0          # dash bullets counted
     assert w.loc[5, "ellipsis_line_frac"] > 0        # both ellipsis forms
     assert w.loc[6, "bullet_line_frac"] == 0.5       # tab-led line NOT a bullet
     assert w.loc[7, "alpha_word_frac"] < 0.8         # digit/punct tokens
     # doc 17: '....' = one non-overlapping '...' occurrence (+ none unicode)
-    assert w.loc[17, "symbol_word_ratio"] > 0
+    assert w.loc[17, "ellipsis_word_ratio"] > 0
+    assert w.loc[17, "hash_word_ratio"] == 0.0       # ratios are separate
     assert 15 not in w.index and 16 not in w.index   # empty/null excluded
     _assert_parity("gopher_quality", got, want)
 

@@ -58,6 +58,10 @@ def test_registry_surfaces_unproven_names_first():
     names = list(REGISTRY)
     expected_head = [n for n in _SAMPLING_PRIORITY if n in REGISTRY]
     assert names[: len(expected_head)] == expected_head
+    # the priority list IS the driver's sample: an entry past the
+    # window is silently never proven (happened twice in r7 drafts —
+    # pin the exact size so growth forces an explicit trim decision)
+    assert len(expected_head) == DRIVER_SAMPLE_WINDOW, len(expected_head)
     # the reorder must never drop or duplicate entries
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)

@@ -447,7 +447,11 @@ def jl_project_long(
     bound (unit tests pin Achlioptas' guarantee empirically).
     """
     signs = jl_signs(in_dim, out_dim)
-    q = df.selectExpr(
+    # NULL/empty vectors would silently vanish through posexplode on
+    # the Spark side while a range-driven oracle still emits rows —
+    # exclude them EXPLICITLY, mirrored in the oracle (same row-domain
+    # discipline as every text operator's IS NOT NULL gate)
+    q = df.where(f"{vec_col} IS NOT NULL AND size({vec_col}) >= 1").selectExpr(
         f"{id_col}",
         f"posexplode({vec_col}) AS (j0, v)",
     ).selectExpr(

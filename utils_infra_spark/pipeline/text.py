@@ -608,13 +608,14 @@ def quality_profile(df, text_col: str, id_col: str):
     """Gopher QUALITY rules (Rae et al. 2021 Table A1 — the
     non-repetition half; the repetition half is
     :func:`repetition_profile`) as one oracle-checkable per-document
-    profile: word count, mean word length, symbol-to-word ratio
-    (``#`` + ellipsis), bullet-start / ellipsis-end line fractions,
-    alphabetic-word fraction, required-stopword hits, and the
-    combined keep/drop verdict at the published thresholds
-    (50 <= words <= 100000, 3 <= mean len <= 10, symbol ratio <= 0.1,
-    bullet lines <= 0.9, ellipsis lines <= 0.3, alpha words >= 0.8,
-    >= 2 of the 8 required stopwords).
+    profile: word count, mean word length, per-symbol-to-word ratios
+    (``#`` and ellipsis SEPARATELY — the paper drops when EITHER
+    exceeds 0.1, not their sum), bullet-start / ellipsis-end line
+    fractions, alphabetic-word fraction, required-stopword hits, and
+    the combined keep/drop verdict at the published thresholds
+    (50 <= words <= 100000, 3 <= mean len <= 10, each symbol ratio
+    <= 0.1, bullet lines <= 0.9, ellipsis lines <= 0.3, alpha words
+    >= 0.8, >= 2 of the 8 required stopwords).
 
     Contracts (engine-identical by construction):
 
@@ -659,9 +660,9 @@ def quality_profile(df, text_col: str, id_col: str):
         "size(__toks) AS n_words",
         "aggregate(__toks, 0L, (a, x) -> a + char_length(x)) AS __sum_len",
         "size(filter(__toks, x -> x RLIKE '[A-Za-z]')) AS __alpha_words",
-        "char_length(__t) - char_length(replace(__t, '#', ''))"
-        " + char_length(__t) - char_length(replace(__t, '…', ''))"
-        " + (char_length(__t) - char_length(replace(__t, '...', ''))) DIV 3 AS __symbols",
+        "char_length(__t) - char_length(replace(__t, '#', '')) AS __hashes",
+        "char_length(__t) - char_length(replace(__t, '…', ''))"
+        " + (char_length(__t) - char_length(replace(__t, '...', ''))) DIV 3 AS __ellipses",
         "size(__lines) AS __n_lines",
         "size(filter(__lines, l -> array_contains(array('-', '•', '*'),"
         " substring(ltrim(l), 1, 1)))) AS __bullet_lines",
@@ -673,7 +674,8 @@ def quality_profile(df, text_col: str, id_col: str):
         "doc_id",
         "n_words",
         "(2*__sum_len*1000000 + n_words) DIV (2*n_words) AS __m_mwl",
-        "(2*__symbols*1000000 + n_words) DIV (2*n_words) AS __m_sym",
+        "(2*__hashes*1000000 + n_words) DIV (2*n_words) AS __m_hash",
+        "(2*__ellipses*1000000 + n_words) DIV (2*n_words) AS __m_edots",
         "(2*__bullet_lines*1000000 + __n_lines) DIV (2*__n_lines) AS __m_bullet",
         "(2*__ellipsis_lines*1000000 + __n_lines) DIV (2*__n_lines) AS __m_ell",
         "(2*__alpha_words*1000000 + n_words) DIV (2*n_words) AS __m_alpha",
@@ -682,13 +684,15 @@ def quality_profile(df, text_col: str, id_col: str):
         "doc_id",
         "CAST(n_words AS BIGINT) AS n_words",
         "CAST(__m_mwl AS DOUBLE) / 1000000.0 AS mean_word_len",
-        "CAST(__m_sym AS DOUBLE) / 1000000.0 AS symbol_word_ratio",
+        "CAST(__m_hash AS DOUBLE) / 1000000.0 AS hash_word_ratio",
+        "CAST(__m_edots AS DOUBLE) / 1000000.0 AS ellipsis_word_ratio",
         "CAST(__m_bullet AS DOUBLE) / 1000000.0 AS bullet_line_frac",
         "CAST(__m_ell AS DOUBLE) / 1000000.0 AS ellipsis_line_frac",
         "CAST(__m_alpha AS DOUBLE) / 1000000.0 AS alpha_word_frac",
         "CAST(stopword_hits AS BIGINT) AS stopword_hits",
         "(n_words BETWEEN 50 AND 100000 AND __m_mwl BETWEEN 3000000 AND 10000000"
-        " AND __m_sym <= 100000 AND __m_bullet <= 900000 AND __m_ell <= 300000"
+        " AND __m_hash <= 100000 AND __m_edots <= 100000"
+        " AND __m_bullet <= 900000 AND __m_ell <= 300000"
         " AND __m_alpha >= 800000 AND stopword_hits >= 2) AS quality_pass",
     )
 
@@ -732,16 +736,27 @@ def c4_line_filter(df, text_col: str, id_col: str):
         f"{text_col} AS __t",
         rf"transform(split({text_col}, '\\n'), l -> regexp_replace(l, {edge}, '')) AS __lines",
     )
-    return base.selectExpr(
+    # stage the kept array in its OWN projection: the keep predicate
+    # is a lambda expression, outside Spark's common-subexpression
+    # elimination, so inlining it four times would re-split and
+    # re-test every line 4x per document; CollapseProject keeps the
+    # boundary because the alias is expensive and multi-referenced
+    # (the same staging discipline as minhash's shingled()).
+    staged = base.selectExpr(
         "doc_id",
-        f"array_join(filter(__lines, l -> {keep_l}), '\\n') AS clean_text",
-        "CAST(size(__lines) AS BIGINT) AS n_lines",
-        f"CAST(size(filter(__lines, l -> {keep_l})) AS BIGINT) AS kept_lines",
-        f"CAST(size(__lines) - size(filter(__lines, l -> {keep_l})) AS BIGINT)"
-        " AS dropped_lines",
+        "__t",
+        "size(__lines) AS __n_lines",
+        f"filter(__lines, l -> {keep_l}) AS __kept",
+    )
+    return staged.selectExpr(
+        "doc_id",
+        "array_join(__kept, '\\n') AS clean_text",
+        "CAST(__n_lines AS BIGINT) AS n_lines",
+        "CAST(size(__kept) AS BIGINT) AS kept_lines",
+        "CAST(__n_lines - size(__kept) AS BIGINT) AS dropped_lines",
         "contains(lower(__t), 'lorem ipsum') AS has_lorem",
         "contains(__t, '{') AS has_brace",
-        f"(size(filter(__lines, l -> {keep_l})) >= 3"
+        "(size(__kept) >= 3"
         " AND NOT contains(lower(__t), 'lorem ipsum')"
         " AND NOT contains(__t, '{')) AS c4_keep",
     )

@@ -146,10 +146,11 @@ _SAMPLING_PRIORITY = [
     "embedding_jl_projection",
     "boilerplate_line_removal_documents",
     "control_char_profile_documents",
-    # --- remaining 39 in-window slots: the bench headline set and the most
-    # load-bearing operators, for re-proof under the current code
-    # (several had contract changes this round: explicit whitespace
-    # classes, fixed-point char-LM scoring).
+    # --- remaining 32 in-window slots (18 never-proven names above):
+    # the bench headline set and the most load-bearing operators, for
+    # re-proof under the current code (several had contract changes
+    # this round: explicit whitespace classes, fixed-point char-LM
+    # scoring).
     "pricing_summary",
     "composite_agg_orders",
     "order_revenue_top10",
@@ -184,18 +185,18 @@ _SAMPLING_PRIORITY = [
     "ivf_topk_probes",
     "boilerplate_gram_ratio",
     "fuzzy_part_name_pairs",
-    "embedding_int8_quantize",
-    "train_val_test_split",
-    "doc_token_chunks",
-    "benchmark_contamination",
-    "pack_documents_shards",
-    "stratified_sample_by_lang",
-    "sessionize_events",
     # (purchase_funnel / weekly_retention / asof_click_purchase were
     # listed here in an early r7 draft but sat at positions 50-52 —
     # OUTSIDE the 50-slot window, silently unproven; all three are
     # already pass(p) from prior rounds, so they were cut rather than
-    # displace never-proven names. The head must stay <= 50 entries.)
+    # displace never-proven names. The head must stay <= 50 entries.
+    # Session 2 repeated the mistake in the other direction: adding 7
+    # new operators grew the list to 57, pushing embedding_int8_quantize
+    # / train_val_test_split / doc_token_chunks / benchmark_contamination
+    # / pack_documents_shards / stratified_sample_by_lang /
+    # sessionize_events to 50-56 — all seven are pass(p) re-proof
+    # names, so they were trimmed (coverage unaffected); the
+    # window-size test in test_session.py now pins len(head) == 50.)
 ]
 
 # the driver's CORRECTNESS runner verifies this many registry entries,

@@ -1592,9 +1592,9 @@ REGISTRY["kmeans_refine_assignments"].oracle = f"""
       SELECT doc_id, len(ts) AS n_words,
              list_sum(list_transform(ts, x -> length(x))) AS sum_len,
              len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
-             length(t) - length(replace(t, '#', ''))
-               + length(t) - length(replace(t, '…', ''))
-               + (length(t) - length(replace(t, '...', ''))) // 3 AS symbols,
+             length(t) - length(replace(t, '#', '')) AS hashes,
+             length(t) - length(replace(t, '…', ''))
+               + (length(t) - length(replace(t, '...', ''))) // 3 AS edots,
              len(ls) AS n_lines,
              len(list_filter(ls, l -> list_contains(['-', '•', '*'],
                                                     substr(ltrim(l), 1, 1)))) AS bullet_lines,
@@ -1608,7 +1608,8 @@ REGISTRY["kmeans_refine_assignments"].oracle = f"""
     m AS (
       SELECT doc_id, n_words,
              (2*sum_len*1000000 + n_words) // (2*n_words) AS m_mwl,
-             (2*symbols*1000000 + n_words) // (2*n_words) AS m_sym,
+             (2*hashes*1000000 + n_words) // (2*n_words) AS m_hash,
+             (2*edots*1000000 + n_words) // (2*n_words) AS m_edots,
              (2*bullet_lines*1000000 + n_lines) // (2*n_lines) AS m_bullet,
              (2*ell_lines*1000000 + n_lines) // (2*n_lines) AS m_ell,
              (2*alpha_words*1000000 + n_words) // (2*n_words) AS m_alpha,
@@ -1617,18 +1618,21 @@ REGISTRY["kmeans_refine_assignments"].oracle = f"""
     )
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(m_mwl AS DOUBLE) / 1000000.0 AS mean_word_len,
-           CAST(m_sym AS DOUBLE) / 1000000.0 AS symbol_word_ratio,
+           CAST(m_hash AS DOUBLE) / 1000000.0 AS hash_word_ratio,
+           CAST(m_edots AS DOUBLE) / 1000000.0 AS ellipsis_word_ratio,
            CAST(m_bullet AS DOUBLE) / 1000000.0 AS bullet_line_frac,
            CAST(m_ell AS DOUBLE) / 1000000.0 AS ellipsis_line_frac,
            CAST(m_alpha AS DOUBLE) / 1000000.0 AS alpha_word_frac,
            CAST(stopword_hits AS BIGINT) AS stopword_hits,
            (n_words BETWEEN 50 AND 100000 AND m_mwl BETWEEN 3000000 AND 10000000
-            AND m_sym <= 100000 AND m_bullet <= 900000 AND m_ell <= 300000
+            AND m_hash <= 100000 AND m_edots <= 100000
+            AND m_bullet <= 900000 AND m_ell <= 300000
             AND m_alpha >= 800000 AND stopword_hits >= 2) AS quality_pass
     FROM m
     """,
     doc="Gopher QUALITY rules (Rae et al. 2021 Table A1, non-repetition half): "
-    "word count / mean word length / symbol ratio / bullet+ellipsis line "
+    "word count / mean word length / per-symbol (#, ellipsis) ratios — the "
+    "paper drops when EITHER exceeds 0.1 / bullet+ellipsis line "
     "fractions / alpha-word fraction / required-stopword hits plus the "
     "keep-drop verdict at the published thresholds. All fractions "
     "integer-derived, published via the half-up micro rule; verdict compared "
@@ -1837,6 +1841,7 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
              CAST(FLOOR(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE)
                         * 1000000000.0 + 0.5) AS BIGINT) AS q
       FROM embeddings, LATERAL (SELECT unnest(range(1, {in_dim + 1})) AS j) u
+      WHERE embedding IS NOT NULL AND len(embedding) >= 1
     ),
     w AS (
       SELECT vec_id,
