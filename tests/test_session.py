@@ -120,3 +120,25 @@ def test_checkpoint_with_ids_attributes_exactly_its_own_rdd(spark):
     assert lazy.count() == 7  # materializing the lazy one changes nothing
     unpersist_rdd_ids(spark, lazy_ids | eager_ids)
     assert (lazy_ids | eager_ids) & _persistent_rdd_ids(spark) == set()
+
+
+def test_spread_memo_records_and_reuses_decision(spark):
+    """spread()'s layout probe (inputFiles + a Py4J RDD
+    materialization, ~40-50 ms per fresh Dataset) memoizes per
+    (semanticHash, partitions, min_bytes). Two semantically identical
+    FRESH DataFrames must share one memo entry and get the same
+    decision; a different partitions target is a separate entry."""
+    from utils_infra_spark.sources.tables import _SPREAD_MEMO, spread
+
+    def mk():
+        return spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    out1 = spread(mk(), partitions=4, min_bytes=0)
+    per = _SPREAD_MEMO.get(spark)
+    assert per is not None and len(per) >= 1
+    n_before = len(per)
+    out2 = spread(mk(), partitions=4, min_bytes=0)
+    assert len(per) == n_before  # same plan -> reused entry, no new probe
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+    spread(mk(), partitions=2, min_bytes=0)
+    assert len(per) == n_before + 1  # different target -> its own entry
