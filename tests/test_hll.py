@@ -155,3 +155,71 @@ def test_jl_long_form_matches_numpy(spark):
         want = S @ qv
         for d in range(16):
             assert got[(i, d)] == int(want[d]) / 1e9
+
+
+# ------------------------------------------------------ streaming HLL
+def test_hll_estimate_py_matches_sql(spark):
+    """The Python estimate twin must be value-identical to the batch
+    SQL on real register sets (same integer harmonic sum, same float
+    op order, same literal LC table)."""
+    from utils_infra_spark.pipeline.sketch import hll_estimate_py
+
+    rows = [("big", f"u{i}") for i in range(3000)] + [
+        ("small", f"v{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    sql_est = {r["g"]: r["hll_estimate"] for r in hll_distinct(df, ["g"], "u").collect()}
+    regs = {}
+    for r in hll_sketch(df, ["g"], "u").collect():
+        regs.setdefault(r["g"], [0] * HLL_M)[r["idx"]] = r["m"]
+    for g, dense in regs.items():
+        assert hll_estimate_py(dense) == sql_est[g], g
+
+
+def test_hll_stream_matches_batch_estimate(spark, tmp_path):
+    """Stateful streaming HLL: rows split across micro-batches in an
+    arbitrary order must end at the IDENTICAL estimate the batch
+    sketch computes on the union — max-merge is order-free and the
+    estimate math is shared."""
+    import json
+    import os
+
+    from utils_infra_spark.pipeline.sketch import hll_distinct_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("a", f"u{i}") for i in range(300)] + [("b", f"w{i}") for i in range(40)]
+    # two micro-batch files, interleaved split
+    for bi in range(2):
+        with open(f"{src}/b{bi}.json", "w") as f:
+            for g, u in rows[bi::2]:
+                f.write(json.dumps({"g": g, "u": u}) + "\n")
+    stream = (
+        spark.readStream.schema("g string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = hll_distinct_stream(stream, ["g"], "u")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT g, hll_estimate FROM hll_stream"
+    ).toPandas()
+    # update mode appends one row per key per batch, in no guaranteed
+    # order — but register max-merge makes the estimate monotone
+    # non-decreasing, so the FINAL value is the max per key
+    final = got.groupby("g")["hll_estimate"].max().to_dict()
+    batch = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct(
+            spark.createDataFrame(rows, "g string, u string"), ["g"], "u"
+        ).collect()
+    }
+    assert final == batch

@@ -225,3 +225,81 @@ def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str) -> DataFram
     value) per key with 64 registers (~13% relative error), fully
     mergeable, two bounded shuffles."""
     return hll_estimate(hll_sketch(df, key_cols, value_col), key_cols)
+
+
+def hll_estimate_py(regs: list[int]) -> float:
+    """Pure-Python twin of :func:`hll_estimate`'s SQL — the SAME
+    integer harmonic sum, the SAME float ops in the SAME order, the
+    SAME precomputed linear-counting table — so a streaming operator
+    holding registers in state emits estimates value-identical to the
+    batch SQL (pinned by test). ``regs`` is the dense 64-slot register
+    list, 0 = never touched."""
+    s_int = sum(1 << (53 - m) for m in regs if m > 0)
+    v = sum(1 for m in regs if m == 0)
+    s_int += v * (1 << 53)
+    raw = (0.709 * 4096.0 * 9007199254740992.0) / float(s_int)
+    if raw <= 2.5 * HLL_M and v > 0:
+        est_micro = _LC_MICRO[v - 1]
+    else:
+        import math
+
+        est_micro = math.floor(raw * 1000000.0 + 0.5)
+    return est_micro / 1e6
+
+
+def hll_distinct_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Streaming approximate COUNT(DISTINCT) per key: the register
+    derivation runs IN-ROW on the stream (same md5 contract as the
+    batch sketch), one ``applyInPandasWithState`` group per key holds
+    the dense 64-register array as state, each micro-batch folds its
+    rows in with ``max`` per register and emits the key's refreshed
+    estimate (update semantics — latest row per key wins downstream).
+
+    Because max-merge is associative/commutative and the estimate
+    math is :func:`hll_estimate_py` (value-identical to the batch
+    SQL), a stream that has seen the same rows as a batch job — in
+    ANY batch split or order — emits the IDENTICAL final estimate
+    (pinned by e2e test). State per key is 64 ints, ~independent of
+    stream length: the streaming twin of the batch sketch's
+    bounded-registers property, and the approximate swap-in when a
+    keyed-upsert job needs per-key distinct counts without holding a
+    user set in state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    idx, rho = hll_register_expr(value_col)
+    rows = stream_df.where(f"{value_col} IS NOT NULL").selectExpr(
+        *key_cols, f"{idx} AS idx", f"{rho} AS rho"
+    )
+    n_keys = len(key_cols)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * HLL_M
+        seen = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen = True
+            for i, r in zip(pdf["idx"].tolist(), pdf["rho"].tolist()):
+                if r > regs[i]:
+                    regs[i] = int(r)
+        if not seen:
+            return
+        state.update((regs,))
+        out = {k: [key_tuple[j]] for j, k in enumerate(key_cols)}
+        out["hll_estimate"] = [hll_estimate_py(regs)]
+        yield pd.DataFrame(out)
+
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    return rows.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_schema}, hll_estimate double",
+        stateStructType="regs array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
