@@ -146,7 +146,8 @@ _SAMPLING_PRIORITY = [
     "embedding_jl_projection",
     "boilerplate_line_removal_documents",
     "control_char_profile_documents",
-    # --- remaining 32 in-window slots (18 never-proven names above):
+    "ccnet_perplexity_buckets",
+    # --- remaining 31 in-window slots (19 never-proven names above):
     # the bench headline set and the most load-bearing operators, for
     # re-proof under the current code (several had contract changes
     # this round: explicit whitespace classes, fixed-point char-LM
@@ -184,7 +185,6 @@ _SAMPLING_PRIORITY = [
     "ivf_assign_lists",
     "ivf_topk_probes",
     "boilerplate_gram_ratio",
-    "fuzzy_part_name_pairs",
     # (purchase_funnel / weekly_retention / asof_click_purchase were
     # listed here in an early r7 draft but sat at positions 50-52 —
     # OUTSIDE the 50-slot window, silently unproven; all three are
@@ -194,7 +194,9 @@ _SAMPLING_PRIORITY = [
     # new operators grew the list to 57, pushing embedding_int8_quantize
     # / train_val_test_split / doc_token_chunks / benchmark_contamination
     # / pack_documents_shards / stratified_sample_by_lang /
-    # sessionize_events to 50-56 — all seven are pass(p) re-proof
+    # sessionize_events to 50-56 — all seven are pass(p) re-proof;
+    # fuzzy_part_name_pairs (hash-green in r6, the freshest re-proof)
+    # was later cut for ccnet_perplexity_buckets
     # names, so they were trimmed (coverage unaffected); the
     # window-size test in test_session.py now pins len(head) == 50.)
 ]

@@ -1951,3 +1951,66 @@ def boilerplate_line_removal_documents(spark: SparkSession, sf_dir: str) -> Data
 def control_char_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.control_char_profile(docs, "text", "doc_id")
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH nz AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
+      FROM documents WHERE text IS NOT NULL
+        AND length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) >= 3
+    ),
+    tris AS (
+      SELECT doc_id, substr(t, CAST(u.i AS INT), 3) AS tri
+      FROM nz, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
+    ),
+    tc AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY tri),
+    cc AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c3) AS c2 FROM tc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS vsz FROM tc),
+    q AS (
+      SELECT tc.tri,
+             CAST(FLOOR(-ln((CAST(tc.c3 AS DOUBLE) + 0.5) /
+                            (CAST(cc.c2 AS DOUBLE) + 0.5 * CAST(v.vsz AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM tc JOIN cc ON substr(tc.tri, 1, 2) = cc.ctx CROSS JOIN v
+    ),
+    scores AS (
+      SELECT s.doc_id,
+             CAST((2*SUM(q.q) + COUNT(*)*1000) // (2*COUNT(*)*1000) AS DOUBLE) / 1000000.0
+               AS avg_neg_logp
+      FROM tris s JOIN q USING (tri)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, d.lang, s.avg_neg_logp,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_neg_logp, d.doc_id) AS INT) AS ppl_bucket
+    FROM scores s JOIN documents d USING (doc_id)
+    """,
+    doc="The CCNet bucket step (Wenzek et al. 2020 §4.4): per language, split "
+    "documents into head/middle/tail thirds (ppl_bucket 1/2/3) by the "
+    "self-trained char-LM score — best-predicted third = head, the slice "
+    "CCNet keeps for pretraining. Composition of the proven char-LM scorer "
+    "with a per-lang ntile (tiebreak doc_id, deterministic cross-engine). "
+    "The exact ntile needs a per-language sort — fine here because the "
+    "score table is one narrow row per doc; the 100 TB swap-in is "
+    "approx_percentile cutoffs per lang (two broadcastable thresholds, no "
+    "global sort), documented on the operator. Registered uncacheable: the "
+    "char-LM fit re-runs per plan() call, same honesty pin as its parent.",
+    cache_plan=False,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.char_trigram_lm_scores(docs, "text", "doc_id").select(
+        "doc_id", "avg_neg_logp"
+    )
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "avg_neg_logp",
+            "CAST(ntile(3) OVER (PARTITION BY lang"
+            " ORDER BY avg_neg_logp, doc_id) AS INT) AS ppl_bucket",
+        )
+    )
