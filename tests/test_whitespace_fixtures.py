@@ -134,3 +134,33 @@ def test_gopher_repetition_whitespace_parity(ws_spark_docs, ws_duck):
     assert {8, 9, 10}.isdisjoint(set(want["doc_id"]))
     assert set(want[want["doc_id"] == 6]["n_lines"]) == {3}
     _assert_parity("gopher_repetition", got, want)
+
+
+def test_doc_fingerprint_md5_whitespace_parity(ws_spark_docs, ws_duck):
+    from utils_infra_spark.queries import REGISTRY
+
+    q = REGISTRY["doc_fingerprint_md5"]
+    # run the registered builder against the fixture frame by renaming
+    # the view the oracle reads — the builder itself takes (spark, dir),
+    # so drive its body inline on the fixture columns instead
+    ws = r"'[ \\t\\n\\x0B\\f\\r]+'"
+    got = (
+        ws_spark_docs.where("text IS NOT NULL")
+        .selectExpr("doc_id", rf"filter(split(text, {ws}), t -> t != '') AS __ts")
+        .where("size(__ts) > 0")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(__ts) AS BIGINT) AS n_tokens",
+            "CASE WHEN size(__ts) >= 8 THEN"
+            " array_min(transform(sequence(1, size(__ts) - 7),"
+            " i -> md5(concat_ws(' ', slice(__ts, i, 8)))))"
+            " ELSE md5(concat_ws(' ', __ts)) END AS fingerprint",
+        )
+        .toPandas()
+    )
+    want = ws_duck.execute(q.oracle).df()
+    w = want.set_index("doc_id")
+    # docs 1 and 2 differ only by a trailing LF: phantom-token minting
+    # would give them different window sets — the fingerprints must match
+    assert w.loc[1, "fingerprint"] == w.loc[2, "fingerprint"]
+    _assert_parity("doc_fingerprint_md5", got, want)

@@ -147,7 +147,10 @@ _SAMPLING_PRIORITY = [
     "boilerplate_line_removal_documents",
     "control_char_profile_documents",
     "ccnet_perplexity_buckets",
-    # --- remaining 31 in-window slots (19 never-proven names above):
+    "doc_fingerprint_md5",
+    # --- remaining 30 in-window slots (20 never-proven names above;
+    # boilerplate_gram_ratio, hash-green in r6, was the trim for
+    # doc_fingerprint_md5):
     # the bench headline set and the most load-bearing operators, for
     # re-proof under the current code (several had contract changes
     # this round: explicit whitespace classes, fixed-point char-LM
@@ -184,7 +187,6 @@ _SAMPLING_PRIORITY = [
     "token_counts_cms",
     "ivf_assign_lists",
     "ivf_topk_probes",
-    "boilerplate_gram_ratio",
     # (purchase_funnel / weekly_retention / asof_click_purchase were
     # listed here in an early r7 draft but sat at positions 50-52 —
     # OUTSIDE the 50-slot window, silently unproven; all three are

@@ -2014,3 +2014,48 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ORDER BY avg_neg_logp, doc_id) AS INT) AS ppl_bucket",
         )
     )
+
+
+@register(
+    "doc_fingerprint_md5",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (SELECT doc_id, ts, len(ts) AS n_tokens FROM tok WHERE len(ts) > 0)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens >= 8 THEN
+             list_min(list_transform(range(1, n_tokens - 8 + 2),
+                      i -> md5(array_to_string(ts[i : i + 7], ' '))))
+           ELSE md5(array_to_string(ts, ' ')) END AS fingerprint
+    FROM base
+    """,
+    doc="Winnowing-style document fingerprint, md5 oracle twin of the "
+    "rows-only xxhash64 production form (doc_fingerprints): min hash over "
+    "8-token sliding windows (whole-doc hash when shorter), dup-span "
+    "tokenization contract. Same min-over-windows robustness-to-local-edits "
+    "property, engine-neutral hash so the whole contract is hash-checkable. "
+    "Pure in-row projection — zero shuffles.",
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = r"'[ \\t\\n\\x0B\\f\\r]+'"
+    return (
+        docs.where("text IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            rf"filter(split(text, {ws}), t -> t != '') AS __ts",
+        )
+        .where("size(__ts) > 0")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(__ts) AS BIGINT) AS n_tokens",
+            "CASE WHEN size(__ts) >= 8 THEN"
+            " array_min(transform(sequence(1, size(__ts) - 7),"
+            " i -> md5(concat_ws(' ', slice(__ts, i, 8)))))"
+            " ELSE md5(concat_ws(' ', __ts)) END AS fingerprint",
+        )
+    )
