@@ -91,6 +91,7 @@ def test_registry_surfaces_unproven_names_first():
         "control_char_profile_documents",
         "ccnet_perplexity_buckets",
         "doc_fingerprint_md5",
+        "pretrain_pipeline_documents",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
     # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output

@@ -148,9 +148,11 @@ _SAMPLING_PRIORITY = [
     "control_char_profile_documents",
     "ccnet_perplexity_buckets",
     "doc_fingerprint_md5",
-    # --- remaining 30 in-window slots (20 never-proven names above;
-    # boilerplate_gram_ratio, hash-green in r6, was the trim for
-    # doc_fingerprint_md5):
+    "pretrain_pipeline_documents",
+    # --- remaining 29 in-window slots (21 never-proven names above;
+    # boilerplate_gram_ratio and ivf_topk_probes, both hash-green in
+    # r6, were the trims for doc_fingerprint_md5 and the pipeline
+    # capstone):
     # the bench headline set and the most load-bearing operators, for
     # re-proof under the current code (several had contract changes
     # this round: explicit whitespace classes, fixed-point char-LM
@@ -186,7 +188,6 @@ _SAMPLING_PRIORITY = [
     "column_profile_events",
     "token_counts_cms",
     "ivf_assign_lists",
-    "ivf_topk_probes",
     # (purchase_funnel / weekly_retention / asof_click_purchase were
     # listed here in an early r7 draft but sat at positions 50-52 —
     # OUTSIDE the 50-slot window, silently unproven; all three are

@@ -2059,3 +2059,106 @@ def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE md5(concat_ws(' ', __ts)) END AS fingerprint",
         )
     )
+
+
+def _pretrain_pipeline_oracle() -> str:
+    # compose the PROVEN oracles as nested-WITH CTEs (both engines
+    # accept WITH inside a CTE body) — the composed query can never
+    # drift from the operators it chains
+    g = REGISTRY["gopher_quality_documents"].oracle
+    r = REGISTRY["gopher_repetition_documents"].oracle
+    c = REGISTRY["c4_line_filters_documents"].oracle
+    e = REGISTRY["control_char_profile_documents"].oracle
+    return f"""
+    WITH gq AS ({g}),
+    gr AS ({r}),
+    c4 AS ({c}),
+    enc AS ({e}),
+    dup AS (
+      SELECT doc_id,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT d.doc_id,
+             COALESCE(c4.c4_keep, FALSE) AS c4_keep,
+             COALESCE(gq.quality_pass, FALSE) AS quality_pass,
+             COALESCE(gr.gopher_pass, FALSE) AS repetition_pass,
+             COALESCE(enc.encoding_pass, FALSE) AS encoding_pass,
+             dup.is_exact_dup
+      FROM documents d
+      JOIN dup USING (doc_id)
+      LEFT JOIN c4 USING (doc_id)
+      LEFT JOIN gq USING (doc_id)
+      LEFT JOIN gr USING (doc_id)
+      LEFT JOIN enc USING (doc_id)
+      WHERE d.text IS NOT NULL
+    )
+    SELECT doc_id, c4_keep, quality_pass, repetition_pass, encoding_pass,
+           is_exact_dup,
+           (c4_keep AND quality_pass AND repetition_pass AND encoding_pass
+            AND NOT is_exact_dup) AS final_keep
+    FROM f
+    """
+
+
+@register(
+    "pretrain_pipeline_documents",
+    oracle=_pretrain_pipeline_oracle(),
+    doc="The full pretraining-data cleaning pipeline as ONE query — the "
+    "capstone composition a reference user actually runs: C4 line rules, "
+    "Gopher quality + repetition gates, encoding-damage screen, exact-dup "
+    "flag (min-doc_id keeper per md5), and the combined final_keep verdict, "
+    "one audit row per document. Spark side chains the proven lib "
+    "operators; the oracle NESTS the four proven oracles as CTEs, so the "
+    "composition can never drift from its parts. Per-stage flags mean a "
+    "user can attribute every dropped doc to the gate that cut it. All "
+    "five branches share the one documents scan; the only corpus-keyed "
+    "shuffle is the md5 digest group (map-side combined).",
+)
+def pretrain_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import c4_line_filter, control_char_profile, quality_profile
+    from ..pipeline.text import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where("text IS NOT NULL")
+    c4 = c4_line_filter(docs, "text", "doc_id").select("doc_id", "c4_keep")
+    gq = quality_profile(docs, "text", "doc_id").select("doc_id", "quality_pass")
+    gr = repetition_profile(docs, "text", "doc_id").select("doc_id", "gopher_pass")
+    enc = control_char_profile(docs, "text", "doc_id").select("doc_id", "encoding_pass")
+    # skew-safe dup flag: digest groupBy (map-side combined) + join
+    # back — NEVER a window over md5(text), whose partitions are
+    # unbounded when one document repeats corpus-wide (the oracle may
+    # use the window form; values are identical, only the physical
+    # shape differs)
+    digs = base.selectExpr("doc_id", "md5(text) AS __dig")
+    keeper = digs.groupBy("__dig").agg(F.expr("MIN(doc_id) AS __keeper"))
+    dup = digs.join(keeper, "__dig").selectExpr(
+        "doc_id", "doc_id != __keeper AS is_exact_dup"
+    )
+    out = (
+        base.select("doc_id")
+        .join(dup, "doc_id")
+        .join(c4, "doc_id", "left")
+        .join(gq, "doc_id", "left")
+        .join(gr, "doc_id", "left")
+        .join(enc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(c4_keep, FALSE) AS c4_keep",
+            "COALESCE(quality_pass, FALSE) AS quality_pass",
+            "COALESCE(gopher_pass, FALSE) AS repetition_pass",
+            "COALESCE(encoding_pass, FALSE) AS encoding_pass",
+            "is_exact_dup",
+        )
+    )
+    return out.selectExpr(
+        "doc_id",
+        "c4_keep",
+        "quality_pass",
+        "repetition_pass",
+        "encoding_pass",
+        "is_exact_dup",
+        "(c4_keep AND quality_pass AND repetition_pass AND encoding_pass"
+        " AND NOT is_exact_dup) AS final_keep",
+    )
