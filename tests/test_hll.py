@@ -79,6 +79,22 @@ def test_estimate_accuracy_and_small_range_branch(spark):
     assert est["small"] == _LC_MICRO[v - 1] / 1e6
 
 
+def test_estimate_overflow_regime_no_ansi_error(spark):
+    """All 64 registers at the max rho (53) drives raw ≈ 4.1e17 —
+    micro-rounding that would overflow BIGINT and ANSI-error the
+    query. Above 1e12 the estimate is the raw double, unrounded, and
+    the Python twin agrees exactly."""
+    from utils_infra_spark.pipeline.sketch import hll_estimate_py
+
+    regs = spark.createDataFrame(
+        [("g", i, 53) for i in range(HLL_M)], "g string, idx int, m int"
+    )
+    est = hll_estimate(regs, ["g"]).collect()[0]["hll_estimate"]
+    want = (0.709 * 4096.0 * 9007199254740992.0) / 64.0
+    assert est == want
+    assert hll_estimate_py([53] * HLL_M) == want
+
+
 def test_lc_table_matches_formula():
     for v in (1, 13, 64):
         assert _LC_MICRO[v - 1] == math.floor(HLL_M * math.log(HLL_M / v) * 1e6 + 0.5)
@@ -157,6 +173,25 @@ def test_jl_long_form_matches_numpy(spark):
             assert got[(i, d)] == int(want[d]) / 1e9
 
 
+def test_jl_row_domain_gate(spark):
+    """The row-domain gate is size(vec) = in_dim exactly: NULL, short,
+    and OVER-length vectors are all excluded — an over-length vector
+    previously threw INVALID_ARRAY_INDEX under ANSI while the DuckDB
+    oracle silently summed the first in_dim elements."""
+    from utils_infra_spark.pipeline.similarity import jl_project_long
+
+    rows = [
+        (1, [0.5] * 64),
+        (2, [0.5] * 65),
+        (3, [0.5] * 10),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = jl_project_long(df, in_dim=64, out_dim=16).collect()
+    assert {r["vec_id"] for r in out} == {1}
+    assert len(out) == 16
+
+
 # ------------------------------------------------------ streaming HLL
 def test_hll_estimate_py_matches_sql(spark):
     """The Python estimate twin must be value-identical to the batch
@@ -174,6 +209,51 @@ def test_hll_estimate_py_matches_sql(spark):
         regs.setdefault(r["g"], [0] * HLL_M)[r["idx"]] = r["m"]
     for g, dense in regs.items():
         assert hll_estimate_py(dense) == sql_est[g], g
+
+
+def test_hll_stream_preserves_int_key_type(spark, tmp_path):
+    """The state-output key schema derives from the input stream — an
+    int key column must come out int (hard-coding string mistyped it
+    before), and the estimates must still match batch."""
+    import json
+    import os
+
+    from utils_infra_spark.pipeline.sketch import hll_distinct_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(7, f"u{i}") for i in range(50)] + [(9, f"w{i}") for i in range(20)]
+    with open(f"{src}/b0.json", "w") as f:
+        for g, u in rows:
+            f.write(json.dumps({"seg": g, "u": u}) + "\n")
+    stream = (
+        spark.readStream.schema("seg int, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = hll_distinct_stream(stream, ["seg"], "u")
+    assert dict(out.dtypes)["seg"] == "int"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream_int")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_int"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["seg"]: r["hll_estimate"]
+        for r in spark.sql("SELECT seg, hll_estimate FROM hll_stream_int").collect()
+    }
+    batch = {
+        r["seg"]: r["hll_estimate"]
+        for r in hll_distinct(
+            spark.createDataFrame(rows, "seg int, u string"), ["seg"], "u"
+        ).collect()
+    }
+    assert got == batch
+    assert all(isinstance(k, int) for k in got)
 
 
 def test_hll_stream_matches_batch_estimate(spark, tmp_path):

@@ -447,11 +447,14 @@ def jl_project_long(
     bound (unit tests pin Achlioptas' guarantee empirically).
     """
     signs = jl_signs(in_dim, out_dim)
-    # NULL/empty vectors would silently vanish through posexplode on
-    # the Spark side while a range-driven oracle still emits rows —
-    # exclude them EXPLICITLY, mirrored in the oracle (same row-domain
-    # discipline as every text operator's IS NOT NULL gate)
-    q = df.where(f"{vec_col} IS NOT NULL AND size({vec_col}) >= 1").selectExpr(
+    # Row-domain gate: EXACTLY in_dim elements, mirrored in the oracle.
+    # NULL/empty vectors would silently vanish through posexplode while
+    # a range-driven oracle still emits rows; and an OVER-length vector
+    # would throw INVALID_ARRAY_INDEX on element_at(signs_row, j) under
+    # Spark 4 ANSI while DuckDB's range(1, in_dim+1) silently sums only
+    # the first in_dim elements — an engine divergence on malformed
+    # input. size = in_dim makes both engines agree on the domain.
+    q = df.where(f"{vec_col} IS NOT NULL AND size({vec_col}) = {in_dim}").selectExpr(
         f"{id_col}",
         f"posexplode({vec_col}) AS (j0, v)",
     ).selectExpr(

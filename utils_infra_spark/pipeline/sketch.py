@@ -193,7 +193,11 @@ def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
       and empty registers exist, reads the precomputed ``_LC_MICRO``
       literal table — no query-time ln().
 
-    Emits ``(keys..., hll_estimate)`` (micro-rounded double).
+    Emits ``(keys..., hll_estimate)`` (micro-rounded double below
+    1e12; above that the raw — already bit-deterministic — double is
+    emitted unrounded, because ``FLOOR(raw*1e6+0.5)`` would overflow
+    BIGINT at ~9.2e12 and ANSI-error the query in exactly the
+    100 TB-cardinality regime the sketch exists for).
     Error is ~1.04/sqrt(64) ≈ 13% relative (Flajolet et al. 2007).
     The large-range (2^32-scale) correction is omitted: it exists for
     32-bit hashes; this sketch draws 52 bits.
@@ -214,9 +218,19 @@ def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
         "__v",
     ).selectExpr(
         keys,
-        f"CAST(CASE WHEN __raw <= {2.5 * HLL_M} AND __v > 0 THEN element_at({lc}, __v) "
-        "ELSE CAST(FLOOR(__raw * 1000000.0 + 0.5) AS BIGINT) END AS DOUBLE) / 1000000.0"
-        " AS hll_estimate",
+        # micro-rounding is skipped above 1e12: FLOOR(__raw*1e6+0.5)
+        # overflows BIGINT once __raw exceeds ~9.2e12 (reachable — all
+        # registers at rho=53 gives raw ≈ 4.1e17), which under ANSI
+        # errors the whole query instead of degrading; at that
+        # magnitude the 13% sketch error dwarfs micro-rounding, so the
+        # raw (already bit-deterministic) double is emitted as-is.
+        # Below the threshold the value is byte-identical to the
+        # always-rounded form.
+        f"CASE WHEN __raw <= {2.5 * HLL_M} AND __v > 0"
+        f" THEN CAST(element_at({lc}, __v) AS DOUBLE) / 1000000.0 "
+        "WHEN __raw < 1000000000000.0"
+        " THEN CAST(CAST(FLOOR(__raw * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 "
+        "ELSE __raw END AS hll_estimate",
     )
 
 
@@ -239,12 +253,12 @@ def hll_estimate_py(regs: list[int]) -> float:
     s_int += v * (1 << 53)
     raw = (0.709 * 4096.0 * 9007199254740992.0) / float(s_int)
     if raw <= 2.5 * HLL_M and v > 0:
-        est_micro = _LC_MICRO[v - 1]
-    else:
+        return _LC_MICRO[v - 1] / 1e6
+    if raw < 1e12:  # same no-micro-round-above-1e12 rule as the SQL
         import math
 
-        est_micro = math.floor(raw * 1000000.0 + 0.5)
-    return est_micro / 1e6
+        return math.floor(raw * 1000000.0 + 0.5) / 1e6
+    return raw
 
 
 def hll_distinct_stream(
@@ -295,7 +309,12 @@ def hll_distinct_stream(
         out["hll_estimate"] = [hll_estimate_py(regs)]
         yield pd.DataFrame(out)
 
-    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    # derive each key column's type from the input schema — hard-coding
+    # `string` would silently mistype (or fail) a stream keyed on e.g.
+    # an int segment column, unlike the batch sketch which preserves
+    # key types through groupBy
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_types[k]}" for k in key_cols)
     return rows.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=f"{key_schema}, hll_estimate double",

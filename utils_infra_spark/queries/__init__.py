@@ -197,10 +197,10 @@ _SAMPLING_PRIORITY = [
     # new operators grew the list to 57, pushing embedding_int8_quantize
     # / train_val_test_split / doc_token_chunks / benchmark_contamination
     # / pack_documents_shards / stratified_sample_by_lang /
-    # sessionize_events to 50-56 — all seven are pass(p) re-proof;
+    # sessionize_events to positions 50-56; all seven were pass(p)
+    # re-proofs, so they were trimmed (coverage unaffected), and
     # fuzzy_part_name_pairs (hash-green in r6, the freshest re-proof)
-    # was later cut for ccnet_perplexity_buckets
-    # names, so they were trimmed (coverage unaffected); the
+    # was later cut to make room for ccnet_perplexity_buckets. The
     # window-size test in test_session.py now pins len(head) == 50.)
 ]
 

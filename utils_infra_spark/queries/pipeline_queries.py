@@ -1784,9 +1784,12 @@ def _hll_oracle() -> str:
       FROM agg
     )
     SELECT est.event_type,
-           CAST(CASE WHEN raw <= 160.0 AND v_zero > 0 THEN {lc}[v_zero]
-                ELSE CAST(FLOOR(raw * 1000000.0 + 0.5) AS BIGINT) END AS DOUBLE)
-             / 1000000.0 AS hll_estimate,
+           CASE WHEN raw <= 160.0 AND v_zero > 0
+                  THEN CAST({lc}[v_zero] AS DOUBLE) / 1000000.0
+                WHEN raw < 1000000000000.0
+                  THEN CAST(CAST(FLOOR(raw * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                       / 1000000.0
+                ELSE raw END AS hll_estimate,
            x.exact_distinct
     FROM est JOIN (
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
@@ -1841,7 +1844,7 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
              CAST(FLOOR(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE)
                         * 1000000000.0 + 0.5) AS BIGINT) AS q
       FROM embeddings, LATERAL (SELECT unnest(range(1, {in_dim + 1})) AS j) u
-      WHERE embedding IS NOT NULL AND len(embedding) >= 1
+      WHERE embedding IS NOT NULL AND len(embedding) = {in_dim}
     ),
     w AS (
       SELECT vec_id,
