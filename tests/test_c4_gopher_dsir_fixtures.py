@@ -294,3 +294,63 @@ def test_pretrain_pipeline_full_pass_and_dup_flag(spark):
     w = con.execute(REGISTRY["pretrain_pipeline_documents"].oracle).df().set_index("doc_id")
     assert bool(w.loc[1, "final_keep"]) and not bool(w.loc[2, "final_keep"])
     con.close()
+
+
+def test_gate_flags_fused_equals_component_profiles(qx_spark_docs, spark):
+    """gate_flags (the capstone's fused single-projection form of the
+    three in-row gates) must be VALUE-IDENTICAL to the canonical
+    profile functions on the adversarial fixture corpus, with the
+    profiles' row-domain filters folded in as FALSE (zero-token docs
+    for quality, empty docs for encoding). This is the anti-drift pin:
+    the fused expressions are copies, so a future one-sided edit of
+    either form fails here."""
+    from utils_infra_spark.pipeline.text import (
+        c4_line_filter,
+        control_char_profile,
+        gate_flags,
+        quality_profile,
+    )
+
+    df = qx_spark_docs
+    fused = (
+        gate_flags(df, "text", "doc_id", extra_cols={"__dig": "md5(text)"})
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = (
+        c4_line_filter(df, "text", "doc_id")
+        .select("doc_id", "c4_keep")
+        .join(
+            quality_profile(df, "text", "doc_id").select("doc_id", "quality_pass"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            control_char_profile(df, "text", "doc_id").select("doc_id", "encoding_pass"),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "c4_keep",
+            "COALESCE(quality_pass, FALSE) AS quality_pass",
+            "COALESCE(encoding_pass, FALSE) AS encoding_pass",
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # same row domain (every non-null-text doc appears exactly once)
+    assert list(fused.index) == list(want.index)
+    for col in ("c4_keep", "quality_pass", "encoding_pass"):
+        diff = fused[col] != want[col]
+        assert not diff.any(), f"{col} differs at doc_ids {list(fused.index[diff])}"
+    # the extra_cols rider matches a direct projection
+    dig = (
+        df.where("text IS NOT NULL")
+        .selectExpr("doc_id", "md5(text) AS want_dig")
+        .toPandas()
+        .set_index("doc_id")["want_dig"]
+    )
+    assert (fused["__dig"].sort_index() == dig.sort_index()).all()

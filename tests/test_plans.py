@@ -807,3 +807,32 @@ def test_char_lm_rebuild_never_reuses_previous_cache(spark, sf_dir):
         char_trigram_lm_scores(docs, "text", "doc_id").collect()
     assert len(_persistent_rdd_ids(spark)) <= base + 1
     spark.catalog.clearCache()
+
+
+def test_pretrain_pipeline_fused_gates_shape(spark, sf_dir):
+    """The capstone's three in-row gates (C4 / Gopher quality /
+    encoding screen) are fused into ONE projection riding the dup
+    digest's scan — the r7 shape materialized each gate as its own
+    branch and equi-joined back on doc_id (9 documents scans, 8 joins,
+    13 exchanges); fused it is 5 scans (2 outside the repetition
+    branch), 4 joins, 9 exchanges. At 100 TB the delta is 4 corpus
+    scans and 3 corpus-wide shuffle joins. Sf0.1 timing: ~1.29 s →
+    ~1.06 s warm (the structural win is what matters at 100x)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "pretrain_pipeline_documents")
+    # formatted mode prints each scan twice (tree row + detail block);
+    # count the numbered detail headers only
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans <= 5, f"documents scanned {scans}x — gate fusion regressed"
+    joins = len(
+        re.findall(
+            r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan, re.M
+        )
+    )
+    assert joins <= 4, f"{joins} joins — the in-row gates grew join-backs again"
+    # skew guard: the dup flag must stay an aggregate + join-back,
+    # never a window partitioned by the text digest (unbounded
+    # partitions when one document repeats corpus-wide)
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "__dig" in ln]
+    assert not win, f"window over digest: {win}"

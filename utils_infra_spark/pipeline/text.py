@@ -762,6 +762,109 @@ def c4_line_filter(df, text_col: str, id_col: str):
     )
 
 
+def gate_flags(df, text_col: str, id_col: str, *, extra_cols: dict[str, str] | None = None):
+    """The three IN-ROW pipeline gates — C4 line rules
+    (:func:`c4_line_filter`), Gopher quality (:func:`quality_profile`),
+    encoding-damage screen (:func:`control_char_profile`) — fused into
+    ONE projection chain over a single corpus scan, emitting
+    ``(doc_id, c4_keep, quality_pass, encoding_pass)``.
+
+    Value contract (pinned by ``tests/test_pipeline.py``): each flag is
+    IDENTICAL to the corresponding profile function's verdict column,
+    with the profile functions' row-domain filters folded in as FALSE —
+    ``quality_profile`` drops zero-token docs and
+    ``control_char_profile`` drops empty docs, which the capstone
+    COALESCEd to FALSE; here the same docs get FALSE in-row (the guard
+    also keeps ANSI happy: the micro-fraction ``DIV`` terms sit in the
+    lazily-evaluated ELSE of a CASE, so no divide-by-zero is reachable).
+    A token implies a non-blank line under the shared whitespace class,
+    so ``n_words >= 1`` guarantees the line-fraction denominators too.
+
+    Why this exists: the end-to-end cleaning pipeline previously
+    materialized each gate as its own branch and equi-joined them back
+    on doc_id — three corpus-wide shuffle joins and three extra corpus
+    scans for columns that are pure per-row functions of the text. At
+    100 TB those joins dominate the plan; fused, the gates cost ZERO
+    shuffles and ride whatever scan the caller already pays.
+
+    ``extra_cols`` (alias → SQL expr over the RAW input row) lets the
+    caller ride additional in-row columns on the same scan — the
+    capstone passes ``{"__dig": "md5(text)"}`` so the exact-dup digest
+    shares the projection instead of re-scanning the corpus.
+
+    Expression provenance: the staged expressions are copied verbatim
+    from the three profile functions (same whitespace/blank/edge
+    classes, same integer half-up micro rule, same thresholds); the
+    equality test makes any future one-sided edit fail CI.
+    """
+    ws = r"'[ \\t\\n\\x0B\\f\\r]+'"
+    blank = r"'^[ \\t\\n\\x0B\\f\\r]*$'"
+    edge = r"'^[ \\t\\f\\r\\x0B]+|[ \\t\\f\\r\\x0B]+$'"
+    c4_ws = r"'[ \\t\\x0B\\f\\r]+'"
+    stop = "array('the','be','to','of','and','that','have','with')"
+    keep_l = (
+        f"size(filter(split(l, {c4_ws}), x -> x != '')) >= 5"
+        " AND right(l, 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    extras = dict(extra_cols or {})
+    stage1 = df.where(f"{text_col} IS NOT NULL").selectExpr(
+        f"{id_col} AS doc_id",
+        f"{text_col} AS __t",
+        rf"filter(split({text_col}, {ws}), x -> x != '') AS __toks",
+        rf"filter(split({text_col}, '\\n'), l -> NOT l RLIKE {blank}) AS __qlines",
+        rf"filter(transform(split({text_col}, '\\n'),"
+        rf" l -> regexp_replace(l, {edge}, '')), l -> {keep_l}) AS __kept",
+        *[f"{expr} AS {alias}" for alias, expr in extras.items()],
+    )
+    stats = stage1.selectExpr(
+        "doc_id",
+        # --- C4 document-level components
+        "size(__kept) AS __c4_kept",
+        "contains(lower(__t), 'lorem ipsum') AS __has_lorem",
+        "contains(__t, '{') AS __has_brace",
+        # --- Gopher quality stats (verbatim from quality_profile)
+        "size(__toks) AS __n_words",
+        "aggregate(__toks, 0L, (a, x) -> a + char_length(x)) AS __sum_len",
+        "size(filter(__toks, x -> x RLIKE '[A-Za-z]')) AS __alpha_words",
+        "char_length(__t) - char_length(replace(__t, '#', '')) AS __hashes",
+        "char_length(__t) - char_length(replace(__t, '…', ''))"
+        " + (char_length(__t) - char_length(replace(__t, '...', ''))) DIV 3 AS __ellipses",
+        "size(__qlines) AS __n_lines",
+        "size(filter(__qlines, l -> array_contains(array('-', '•', '*'),"
+        " substring(ltrim(l), 1, 1)))) AS __bullet_lines",
+        "size(filter(__qlines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))"
+        " AS __ellipsis_lines",
+        f"size(filter({stop}, s -> exists(__toks, x -> lower(x) = s))) AS __stop_hits",
+        # --- encoding screen counts (verbatim from control_char_profile)
+        "char_length(__t) AS __n_chars",
+        "char_length(__t) - char_length(replace(__t, '�', '')) AS __rep_chars",
+        "char_length(__t) - char_length(regexp_replace(__t,"
+        r" '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '')) AS __ctrl_chars",
+        *extras.keys(),
+    )
+    return stats.selectExpr(
+        "doc_id",
+        "(__c4_kept >= 3 AND NOT __has_lorem AND NOT __has_brace) AS c4_keep",
+        "CASE WHEN __n_words < 1 THEN FALSE ELSE ("
+        " __n_words BETWEEN 50 AND 100000"
+        " AND (2*__sum_len*1000000 + __n_words) DIV (2*__n_words)"
+        "   BETWEEN 3000000 AND 10000000"
+        " AND (2*__hashes*1000000 + __n_words) DIV (2*__n_words) <= 100000"
+        " AND (2*__ellipses*1000000 + __n_words) DIV (2*__n_words) <= 100000"
+        " AND (2*__bullet_lines*1000000 + __n_lines) DIV (2*__n_lines) <= 900000"
+        " AND (2*__ellipsis_lines*1000000 + __n_lines) DIV (2*__n_lines) <= 300000"
+        " AND (2*__alpha_words*1000000 + __n_words) DIV (2*__n_words) >= 800000"
+        " AND __stop_hits >= 2"
+        ") END AS quality_pass",
+        "CASE WHEN __n_chars < 1 THEN FALSE ELSE ("
+        " __rep_chars = 0 AND"
+        " (2*(__rep_chars + __ctrl_chars)*1000000 + __n_chars) DIV (2*__n_chars) <= 1000"
+        ") END AS encoding_pass",
+        *extras.keys(),
+    )
+
+
 def dsir_importance_scores(df, text_col: str, id_col: str, *, target_sql: str = "lang = 'en'",
                            n_buckets: int = 1024):
     """Data Selection via Importance Resampling (Xie et al. 2023,

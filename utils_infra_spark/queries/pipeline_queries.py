@@ -2120,38 +2120,43 @@ def _pretrain_pipeline_oracle() -> str:
     "shuffle is the md5 digest group (map-side combined).",
 )
 def pretrain_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.text import c4_line_filter, control_char_profile, quality_profile
-    from ..pipeline.text import repetition_profile
+    # The three in-row gates (C4, Gopher quality, encoding screen) are
+    # pure per-row functions of the text — computing them as separate
+    # branches and equi-joining back on doc_id (the r7 shape) cost
+    # three avoidable corpus shuffle joins and four avoidable corpus
+    # scans at 100 TB. gate_flags fuses them into ONE projection, and
+    # the exact-dup digest rides the same scan via extra_cols. The only
+    # remaining corpus-keyed work: the digest keeper aggregate (map-side
+    # combined) + its join back — skew-safe, NEVER a window over
+    # md5(text), whose partitions are unbounded when one document
+    # repeats corpus-wide — and the repetition profile join (its
+    # doc-scoped aggregates genuinely need their own explode branch).
+    # Plan shape pinned by tests/test_plans.py: ≤3 documents scans
+    # outside the repetition branch was the old count; now 2 (gates+dig
+    # probe, keeper agg input), ≤4 joins total.
+    from ..pipeline.text import gate_flags, repetition_profile
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.where("text IS NOT NULL")
-    c4 = c4_line_filter(docs, "text", "doc_id").select("doc_id", "c4_keep")
-    gq = quality_profile(docs, "text", "doc_id").select("doc_id", "quality_pass")
+    g = gate_flags(base, "text", "doc_id", extra_cols={"__dig": "md5(text)"})
+    keeper = g.groupBy("__dig").agg(F.expr("MIN(doc_id) AS __keeper"))
     gr = repetition_profile(docs, "text", "doc_id").select("doc_id", "gopher_pass")
-    enc = control_char_profile(docs, "text", "doc_id").select("doc_id", "encoding_pass")
-    # skew-safe dup flag: digest groupBy (map-side combined) + join
-    # back — NEVER a window over md5(text), whose partitions are
-    # unbounded when one document repeats corpus-wide (the oracle may
-    # use the window form; values are identical, only the physical
-    # shape differs)
-    digs = base.selectExpr("doc_id", "md5(text) AS __dig")
-    keeper = digs.groupBy("__dig").agg(F.expr("MIN(doc_id) AS __keeper"))
-    dup = digs.join(keeper, "__dig").selectExpr(
-        "doc_id", "doc_id != __keeper AS is_exact_dup"
-    )
     out = (
-        base.select("doc_id")
-        .join(dup, "doc_id")
-        .join(c4, "doc_id", "left")
-        .join(gq, "doc_id", "left")
-        .join(gr, "doc_id", "left")
-        .join(enc, "doc_id", "left")
+        g.join(keeper, "__dig")
         .selectExpr(
             "doc_id",
-            "COALESCE(c4_keep, FALSE) AS c4_keep",
-            "COALESCE(quality_pass, FALSE) AS quality_pass",
+            "c4_keep",
+            "quality_pass",
+            "encoding_pass",
+            "doc_id != __keeper AS is_exact_dup",
+        )
+        .join(gr, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "c4_keep",
+            "quality_pass",
             "COALESCE(gopher_pass, FALSE) AS repetition_pass",
-            "COALESCE(encoding_pass, FALSE) AS encoding_pass",
+            "encoding_pass",
             "is_exact_dup",
         )
     )
