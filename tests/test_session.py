@@ -66,39 +66,36 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r7 goal: the 8 names never driver-proven through r6 (plus the
-    # round's new operator) must sit INSIDE the window — proving them
-    # closes cumulative driver coverage
+    # r8 goal: every new-in-r8 operator and every query whose code or
+    # oracle changed in r8 must sit INSIDE the window — the round's
+    # proofs land on the newest contracts
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
+        # new in r8
+        "ccnet_buckets_approx",
+        # r8 contract/plan changes
+        "pretrain_pipeline_documents",
+        "embedding_jl_projection",
+        "hll_distinct_users_by_type",
+        "embedding_topk_cosine",
+        "latest_event_per_user",
+        "union_distinct_orders",
+        "dsl_filter_events",
+        # r7 contract-changed family, re-proven for a second
+        # consecutive driver pass
+        "dup_span_coverage_documents",
         "line_dedup_documents",
         "char_lm_quality_documents",
-        "bloom_novelty_documents",
-        "dup_span_coverage_documents",
-        "user_sessions",
-        "rate_limit_violations",
-        "template_render",
-        "sitrep_summarize",
-        "gopher_repetition_documents",
-        "semdedup_embeddings",
-        "kmeans_refine_assignments",
         "gopher_quality_documents",
+        "gopher_repetition_documents",
         "c4_line_filters_documents",
-        "dsir_importance_documents",
-        "hll_distinct_users_by_type",
-        "embedding_jl_projection",
-        "boilerplate_line_removal_documents",
-        "control_char_profile_documents",
-        "ccnet_perplexity_buckets",
-        "doc_fingerprint_md5",
-        "pretrain_pipeline_documents",
     } <= window
     # everything in the window is drawable evidence: oracle-backed,
-    # except sitrep_summarize — rows-only BY DESIGN (LLM-stub output
-    # is not SQL-expressible) and deliberately sampled this round so
-    # the driver records its weaker rows-green check
+    # except ccnet_buckets_approx — rows-only BY DESIGN (the GK
+    # quantile sketch merge is not partition-order canonical; the
+    # exact ntile twin carries the value-hash proof)
     for n in names[:DRIVER_SAMPLE_WINDOW]:
-        assert REGISTRY[n].oracle is not None or n == "sitrep_summarize", n
+        assert REGISTRY[n].oracle is not None or n == "ccnet_buckets_approx", n
 
 
 def test_checkpoint_with_ids_attributes_exactly_its_own_rdd(spark):

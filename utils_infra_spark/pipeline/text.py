@@ -762,6 +762,55 @@ def c4_line_filter(df, text_col: str, id_col: str):
     )
 
 
+def bucket_by_cutoffs(
+    scored,
+    score_col: str,
+    part_col: str,
+    *,
+    n_buckets: int = 3,
+    accuracy: int = 10000,
+):
+    """The 100 TB form of the CCNet bucket step (Wenzek et al. 2020
+    §4.4): instead of an exact per-language ``ntile`` — which at scale
+    is a range-partitioned GLOBAL SORT of every language's scores —
+    compute the ``n_buckets - 1`` per-language cutoffs with
+    ``approx_percentile`` (one aggregate over a bounded key space:
+    languages × a KB-sized quantile sketch each), broadcast the tiny
+    cutoff table back, and assign buckets with ONE in-row expression:
+    ``1 + count(cutoffs < score)``. Two corpus passes, zero sorts, no
+    per-language hot partition.
+
+    Emits the input columns plus ``ppl_bucket``.
+
+    Accuracy/agreement contract (measured, tests/test_pipeline.py): at
+    the default ``accuracy=10000`` the Greenwald-Khanna sketch places
+    each cutoff within rank error n/10000, so bucket assignment can
+    disagree with the exact ntile only for docs whose rank sits within
+    ~0.01% of a boundary (plus boundary TIES, which ntile splits by
+    doc_id but a value cutoff sends one way) — measured agreement at
+    sf0.1 is >= 99%. Unlike the exact form, the sketch merge is not
+    partition-order canonical, so this twin is registered rows-only
+    (no value-hash oracle) BY DESIGN; the exact ntile twin
+    (``ccnet_perplexity_buckets``) carries the oracle proof of the
+    shared scoring pipeline.
+    """
+    qs = ", ".join(str((i + 1)) + f"/{n_buckets}" for i in range(n_buckets - 1))
+    cuts = scored.groupBy(part_col).agg(
+        F.expr(
+            f"approx_percentile({score_col}, array({qs}), {accuracy}) AS __cuts"
+        )
+    )
+    out_cols = [c for c in scored.columns]
+    return (
+        scored.join(F.broadcast(cuts), part_col)
+        .selectExpr(
+            *out_cols,
+            f"CAST(1 + size(filter(__cuts, c -> {score_col} > c)) AS INT)"
+            " AS ppl_bucket",
+        )
+    )
+
+
 def gate_flags(df, text_col: str, id_col: str, *, extra_cols: dict[str, str] | None = None):
     """The three IN-ROW pipeline gates — C4 line rules
     (:func:`c4_line_filter`), Gopher quality (:func:`quality_profile`),

@@ -122,61 +122,63 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- the final 8 never-driver-proven names (r6 verdict): the r6
-    # quartet registered at positions 112-115 (behind that round's
-    # window) plus the four that just missed r6's cut at 50-53.
-    # Proving these closes cumulative driver coverage to 138/138.
+    # --- r8 rotation. Cumulative driver coverage closed at 151/151 in
+    # r7, so the window's job this round is RE-PROOF under changed
+    # contracts, in this order:
+    # (1) new-in-r8 operators (first driver evidence the round they
+    #     ship);
+    "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
+    # is not partition-order canonical; the exact ntile twin below
+    # carries the value-hash proof of the shared scoring pipeline
+    # (2) queries whose CODE or ORACLE changed in r8: the fused
+    #     capstone (gate_flags single projection), the JL row-domain
+    #     gate (size = in_dim both engines), the HLL estimate overflow
+    #     clamp, and the r8 perf-rewritten headliners;
+    "pretrain_pipeline_documents",
+    "embedding_jl_projection",
+    "hll_distinct_users_by_type",
+    "embedding_topk_cosine",
+    "latest_event_per_user",
+    "union_distinct_orders",
+    "dsl_filter_events",
+    # (3) the r7 contract-changed family (dup-span retokenized oracle,
+    #     line-dedup blank class, char-LM fixed-point nanonats, the
+    #     whitespace-fixture trio) — proven in r7, re-proven here so
+    #     the newest contracts carry two consecutive driver proofs;
+    "dup_span_coverage_documents",
     "line_dedup_documents",
     "char_lm_quality_documents",
-    "bloom_novelty_documents",
-    "dup_span_coverage_documents",
-    "user_sessions",
-    "rate_limit_violations",
-    "template_render",
-    "sitrep_summarize",  # rows-only by design — driver records the weaker check
-    # new-in-r7 oracle-backed operators — inside the window so their
-    # first driver proofs land the round they ship
-    "gopher_repetition_documents",
-    "semdedup_embeddings",
-    "kmeans_refine_assignments",
     "gopher_quality_documents",
+    "gopher_repetition_documents",
     "c4_line_filters_documents",
     "dsir_importance_documents",
-    "hll_distinct_users_by_type",
-    "embedding_jl_projection",
     "boilerplate_line_removal_documents",
     "control_char_profile_documents",
     "ccnet_perplexity_buckets",
     "doc_fingerprint_md5",
-    "pretrain_pipeline_documents",
-    # --- remaining 29 in-window slots (21 never-proven names above;
-    # boilerplate_gram_ratio and ivf_topk_probes, both hash-green in
-    # r6, were the trims for doc_fingerprint_md5 and the pipeline
-    # capstone):
-    # the bench headline set and the most load-bearing operators, for
-    # re-proof under the current code (several had contract changes
-    # this round: explicit whitespace classes, fixed-point char-LM
-    # scoring).
+    "semdedup_embeddings",
+    "kmeans_refine_assignments",
+    # (4) the bench headline set + most load-bearing operators.
     "pricing_summary",
     "composite_agg_orders",
     "order_revenue_top10",
     "nation_revenue",
-    "latest_event_per_user",
     "enrich_customer_nation",
     "top3_orders_per_customer",
-    "union_distinct_orders",
     "sliding_window_counts",
-    "dsl_filter_events",
     "mercator_tile_cover",
     "point_in_polygon_regions",
     "dedup_exact_documents",
     # minhash evidence via the oracle-backed md5 twin (the headline
     # minhash query itself is rows-only by design — weaker signal)
     "minhash_band_keys_md5",
-    "embedding_topk_cosine",
     "embedding_bucketed_pairs",
     "text_stats_documents",
     "token_histogram",
+    "bloom_novelty_documents",
+    "user_sessions",
+    "rate_limit_violations",
+    "template_render",
     "event_interarrival",
     "jaccard_prefix_pairs",
     "near_dup_clusters",
@@ -188,6 +190,9 @@ _SAMPLING_PRIORITY = [
     "column_profile_events",
     "token_counts_cms",
     "ivf_assign_lists",
+    # (sitrep_summarize — rows-only by design — got its driver-recorded
+    # weaker check in r7 and is deliberately NOT re-sampled: a window
+    # slot re-proves a changed contract or a hash, not a row count.)
     # (purchase_funnel / weekly_retention / asof_click_purchase were
     # listed here in an early r7 draft but sat at positions 50-52 —
     # OUTSIDE the 50-slot window, silently unproven; all three are

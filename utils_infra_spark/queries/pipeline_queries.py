@@ -1997,8 +1997,9 @@ def control_char_profile_documents(spark: SparkSession, sf_dir: str) -> DataFram
     "with a per-lang ntile (tiebreak doc_id, deterministic cross-engine). "
     "The exact ntile needs a per-language sort — fine here because the "
     "score table is one narrow row per doc; the 100 TB swap-in is "
-    "approx_percentile cutoffs per lang (two broadcastable thresholds, no "
-    "global sort), documented on the operator. Registered uncacheable: the "
+    "ccnet_buckets_approx (approx_percentile cutoffs per lang, broadcast, "
+    "in-row assignment — measured >= 99% bucket agreement at sf0.1). "
+    "Registered uncacheable: the "
     "char-LM fit re-runs per plan() call, same honesty pin as its parent.",
     cache_plan=False,
 )
@@ -2017,6 +2018,37 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ORDER BY avg_neg_logp, doc_id) AS INT) AS ppl_bucket",
         )
     )
+
+
+@register(
+    "ccnet_buckets_approx",
+    oracle=None,  # rows-only BY DESIGN: the GK quantile sketch's merge
+    # is not partition-order canonical, so a value-hash oracle would be
+    # flaky; the exact ntile twin (ccnet_perplexity_buckets) carries
+    # the oracle proof of the shared scoring pipeline, and the measured
+    # >=99% bucket agreement vs that twin is pinned in
+    # tests/test_pipeline.py.
+    doc="The CCNet bucket step in its 100 TB shape: per-language "
+    "head/middle/tail thirds assigned by approx_percentile CUTOFFS "
+    "(bounded aggregate: langs x KB quantile sketch, broadcast back, "
+    "one in-row CASE) instead of the exact ntile's per-language global "
+    "sort. Same scoring pipeline as ccnet_perplexity_buckets; bucket "
+    "agreement vs the exact form measured >= 99% at sf0.1 (GK rank "
+    "error n/10000 plus boundary ties). Registered uncacheable: the "
+    "char-LM fit executes per plan() call.",
+    cache_plan=False,
+)
+def ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import bucket_by_cutoffs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.char_trigram_lm_scores(docs, "text", "doc_id").select(
+        "doc_id", "avg_neg_logp"
+    )
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "avg_neg_logp"
+    )
+    return bucket_by_cutoffs(scored, "avg_neg_logp", "lang")
 
 
 @register(
