@@ -411,7 +411,28 @@ def main() -> None:
     full["attempt_raw_runs"] = [
         {"spark_runs": a["spark_runs"], "duck_runs": a["duck_runs"]} for a in attempts
     ]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_result.json"), "w") as f:
+        f.write(json.dumps(full) + "\n")
+    # Also persist a per-ROUND copy: BENCH_result.json is overwritten
+    # by every invocation (the judge's own adjudication rerun clobbered
+    # the round-7 driver detail), so the round's detail additionally
+    # lands in BENCH_result_r{N}.json, which gets COMMITTED with the
+    # round snapshot — git history preserves each round's detail even
+    # when later reruns overwrite the working-tree files. N = current
+    # round = 1 + the highest BENCH_r{n}.json recorded so far (a
+    # post-record adjudication rerun therefore writes the NEXT round's
+    # slot, which the next round's first real run overwrites).
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(here)
+        for m in [_re.match(r"BENCH_r(\d+)\.json$", fn)]
+        if m
+    ]
+    per_round = os.path.join(here, f"BENCH_result_r{max(rounds, default=0) + 1}.json")
+    with open(per_round, "w") as f:
         f.write(json.dumps(full) + "\n")
     line = compact_line(payload)
     # stop Spark FIRST so shutdown chatter can't land after the line,
