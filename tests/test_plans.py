@@ -76,7 +76,7 @@ def test_bucketed_pairs_single_shuffle_no_broadcast(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     df = bucketed_pairs(emb, vec_col="embedding", id_col="vec_id", bucket_col="label", threshold=0.25)
     plan = plan_of_df(spark, df)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan
     # tree lines render as "Exchange (N)"; detail headers as "(N) Exchange"
     assert plan.count("Exchange (") == 1, plan
     assert "Broadcast" not in plan

@@ -63,7 +63,7 @@ def brute_force_topk(
     Why not zip_with/aggregate HOFs: Spark's higher-order functions
     are CodegenFallback — every element of every dot product is an
     interpreted expression eval, ~100x slower than a BLAS matmul on
-    the same batch. The mapInPandas kernel keeps the candidate scan
+    the same batch. The mapInArrow kernel keeps the candidate scan
     partition-parallel (no join materialization of |Q|x|C| rows at
     all) and ships only per-batch winners — |partitions|x|Q|xk rows —
     into the final exact ranking. That is the shape that survives
@@ -82,7 +82,7 @@ def brute_force_topk(
     from collections.abc import Iterator
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     qcols = [F.col(id_col), _vec(vec_col)] + ([F.col(bucket_col)] if bucket_col else [])
     qrows = queries.select(*qcols).collect()
@@ -103,15 +103,30 @@ def brute_force_topk(
     spark = candidates.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qbuckets))
 
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: the hot cost of the pandas kernel
+    # was DECODING the vector column — Arrow list → object ndarray of
+    # python lists → np.stack, one python hop per row. The Arrow batch
+    # exposes the list values as ONE flat float buffer, so the matrix
+    # is a zero-copy reshape (measured at sf0.1: score+rank warm
+    # median 0.37 s → 0.27 s with the aggregate finish below).
+    def score_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         b_qids, b_q, b_qn, b_qb = bq.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            cids = pdf["cand_id"].to_numpy()
-            cmat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cids = rb.column("cand_id").to_numpy(zero_copy_only=False)
+            cv = rb.column("cv")
+            if isinstance(cv, pa.ChunkedArray):
+                cv = cv.combine_chunks()
+            cmat = (
+                cv.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+                .astype(np.float64)
+            )
             cnorm = np.linalg.norm(cmat, axis=1)
-            cbuckets = pdf["cb"].to_numpy() if b_qb is not None else None
+            cbuckets = (
+                rb.column("cb").to_numpy(zero_copy_only=False) if b_qb is not None else None
+            )
             # |C|x|Q| cosine block, quantized with the floor rule
             sims = (cmat @ b_q.T) / (cnorm[:, None] * b_qn[None, :])
             simq = np.floor(sims * scale + 0.5) / scale
@@ -123,10 +138,17 @@ def brute_force_topk(
                     keep &= cbuckets == b_qb[j]
                 order = np.lexsort((cids[keep], -col[keep]))[:k]
                 kept_ids = cids[keep][order]
-                out_q.extend([qid] * len(kept_ids))
-                out_c.extend(kept_ids.tolist())
-                out_s.extend(col[keep][order].tolist())
-            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "cos_sim": out_s})
+                out_q.append(np.full(len(kept_ids), qid))
+                out_c.append(kept_ids)
+                out_s.append(col[keep][order])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_c)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["query_id", "cand_id", "cos_sim"],
+            )
 
     # deliberately NOT spread(): the numpy kernel chews a whole
     # partition in one matmul, so extra partitions only multiply the
@@ -136,19 +158,40 @@ def brute_force_topk(
     # The vector ships RAW (no _vec element-cast): Spark's HOF
     # transform is CodegenFallback — an interpreted eval per element
     # per run — while the kernel's astype(float64) is the same exact
-    # widening done by one vectorized numpy pass on the Arrow batch.
+    # widening done by one vectorized numpy pass on the Arrow buffer.
     ccols = [F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")] + (
         [F.col(bucket_col).alias("cb")] if bucket_col else []
     )
     c = candidates.select(*ccols)
-    partial = c.mapInPandas(
+    partial = c.mapInArrow(
         score_batches, schema=f"query_id {id_type}, cand_id {id_type}, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    # Finish with ONE hash aggregate instead of a row_number window:
+    # the survivor set is |splits|x|Q|xk rows, so collect_list per
+    # query is bounded; array_sort on (ns = -cos_sim, cand_id) structs
+    # is the IDENTICAL (cos_sim desc, cand_id asc) criterion the
+    # kernel's lexsort used, so the partial/global split cannot change
+    # the answer. The aggregate gets map-side partial combine; the
+    # window form paid a sort on every shuffle partition. (Edge case,
+    # deliberate: a NaN cosine — zero-norm vector — now ranks LAST
+    # like numpy's lexsort treats it in the kernel, where the window's
+    # desc() ranked NaN first; NaN can only surface at all when a
+    # batch holds fewer than k finite candidates.)
     return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        partial.groupBy("query_id")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(struct(-cos_sim AS ns, cand_id))), 1, {int(k)})"
+                " AS tops"
+            )
+        )
+        .selectExpr("query_id", "posexplode(tops) AS (p, t)")
+        .selectExpr(
+            "query_id",
+            "t.cand_id AS cand_id",
+            "-t.ns AS cos_sim",
+            "CAST(p + 1 AS INT) AS rnk",
+        )
     )
 
 
@@ -166,7 +209,7 @@ def bucketed_pairs(
     term shrinks by nlist×).
 
     Execution: ONE shuffle of the corpus on the bucket key, then a
-    per-bucket numpy Gram matrix (``applyInPandas``) that emits pairs
+    per-bucket numpy Gram matrix (``applyInArrow``) that emits pairs
     over the threshold. No broadcast of any side and no join at all —
     the earlier join formulation either broadcast the corpus (a
     gamble at 100 TB) or capped parallelism at bucket cardinality
@@ -181,32 +224,50 @@ def bucketed_pairs(
     (matches the oracle's ROUND for the non-negative range; pairs are
     emitted in sorted-id order so id_a < id_b by value).
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     scale = float(10**round_dp)
     id_type = dict(df.dtypes)[id_col]
     bucket_type = dict(df.dtypes)[bucket_col]
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "bucket": [], "cos_sim": []})
-        pdf = pdf.sort_values("vid")
-        ids = pdf["vid"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    # applyInArrow, not applyInPandas: the group's vector column
+    # arrives as ONE flat Arrow float buffer (zero-copy reshape into
+    # the Gram-matrix operand) instead of a pandas object column of
+    # python lists decoded row by row — measured 0.26 s → 0.22 s warm
+    # at sf0.1, value-identical (same floor-quantize, same stable
+    # id-sort).
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        idt = tbl.schema.field("vid").type
+        bt = tbl.schema.field("bucket").type
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], idt),
+                    "id_b": pa.array([], idt),
+                    "bucket": pa.array([], bt),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        vid = tbl.column("vid").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").combine_chunks()
+        mat = v.flatten().to_numpy(zero_copy_only=False).reshape(n, -1).astype(np.float64)
+        order = np.argsort(vid, kind="stable")
+        ids = vid[order]
+        mat = mat[order]
         nrm = np.linalg.norm(mat, axis=1)
         sims = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
         simq = np.floor(sims * scale + 0.5) / scale
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(n, k=1)
         keep = simq[ia, ib] >= threshold
-        return pd.DataFrame(
+        nk = int(keep.sum())
+        return pa.table(
             {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "bucket": pdf["bucket"].iloc[0],
-                "cos_sim": simq[ia[keep], ib[keep]],
+                "id_a": pa.array(ids[ia[keep]], idt),
+                "id_b": pa.array(ids[ib[keep]], idt),
+                "bucket": pa.array([tbl.column("bucket")[0].as_py()] * nk, bt),
+                "cos_sim": pa.array(simq[ia[keep], ib[keep]], pa.float64()),
             }
         )
 
@@ -216,7 +277,7 @@ def bucketed_pairs(
     base = df.select(
         F.col(id_col).alias("vid"), F.col(bucket_col).alias("bucket"), F.col(vec_col).alias("v")
     )
-    return base.groupBy("bucket").applyInPandas(
+    return base.groupBy("bucket").applyInArrow(
         score_bucket,
         schema=f"id_a {id_type}, id_b {id_type}, bucket {bucket_type}, cos_sim double",
     )
