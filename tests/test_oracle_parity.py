@@ -92,6 +92,21 @@ PARTITION_SENSITIVE = [
     # reassembles from a collect_list whose order only array_sort fixes
     "embedding_jl_projection",
     "boilerplate_line_removal_documents",
+    # r8 extension — the remaining r7/r8 composites with reductions or
+    # kernel-stage splits: SemDeDup's per-bucket Gram + CC min-id rep,
+    # k-means' Arrow argmin over a collected model, CCNet's exact
+    # per-lang ntile, the fused capstone (digest agg + repetition
+    # reductions), the fingerprint's min-over-windows, HLL's register
+    # max-merge, and top-k's partial/global ranking split (its survivor
+    # set varies WITH the partitioning — invariance pins the criterion
+    # alignment between kernel lexsort and the aggregate finish)
+    "semdedup_embeddings",
+    "kmeans_refine_assignments",
+    "ccnet_perplexity_buckets",
+    "pretrain_pipeline_documents",
+    "doc_fingerprint_md5",
+    "hll_distinct_users_by_type",
+    "embedding_topk_cosine",
 ]
 
 
