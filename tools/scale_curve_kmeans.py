@@ -1,0 +1,79 @@
+"""Scale curve for iterative k-means (docs/SCALE.md).
+
+Paired like-work measurement of `kmeans_refine_assignments` — 2 Lloyd
+rounds: Arrow argmin assignment (shuffle-free projection against the
+broadcast literal codebook) → per-(cluster, coordinate) fixed-point
+means over a bounded (nlist × dim) key space → model collected and fed
+back — Spark (the registered builder, which honestly re-executes every
+round per call) vs DuckDB running the registered oracle (both rounds
+unrolled in SQL). Same generated embeddings table as the SemDeDup
+curve (seed 7, 15% planted near-dups).
+
+Usage: PYTHONPATH=. python tools/scale_curve_kmeans.py [n_vecs] [files]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+DIM = 64
+DATA = f"/tmp/scale_emb_{N}"
+
+if not os.path.exists(f"{DATA}/embeddings.parquet"):
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    n_dup = int(N * 0.15)
+    src = rng.integers(0, N - n_dup, size=n_dup)
+    base[N - n_dup :] = base[src] + rng.normal(0, 0.03, (n_dup, DIM)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(N, dtype=np.int64),
+                "embedding": list(base),
+            }
+        ),
+        f"{DATA}/embeddings.parquet",
+    )
+
+import duckdb
+
+from utils_infra_spark.queries import REGISTRY, _load
+from utils_infra_spark.session import get_spark
+
+_load()
+spark = get_spark("scale-curve-kmeans")
+q = REGISTRY["kmeans_refine_assignments"]
+
+con = duckdb.connect()
+con.execute(
+    f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{DATA}/embeddings.parquet')"
+)
+
+s_runs, d_runs = [], []
+st = dt = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    st = q.fn(spark, DATA).toArrow()  # fn: the builder re-runs both Lloyd rounds
+    s_runs.append(round(time.perf_counter() - t0, 2))
+    t0 = time.perf_counter()
+    dt = con.execute(q.oracle).arrow()
+    d_runs.append(round(time.perf_counter() - t0, 2))
+
+assert st.num_rows == dt.num_rows == N
+sp = sorted(tuple(r[c] for c in ("vec_id", "list_id")) for r in st.to_pylist())
+du = sorted(tuple(r[c] for c in ("vec_id", "list_id")) for r in dt.to_pylist())
+assert sp == du, "cross-engine assignments differ"
+sizes = {}
+for _, cid in sp:
+    sizes[cid] = sizes.get(cid, 0) + 1
+print(f"[kmeans] n={N} clusters={len(sizes)} max={max(sizes.values())} min={min(sizes.values())}")
+print(f"[kmeans] spark runs: {s_runs} warm: {min(s_runs[1:])}")
+print(f"[kmeans] duck runs:  {d_runs} warm: {min(d_runs[1:])}")
+print(f"[kmeans] spark/duck ratio: {round(min(s_runs[1:]) / min(d_runs[1:]), 2)}")
