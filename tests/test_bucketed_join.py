@@ -1,0 +1,98 @@
+"""Bucketed-table co-located join (sources/tables.py::write_bucketed).
+
+The 100 TB technique the brief calls out ("bucketing for co-located
+joins"): two tables bucketed by the same key into the same bucket
+count sort-merge-join with ZERO exchanges — the one-time write-side
+shuffle amortizes the per-run shuffle of both fact sides. These tests
+pin (a) value equality with the plain join, (b) the zero-Exchange plan
+for the bucketed form, (c) the exchanges the plain form pays, and
+(d) the silent fallback when bucket counts mismatch — the failure mode
+the docstring warns about.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from utils_infra_spark.sources.tables import load_table, read_bucketed, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    """orders + lineitem bucketed by the join key, 8 buckets each."""
+    tmp = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, str(tmp / "orders"))
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, str(tmp / "lineitem"))
+    yield orders, li
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_zero_exchange_and_value_equal(spark, sf_dir, bucketed):
+    orders, li = bucketed
+    bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+    # forbid broadcast so the join strategy under test is the SMJ the
+    # 100 TB fact-to-fact case would take
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).selectExpr(
+            "o_orderkey", "l_quantity", "o_totalprice", "l_extendedprice"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: scans are pre-bucketed
+        assert re.search(r"Bucketed: true", plan), plan
+        plain = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).selectExpr(
+            "o_orderkey", "l_quantity", "o_totalprice", "l_extendedprice"
+        )
+        assert "Exchange" in _plan(plain)  # the shuffle bucketing amortizes
+        a = sorted(tuple(r) for r in joined.collect())
+        b = sorted(tuple(r) for r in plain.collect())
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_bucket_count_mismatch_falls_back_to_exchange(spark, sf_dir, bucketed, tmp_path):
+    """Mismatched bucket counts silently re-shuffle one side — pin the
+    failure mode the write_bucketed docstring warns about, so the
+    contract ('identical n_buckets or you pay the exchange') stays
+    visibly true."""
+    orders, li = bucketed
+    write_bucketed(li, "b_lineitem_4", ["l_orderkey"], 4, str(tmp_path / "li4"))
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = read_bucketed(spark, "b_orders")
+        bl4 = read_bucketed(spark, "b_lineitem_4")
+        joined = bo.join(bl4, bo["o_orderkey"] == bl4["l_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" in plan  # one side re-bucketed at read time
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem_4")
+
+
+def test_groupby_on_bucket_key_skips_exchange(spark, sf_dir, bucketed):
+    """Aggregations keyed on the bucket key also ride the bucketing —
+    the scan's hash-partitioned output satisfies the aggregate's
+    distribution requirement, so per-batch rollups over a bucketed
+    corpus pay zero shuffles."""
+    bl = read_bucketed(spark, "b_lineitem")
+    agg = bl.groupBy("l_orderkey").count()
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan

@@ -431,3 +431,47 @@ _SPREAD_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 # gate below which spread() skips its exchange (see docstring)
 _SPREAD_MIN_BYTES = 32 * 1024 * 1024
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    *,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a BUCKETED external table: rows hash-routed
+    into ``n_buckets`` files by ``bucket_cols`` (optionally sorted
+    within each bucket), registered under ``name`` in the session
+    catalog with the data at ``path``.
+
+    Why this exists (the 100 TB co-located-join contract): two tables
+    bucketed by the SAME key into the SAME bucket count join with ZERO
+    exchanges — the scan itself reports hash-partitioned output, so
+    the sort-merge join reads bucket i of A against bucket i of B
+    directly. For a fact-to-fact join run repeatedly (every
+    incremental batch against a reference corpus), that converts the
+    dominant per-run shuffle of BOTH sides into a one-time write-side
+    cost. The write itself shuffles once to route rows (that is the
+    shuffle being amortized). Plan shape pinned by
+    tests/test_bucketed_join.py.
+
+    Bucket-count rule at scale: pick n_buckets so one bucket of the
+    LARGER table fits an executor's sort buffer (~target 128-256 MB
+    per bucket file); both tables must use identical n_buckets and
+    bucket_cols or Spark silently falls back to exchanging the
+    mismatched side.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.option("path", path).format("parquet").saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (the bucketing
+    metadata lives in the catalog entry, not the parquet files — a
+    plain spark.read.parquet(path) would lose it and re-shuffle)."""
+    return spark.table(name)
