@@ -384,3 +384,22 @@ def test_asof_join_null_payload_field_survives(spark):
     right = spark.createDataFrame([(1, 1, 5.0), (1, 2, None)], "k int, t int, price double")
     [row] = asof_backward_join(left, right, "k", "t", "t", ["price"]).collect()
     assert row.matched_price is None
+
+
+def test_latest_wins_passes_map_columns_through(spark):
+    """Non-orderable payload columns (maps) ride in the value struct
+    but stay out of the ordering key — max(struct(everything)) would
+    reject the whole frame with INVALID_ORDERING_TYPE, a regression
+    against the window form this operator replaced."""
+    from utils_infra_spark.operators.joins import latest_wins
+
+    rows = [
+        ("a", 1, {"x": 1}),
+        ("a", 3, {"y": 2}),
+        ("a", 2, {"z": 3}),
+        ("b", 5, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, attrs map<string,int>")
+    out = {r["k"]: (r["ts"], r["attrs"]) for r in latest_wins(df, "k", "ts").collect()}
+    assert out["a"] == (3, {"y": 2})
+    assert out["b"] == (5, None)

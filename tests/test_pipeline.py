@@ -729,13 +729,21 @@ def test_ccnet_approx_buckets_agree_with_exact_ntile(spark):
     >= 99% of documents at sf0.1 — GK rank error is n/accuracy plus
     boundary ties, measured 100% on this corpus (5000 docs). Also pins
     that every bucket is populated and near-balanced."""
+    import os
+
     from utils_infra_spark.pipeline.text import (
         bucket_by_cutoffs,
         char_trigram_lm_scores,
     )
     from utils_infra_spark.sources.tables import load_table
 
+    # sf0.1-pinned DELIBERATELY (not the sf_dir fixture): the measured
+    # claim is ">= 99% agreement at sf0.1" and the GK rank-error math
+    # needs the 5000-doc corpus to mean anything — skip, not fail,
+    # where that dataset doesn't exist
     sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("sf0.1 testdata not present")
     docs = load_table(spark, sf, "documents")
     scored = (
         char_trigram_lm_scores(docs, "text", "doc_id")
@@ -770,3 +778,33 @@ def test_ccnet_approx_buckets_agree_with_exact_ntile(spark):
         assert max(sizes.values()) - min(sizes.values()) <= r["n"] * 0.02
     finally:
         scored.unpersist()
+
+
+def test_bucket_by_cutoffs_null_partition_kept(spark):
+    """A NULL partition key must survive the cutoff join-back (the
+    exact ntile twin buckets NULL-lang docs as their own partition; a
+    plain equi-join silently dropped them from the output domain)."""
+    from utils_infra_spark.pipeline.text import bucket_by_cutoffs
+
+    rows = [(i, "en" if i % 3 else None, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, score double")
+    out = bucket_by_cutoffs(df, "score", "lang").toPandas()
+    assert len(out) == 30
+    nulls = out[out.lang.isna()]
+    assert len(nulls) == 10
+    assert set(nulls.ppl_bucket) == {1, 2, 3}
+
+
+def test_brute_force_topk_int32_ids(spark):
+    """ids narrower than int64 must round-trip the Arrow kernel at the
+    input type (numpy widened them to int64, which mapInArrow refuses
+    to coerce back — runtime abort before the fix)."""
+    from utils_infra_spark.pipeline.similarity import brute_force_topk
+
+    rows = [(i, [float(i % 7)] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = brute_force_topk(
+        df.where("vec_id < 2"), df, vec_col="embedding", id_col="vec_id", k=3
+    ).toPandas()
+    assert len(out) == 6
+    assert str(out.dtypes["cand_id"]) == "int32"

@@ -32,15 +32,23 @@ if not os.path.exists(f"{DATA}/embeddings.parquet"):
     n_dup = int(N * 0.15)
     src = rng.integers(0, N - n_dup, size=n_dup)
     base[N - n_dup :] = base[src] + rng.normal(0, 0.03, (n_dup, DIM)).astype(np.float32)
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": np.arange(N, dtype=np.int64),
-                "embedding": list(base),
-            }
-        ),
-        f"{DATA}/embeddings.parquet",
-    )
+    # shard across FILES parquet files so the Spark scan's split
+    # count reflects the layout a real corpus would have
+    os.makedirs(f"{DATA}/embeddings.parquet", exist_ok=True)
+    per = (N + FILES - 1) // FILES
+    for f in range(FILES):
+        lo, hi = f * per, min((f + 1) * per, N)
+        if lo >= hi:
+            break
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": np.arange(lo, hi, dtype=np.int64),
+                    "embedding": list(base[lo:hi]),
+                }
+            ),
+            f"{DATA}/embeddings.parquet/part-{f:03d}.parquet",
+        )
 
 import duckdb
 
@@ -53,7 +61,7 @@ q = REGISTRY["kmeans_refine_assignments"]
 
 con = duckdb.connect()
 con.execute(
-    f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{DATA}/embeddings.parquet')"
+    f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{DATA}/embeddings.parquet/*.parquet')"
 )
 
 s_runs, d_runs = [], []

@@ -17,7 +17,7 @@ per-row expression evaluation order is fixed).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DOUBLE = "double"
@@ -115,6 +115,10 @@ def brute_force_topk(
             n = rb.num_rows
             if not n:
                 continue
+            # emit ids at the INPUT column's arrow type — numpy would
+            # widen int32 ids to int64 and mapInArrow does not coerce
+            # back to the declared schema (runtime abort, not a cast)
+            idt = rb.schema.field("cand_id").type
             cids = rb.column("cand_id").to_numpy(zero_copy_only=False)
             cv = rb.column("cv")
             if isinstance(cv, pa.ChunkedArray):
@@ -143,9 +147,9 @@ def brute_force_topk(
                 out_s.append(col[keep][order])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_q)),
-                    pa.array(np.concatenate(out_c)),
-                    pa.array(np.concatenate(out_s)),
+                    pa.array(np.concatenate(out_q), idt),
+                    pa.array(np.concatenate(out_c), idt),
+                    pa.array(np.concatenate(out_s), pa.float64()),
                 ],
                 names=["query_id", "cand_id", "cos_sim"],
             )

@@ -799,10 +799,16 @@ def bucket_by_cutoffs(
         F.expr(
             f"approx_percentile({score_col}, array({qs}), {accuracy}) AS __cuts"
         )
-    )
+    ).withColumnRenamed(part_col, "__part")
     out_cols = [c for c in scored.columns]
+    # NULL-SAFE join back: groupBy emits a cutoff row for the NULL
+    # partition, and the exact ntile twin buckets NULL-lang docs as
+    # their own partition — a plain equi-join would silently drop
+    # every NULL-partition row from the output domain
     return (
-        scored.join(F.broadcast(cuts), part_col)
+        scored.join(
+            F.broadcast(cuts), F.col(part_col).eqNullSafe(F.col("__part"))
+        )
         .selectExpr(
             *out_cols,
             f"CAST(1 + size(filter(__cuts, c -> {score_col} > c)) AS INT)"
