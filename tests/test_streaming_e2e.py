@@ -637,3 +637,76 @@ def test_tws_processor_merge_matches_batch_replay(spark):
             same_null = (got_v is None or got_v != got_v) and (want_v is None or want_v != want_v)
             assert same_null or got_v == want_v, (mmsi, c, got_v, want_v)
     assert finals[1]["lat"] == -41.1 and finals[1]["name"] == "ALPHA"
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: clicks paired to purchases within
+    [0s, 60s] per user must END at exactly the batch join's result,
+    whatever the micro-batch split — the watermark bounds STATE, not
+    the answer. Unmatched rows on both sides prove the interval edges."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.streaming.join import stream_interval_join
+
+    def _ts(s):
+        return f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}"
+
+    clicks = [  # (user, ts_sec, page)
+        (1, 10, "a"), (1, 50, "b"), (2, 20, "c"), (3, 30, "d"),
+    ]
+    buys = [  # (user, ts_sec, amount)
+        (1, 40, 9.0),   # joins click@10 (30s gap) AND click@50? no: 40 < 50 → only @10
+        (1, 55, 7.0),   # joins click@10 (45s) and click@50 (5s)
+        (2, 90, 5.0),   # 70s after click@20 → outside [0, 60] — no match
+        (4, 10, 3.0),   # no click for user 4
+    ]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    _os.makedirs(cdir), _os.makedirs(bdir)
+    # interleaved two-file split on both sides
+    for bi in range(2):
+        with open(f"{cdir}/c{bi}.json", "w") as f:
+            for u, s, p in clicks[bi::2]:
+                f.write(_json.dumps({"user_id": u, "ts": _ts(s), "page": p}) + "\n")
+        with open(f"{bdir}/b{bi}.json", "w") as f:
+            for u, s, a in buys[bi::2]:
+                f.write(_json.dumps({"user_id": u, "ts": _ts(s), "amount": a}) + "\n")
+    cs = "user_id long, ts timestamp, page string"
+    bs = "user_id long, ts timestamp, amount double"
+    cstream = spark.readStream.schema(cs).option("maxFilesPerTrigger", 1).json(cdir)
+    bstream = spark.readStream.schema(bs).option("maxFilesPerTrigger", 1).json(bdir)
+    out = stream_interval_join(
+        cstream, bstream, "user_id",
+        lower="0 seconds", upper="60 seconds", watermark="10 minutes",
+    ).selectExpr("user_id", "page", "r_amount AS amount")
+    q = (
+        out.writeStream.format("memory").queryName("ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT user_id, page, amount FROM ij").collect()
+    )
+    # batch reference: the same join on static frames
+    cb = spark.createDataFrame(
+        [(u, _ts(s), p) for u, s, p in clicks], "user_id long, ts string, page string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "page")
+    bb = spark.createDataFrame(
+        [(u, _ts(s), a) for u, s, a in buys], "user_id long, ts string, amount double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "amount")
+    want = sorted(
+        tuple(r)
+        for r in cb.alias("c").join(
+            bb.alias("b"),
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("c.ts"))
+            & (F.col("b.ts") <= F.col("c.ts") + F.expr("INTERVAL 60 seconds")),
+        ).selectExpr("c.user_id", "page", "amount").collect()
+    )
+    assert got == want
+    # the designed pairs, spelled out: (u1,a)x{40s,55s}, (u1,b)x{55s}
+    assert got == sorted([(1, "a", 9.0), (1, "a", 7.0), (1, "b", 7.0)])

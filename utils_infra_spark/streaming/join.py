@@ -1,0 +1,69 @@
+"""Stream-stream interval join (Structured Streaming, beyond the
+reference's streaming surface).
+
+The batch engine already has the as-of / range-join family
+(operators/temporal.py); this is their STREAMING sibling: join two
+live streams on a key where the right event's time falls inside an
+interval anchored at the left event's time — the click-to-purchase /
+impression-to-conversion shape every training-data attribution
+pipeline needs.
+
+Engine shape at 100 TB: Spark's StreamingSymmetricHashJoin keeps BOTH
+sides' unmatched rows in keyed state; the WATERMARKS plus the time
+bound are what make that state bounded — each side's state evicts
+rows older than (its watermark minus the interval slack), so state
+size tracks the interval width x input rate, never the stream length.
+Without the time-range condition Spark rejects an inner stream-stream
+join outright (unbounded state), which is the right refusal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 seconds",
+    watermark: str = "30 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two STREAMING frames: rows pair when keys match and
+    ``right_ts`` lies in ``[left_ts + lower, left_ts + upper]``.
+
+    Column-name contract: all of ``right``'s columns except the key
+    get an ``r_`` prefix (stream-stream joins forbid post-join
+    disambiguation tricks that rely on exchange reuse, and prefixing
+    keeps the output schema stable for sinks).
+
+    ``how``: 'inner' or 'leftOuter' — the outer form emits the
+    unmatched LEFT row with nulls once the watermark proves no match
+    can still arrive (the streaming analog of the batch as-of's
+    no-match passthrough).
+
+    Value contract (pinned by e2e test): a stream fed the same rows in
+    any micro-batch split ends with exactly the batch join's result —
+    the interval condition is pure row math and the watermark only
+    bounds STATE, never the answer, as long as data respects it.
+    """
+    lkey, rkey = f"__l_{key}", f"__r_{key}"
+    lw = left.withColumnRenamed(key, lkey).withWatermark(left_ts, watermark)
+    prefixed = right.withColumnRenamed(key, rkey)
+    for c in right.columns:
+        if c != key:
+            prefixed = prefixed.withColumnRenamed(c, f"r_{c}")
+    rw = prefixed.withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(lkey) == F.col(rkey))
+        & (F.col(f"r_{right_ts}") >= F.expr(f"{left_ts} + INTERVAL {lower}"))
+        & (F.col(f"r_{right_ts}") <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    joined = lw.join(rw, cond, how)
+    return joined.withColumnRenamed(lkey, key).drop(rkey)
