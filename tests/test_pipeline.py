@@ -808,3 +808,31 @@ def test_brute_force_topk_int32_ids(spark):
     ).toPandas()
     assert len(out) == 6
     assert str(out.dtypes["cand_id"]) == "int32"
+
+
+def test_paragraph_dedup_fixture(spark):
+    """Real paragraph structure (the generated corpus is single-line,
+    so the registered-query parity never exercises it): a footer
+    paragraph shared by three docs survives only in the first, the
+    multi-blank-line separator collapses correctly, whitespace-only
+    segments are outside the dedup domain, and a doc reduced to
+    nothing disappears."""
+    from utils_infra_spark.pipeline.dedup import paragraph_dedup_corpus
+
+    footer = "all rights reserved\ncontact us"
+    rows = [
+        (1, f"unique first body.\n\n{footer}"),
+        (2, f"different second body.\n\n\n{footer}"),   # 3 newlines = one separator
+        (3, footer),                                    # nothing survives
+        (4, "  \n\n\t\n\nlast real paragraph."),        # blank segments dropped
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup_corpus(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 4}                        # doc 3 emptied, doc 5 null
+    assert out[1]["clean_text"] == f"unique first body.\n\n{footer}"
+    assert out[1]["kept_paragraphs"] == 2 and out[1]["dropped_paragraphs"] == 0
+    assert out[2]["clean_text"] == "different second body."
+    assert out[2]["kept_paragraphs"] == 1 and out[2]["dropped_paragraphs"] == 1
+    assert out[4]["clean_text"] == "last real paragraph."
+    assert out[4]["kept_paragraphs"] == 1 and out[4]["dropped_paragraphs"] == 0

@@ -73,6 +73,7 @@ def test_registry_surfaces_unproven_names_first():
     assert {
         # new in r8
         "ccnet_buckets_approx",
+        "paragraph_dedup_documents",
         # r8 contract/plan changes
         "pretrain_pipeline_documents",
         "embedding_jl_projection",

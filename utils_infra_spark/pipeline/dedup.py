@@ -709,8 +709,25 @@ def prefix_filter_pairs(
     )
 
 
-def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Corpus-level line deduplication (the C4/Dolma recipe): every
+def segment_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    split_pattern: str = "\n",
+    joiner: str = "\n",
+    seg: str = "line",
+) -> DataFrame:
+    """Corpus-level SEGMENT deduplication — the shared engine behind
+    :func:`line_dedup_corpus` (segments = lines, the C4 recipe) and
+    :func:`paragraph_dedup_corpus` (segments = blank-line-separated
+    paragraphs, the Dolma recipe). ``split_pattern`` is a regex valid
+    in BOTH Java regex and RE2 (the oracle splits with the same
+    pattern); ``joiner`` rejoins survivors; ``seg`` names the output
+    count columns (``kept_<seg>s`` / ``dropped_<seg>s``).
+
+    Everything below is written in line terms; it applies verbatim to
+    any segment class. Original contract: every
     non-blank line that already occurred ANYWHERE else in the corpus
     is removed, keeping only the globally FIRST occurrence — ordered
     by (doc_id, line_no), so the winner is deterministic under
@@ -763,7 +780,7 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias("line_no", "line"),
         )
         .where(~F.col("line").rlike(r"^[ \t\n\x0B\f\r]*$"))
     )
@@ -784,22 +801,43 @@ def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                     lambda s: s["line"],
                 ),
-                "\n",
+                joiner,
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("kept_lines"),
+            F.count(F.lit(1)).alias(f"kept_{seg}s"),
         )
     )
+    # the split pattern reaches SQL as a single-quoted literal: escape
+    # backslashes once more for the SQL string layer
+    sql_pat = split_pattern.replace("\\", "\\\\").replace("\n", "\\n")
     totals = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
-            rf"size(filter(split({text_col}, '\n'), l -> NOT l RLIKE '^[ \\t\\n\\x0B\\f\\r]*$'))"
-        ).alias("__total_lines"),
+            rf"size(filter(split({text_col}, '{sql_pat}'), l -> NOT l RLIKE '^[ \\t\\n\\x0B\\f\\r]*$'))"
+        ).alias("__total_segs"),
     )
     return kept.join(totals, "doc_id").select(
         "doc_id",
         "clean_text",
-        "kept_lines",
-        (F.col("__total_lines") - F.col("kept_lines")).alias("dropped_lines"),
+        f"kept_{seg}s",
+        (F.col("__total_segs") - F.col(f"kept_{seg}s")).alias(f"dropped_{seg}s"),
+    )
+
+
+def line_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4/Dolma corpus LINE dedup — see :func:`segment_dedup_corpus`."""
+    return segment_dedup_corpus(df, text_col, id_col, split_pattern="\n", joiner="\n", seg="line")
+
+
+def paragraph_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Dolma-style corpus PARAGRAPH dedup: segments are blank-line-
+    separated paragraphs (``\\n{2,}``), compared RAW (same
+    whole-segment-equality contract as the line form), globally-first
+    occurrence wins by (doc_id, position), survivors rejoin with a
+    blank line. Same skew-safe min(struct) aggregate shape — a
+    boilerplate paragraph repeated corpus-wide collapses to one
+    partial per map task."""
+    return segment_dedup_corpus(
+        df, text_col, id_col, split_pattern=r"\n{2,}", joiner="\n\n", seg="paragraph"
     )
 
 

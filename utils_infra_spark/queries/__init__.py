@@ -127,6 +127,7 @@ _SAMPLING_PRIORITY = [
     # contracts, in this order:
     # (1) new-in-r8 operators (first driver evidence the round they
     #     ship);
+    "paragraph_dedup_documents",
     "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
     # is not partition-order canonical; the exact ntile twin below
     # carries the value-hash proof of the shared scoring pipeline
@@ -189,8 +190,9 @@ _SAMPLING_PRIORITY = [
     "snapshot_diff_documents",
     "column_profile_events",
     "token_counts_cms",
-    "ivf_assign_lists",
-    # (sitrep_summarize — rows-only by design — got its driver-recorded
+    # (ivf_assign_lists — hash-green in r7 — was the trim for
+    # paragraph_dedup_documents; sitrep_summarize — rows-only by
+    # design — got its driver-recorded
     # weaker check in r7 and is deliberately NOT re-sampled: a window
     # slot re-proves a changed contract or a hash, not a row count.)
     # (purchase_funnel / weekly_retention / asof_click_purchase were

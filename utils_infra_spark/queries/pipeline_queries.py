@@ -1177,6 +1177,46 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "paragraph_dedup_documents",
+    oracle="""
+    WITH lx AS (
+      SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps
+      FROM documents WHERE text IS NOT NULL
+    ),
+    paras AS (
+      SELECT doc_id, unnest(range(len(ps))) AS para_no, unnest(ps) AS para
+      FROM lx
+    ),
+    ranked AS (
+      SELECT doc_id, para_no, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, para_no) AS rn
+      -- explicit class, not \\s: Java \\s includes U+000B, RE2's does not
+      FROM paras WHERE NOT regexp_matches(para, '^[ \\t\\n\\x0B\\f\\r]*$')
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY para_no)
+             FILTER (WHERE rn = 1) AS clean_text,
+           COUNT(*) FILTER (WHERE rn = 1) AS kept_paragraphs,
+           COUNT(*) FILTER (WHERE rn > 1) AS dropped_paragraphs
+    FROM ranked GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) > 0
+    """,
+    doc="Dolma-style corpus PARAGRAPH dedup: blank-line-separated paragraphs "
+    "keep only their globally first occurrence (deterministic (doc_id, "
+    "position) winner via the same skew-safe min(struct) aggregate as the "
+    "line form — segment_dedup_corpus parameterizes both), documents "
+    "reassembled from survivors joined by a blank line, empty docs dropped. "
+    "Paragraphs compare RAW (whole-segment equality), same explicit "
+    "whitespace class for blankness.",
+)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import paragraph_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup_corpus(docs, "text", "doc_id")
+
+
+@register(
     "char_lm_quality_documents",
     oracle="""
     WITH nz AS (
