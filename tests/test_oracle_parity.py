@@ -102,6 +102,7 @@ PARTITION_SENSITIVE = [
     # alignment between kernel lexsort and the aggregate finish)
     "semdedup_embeddings",
     "kmeans_refine_assignments",
+    "paragraph_dedup_documents",
     "ccnet_perplexity_buckets",
     "pretrain_pipeline_documents",
     "doc_fingerprint_md5",
