@@ -403,3 +403,33 @@ def test_latest_wins_passes_map_columns_through(spark):
     out = {r["k"]: (r["ts"], r["attrs"]) for r in latest_wins(df, "k", "ts").collect()}
     assert out["a"] == (3, {"y": 2})
     assert out["b"] == (5, None)
+
+
+def test_cdc_apply_semantics_and_plan(spark):
+    """MERGE-INTO contract: latest op per key wins (a delete followed
+    by a later upsert resurrects the key; an upsert followed by a
+    later delete removes it), untouched base rows pass through, and
+    the base side pays only an anti-join against the distilled
+    touched-key set (broadcast here — the base never shuffles)."""
+    from utils_infra_spark.operators.joins import cdc_apply
+
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)], "k string, ver int, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 2, 11.0, "U"),   # plain update
+            ("b", 2, 0.0, "D"),    # delete...
+            ("b", 3, 22.0, "U"),   # ...then a LATER upsert wins
+            ("c", 2, 0.0, "U"),
+            ("c", 3, 0.0, "D"),    # latest op is the delete
+            ("d", 1, 40.0, "U"),   # insert of a brand-new key
+        ],
+        "k string, ver int, v double, op string",
+    )
+    out = cdc_apply(base, changes, "k", "ver")
+    got = {r["k"]: (r["ver"], r["v"]) for r in out.collect()}
+    assert got == {"a": (2, 11.0), "b": (3, 22.0), "d": (1, 40.0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # tiny distilled log broadcasts

@@ -74,6 +74,7 @@ def test_registry_surfaces_unproven_names_first():
         # new in r8
         "ccnet_buckets_approx",
         "paragraph_dedup_documents",
+        "cdc_apply_events",
         # r8 contract/plan changes
         "pretrain_pipeline_documents",
         "embedding_jl_projection",

@@ -169,6 +169,40 @@ def latest_wins(df: DataFrame, key: str | list[str], ts: str, *tie_break: str) -
     )
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    *tie_break: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE-INTO / CDC-log apply, done Spark-first without a table
+    format: ``changes`` is a keyed operation log (``base``'s columns
+    plus ``op_col``); the LATEST operation per key by ``(ts,
+    tie_break...)`` wins — an upsert replaces the key's row, a
+    ``delete_op`` removes it — and base rows whose key never appears
+    in the log pass through untouched. Output schema = base schema.
+
+    Engine shape at 100 TB (the regime CDC lives in: log ≪ base):
+    the log first DISTILLS to one row per touched key via
+    :func:`latest_wins` (one map-side-combined aggregate over the
+    log only); the base then pays a LEFT ANTI join against just the
+    touched-key set — broadcast when the distilled log fits (the
+    normal case, leaving the base entirely shuffle-free), spill-safe
+    co-partitioned anti-join otherwise. The base is never aggregated,
+    never windowed, and never carries the log's columns. Compare the
+    naive union-then-window form, which shuffles and sorts the WHOLE
+    base every batch to re-derive rows that didn't change.
+    """
+    latest = latest_wins(changes, key, ts, *tie_break)
+    touched = latest.select(key)
+    survivors = latest.where(F.col(op_col) != delete_op).select(*base.columns)
+    untouched = base.join(touched, key, "left_anti")
+    return untouched.unionByName(survivors)
+
+
 def upsert_latest(base: DataFrame, updates: DataFrame, key: str, ts: str, *tie_break: str) -> DataFrame:
     """J2+J3 (ref ais-proxy/server.js:1497-1539): merge two keyed
     snapshots — newer timestamp wins per key, rows only in one side

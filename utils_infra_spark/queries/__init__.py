@@ -128,6 +128,7 @@ _SAMPLING_PRIORITY = [
     # (1) new-in-r8 operators (first driver evidence the round they
     #     ship);
     "paragraph_dedup_documents",
+    "cdc_apply_events",
     "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
     # is not partition-order canonical; the exact ntile twin below
     # carries the value-hash proof of the shared scoring pipeline
@@ -189,9 +190,9 @@ _SAMPLING_PRIORITY = [
     "pii_redact_documents",
     "snapshot_diff_documents",
     "column_profile_events",
-    "token_counts_cms",
-    # (ivf_assign_lists — hash-green in r7 — was the trim for
-    # paragraph_dedup_documents; sitrep_summarize — rows-only by
+    # (ivf_assign_lists and token_counts_cms — both hash-green in r7 —
+    # were the trims for paragraph_dedup_documents and
+    # cdc_apply_events; sitrep_summarize — rows-only by
     # design — got its driver-recorded
     # weaker check in r7 and is deliberately NOT re-sampled: a window
     # slot re-proves a changed contract or a hash, not a row count.)

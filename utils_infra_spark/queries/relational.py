@@ -464,6 +464,59 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_events",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    base AS (
+      SELECT user_id, event_id, ts, event_type, value FROM pre WHERE rn = 1
+    ),
+    log AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM log l WHERE l.user_id = b.user_id)
+    UNION ALL
+    SELECT user_id, event_id, ts, event_type, value
+    FROM log WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="MERGE-INTO / CDC-log apply without a table format: the per-user "
+    "state snapshot before Jan 16 is the BASE; later events form the "
+    "operation log ('error' = delete, anything else = upsert); the latest "
+    "op per key wins, deletes drop the key, untouched base rows pass "
+    "through. Engine shape (the log<<base CDC regime): the log distills "
+    "to one row per touched key via one map-side-combined aggregate, the "
+    "base pays only a LEFT ANTI join against the touched-key set "
+    "(broadcast when the distilled log fits -> the base never shuffles) "
+    "- never the naive union+window that re-sorts the whole base per "
+    "batch.",
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FX
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    cut = FX.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = latest_wins(ev.where(FX.col("ts") < cut), "user_id", "ts", "event_id")
+    changes = ev.where(FX.col("ts") >= cut).withColumn(
+        "op", FX.expr("IF(event_type = 'error', 'D', 'U')")
+    )
+    from ..operators.joins import cdc_apply
+
+    return cdc_apply(base, changes, "user_id", "ts", "event_id")
+
+
+@register(
     "top_customers_by_balance",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
