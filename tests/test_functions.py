@@ -430,6 +430,12 @@ def test_cdc_apply_semantics_and_plan(spark):
     out = cdc_apply(base, changes, "k", "ver")
     got = {r["k"]: (r["ver"], r["v"]) for r in out.collect()}
     assert got == {"a": (2, 11.0), "b": (3, 22.0), "d": (1, 40.0)}
+    # a NULL op on the winning row is an UPSERT, never a silent delete
+    null_op = spark.createDataFrame(
+        [("a", 2, 99.0, None)], "k string, ver int, v double, op string"
+    )
+    got2 = {r["k"]: (r["ver"], r["v"]) for r in cdc_apply(base, null_op, "k", "ver").collect()}
+    assert got2["a"] == (2, 99.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan  # tiny distilled log broadcasts

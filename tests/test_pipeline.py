@@ -836,3 +836,22 @@ def test_paragraph_dedup_fixture(spark):
     assert out[2]["kept_paragraphs"] == 1 and out[2]["dropped_paragraphs"] == 1
     assert out[4]["clean_text"] == "last real paragraph."
     assert out[4]["kept_paragraphs"] == 1 and out[4]["dropped_paragraphs"] == 0
+
+
+def test_segment_dedup_quote_in_pattern(spark):
+    """A split pattern containing a single quote must survive the SQL
+    embedding in the totals expression (the DataFrame-API half always
+    accepted it; the two halves must agree on the pattern domain)."""
+    from utils_infra_spark.pipeline.dedup import segment_dedup_corpus
+
+    rows = [(1, "alpha beta''gamma delta''alpha beta"), (2, "alpha beta''zed")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup_corpus(
+            df, "text", "doc_id", split_pattern="'{2}", joiner="''", seg="seg"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta''gamma delta"
+    assert out[1]["kept_segs"] == 2 and out[1]["dropped_segs"] == 1
+    assert out[2]["clean_text"] == "zed"  # 'alpha beta' already seen in doc 1

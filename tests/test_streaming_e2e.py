@@ -710,3 +710,15 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want
     # the designed pairs, spelled out: (u1,a)x{40s,55s}, (u1,b)x{55s}
     assert got == sorted([(1, "a", 9.0), (1, "a", 7.0), (1, "b", 7.0)])
+
+
+def test_stream_interval_join_rejects_right_outer(spark):
+    """rightOuter/fullOuter would null the reconstructed key on
+    right-only rows — the operator must refuse loudly."""
+    import pytest as _pytest
+
+    from utils_infra_spark.streaming.join import stream_interval_join
+
+    s = spark.readStream.format("rate").load().selectExpr("value AS user_id", "timestamp AS ts")
+    with _pytest.raises(ValueError, match="only inner / leftOuter"):
+        stream_interval_join(s, s, "user_id", how="rightOuter")

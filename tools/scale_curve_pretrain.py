@@ -45,12 +45,18 @@ spark = get_spark("scale-curve-pretrain")
 if not os.path.exists(f"{DATA}/documents.parquet"):
     # re-line the single-line corpus (5 tokens per line) so the C4 /
     # repetition / line gates have real line structure to chew on
+    # ceil-division line count: a 7-token doc gets 2 lines (5 + the
+    # 2-token tail) and a <5-token doc gets exactly 1 — the floor form
+    # silently dropped tails and produced a [0, -1] sequence (an
+    # end-anchored slice) for tiny docs
     docs = spark.sql(
         """
         SELECT doc_id,
-               array_join(transform(sequence(0, CAST(size(split(text, ' ')) / 5 AS INT) - 1),
-                          i -> array_join(slice(split(text, ' '), i * 5 + 1, 5), ' ')), '\n') AS text
+               array_join(transform(
+                 sequence(0, CAST(CEIL(size(split(text, ' ')) / 5.0) AS INT) - 1),
+                 i -> array_join(slice(split(text, ' '), i * 5 + 1, 5), ' ')), '\n') AS text
         FROM {d}
+        WHERE size(split(text, ' ')) >= 1
         """,
         d=spark.read.parquet(BASE).select("doc_id", "text"),
     )
@@ -98,12 +104,15 @@ def unfused(spark, sf_dir):
             "COALESCE(gopher_pass, FALSE) AS repetition_pass",
             "COALESCE(encoding_pass, FALSE) AS encoding_pass",
             "is_exact_dup",
-            "(c4_keep AND quality_pass AND COALESCE(gopher_pass, FALSE) AND encoding_pass"
-            " AND NOT is_exact_dup) AS final_keep",
         )
         .selectExpr(
+            # final_keep over the COALESCEd columns, in a second
+            # select — exactly the r7 builder's two-stage shape, so a
+            # doc missing from a gate branch yields FALSE, never NULL
             "doc_id", "c4_keep", "quality_pass", "repetition_pass", "encoding_pass",
-            "is_exact_dup", "final_keep",
+            "is_exact_dup",
+            "(c4_keep AND quality_pass AND repetition_pass AND encoding_pass"
+            " AND NOT is_exact_dup) AS final_keep",
         )
     )
 

@@ -195,10 +195,21 @@ def cdc_apply(
     never windowed, and never carries the log's columns. Compare the
     naive union-then-window form, which shuffles and sorts the WHOLE
     base every batch to re-derive rows that didn't change.
+
+    Edge contracts: a NULL ``op_col`` on the winning row is treated as
+    an UPSERT (the null-safe filter below — a plain ``!=`` would
+    evaluate NULL and silently DELETE the key, the worst failure mode
+    for a malformed log row). Give ``tie_break`` a unique id: on a
+    full ``(ts, tie_break)`` tie the winner falls to
+    :func:`latest_wins`'s lexicographic payload ordering, in which
+    ``op_col`` itself participates (so a tied upsert outranks a tied
+    delete, regardless of log order).
     """
     latest = latest_wins(changes, key, ts, *tie_break)
     touched = latest.select(key)
-    survivors = latest.where(F.col(op_col) != delete_op).select(*base.columns)
+    survivors = latest.where(~F.col(op_col).eqNullSafe(F.lit(delete_op))).select(
+        *base.columns
+    )
     untouched = base.join(touched, key, "left_anti")
     return untouched.unionByName(survivors)
 

@@ -807,8 +807,11 @@ def segment_dedup_corpus(
         )
     )
     # the split pattern reaches SQL as a single-quoted literal: escape
-    # backslashes once more for the SQL string layer
-    sql_pat = split_pattern.replace("\\", "\\\\").replace("\n", "\\n")
+    # backslashes once more for the SQL string layer, plus quotes and
+    # newlines so any Java/RE2-valid pattern survives the embedding
+    sql_pat = (
+        split_pattern.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+    )
     totals = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.expr(

@@ -53,6 +53,12 @@ def stream_interval_join(
     the interval condition is pure row math and the watermark only
     bounds STATE, never the answer, as long as data respects it.
     """
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        # rightOuter/fullOuter are legal stream-stream joins in Spark,
+        # but this function's key reconstruction (rename left key,
+        # drop right key) would null the key on right-only rows —
+        # refuse loudly instead of emitting key-less output
+        raise ValueError(f"how={how!r}: only inner / leftOuter are supported")
     lkey, rkey = f"__l_{key}", f"__r_{key}"
     lw = left.withColumnRenamed(key, lkey).withWatermark(left_ts, watermark)
     prefixed = right.withColumnRenamed(key, rkey)
