@@ -439,3 +439,57 @@ def test_cdc_apply_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan  # tiny distilled log broadcasts
+
+
+def test_scd2_history_collapses_and_intervals(spark):
+    """Consecutive identical states collapse into one version; NULL→x
+    and x→NULL both open versions (null-safe change detection);
+    intervals chain (valid_to of version k = valid_from of k+1) and
+    only the last version is current."""
+    from utils_infra_spark.operators.temporal import scd2_history
+
+    rows = [
+        ("u", 1, "A", 1),
+        ("u", 2, "A", 2),   # same state — no new version
+        ("u", 3, "B", 3),
+        ("u", 4, None, 4),  # B -> NULL opens a version
+        ("u", 5, None, 5),  # NULL -> NULL does not
+        ("u", 6, "A", 6),   # back to A: A appears TWICE in history
+        ("v", 9, "Z", 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, state string, eid int")
+    out = sorted(
+        (r["k"], r["valid_from"], r["state"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "ts", ["state"], "eid").collect()
+    )
+    assert out == [
+        ("u", 1, "A", 3, False),
+        ("u", 3, "B", 4, False),
+        ("u", 4, None, 6, False),
+        ("u", 6, "A", None, True),
+        ("v", 9, "Z", None, True),
+    ]
+
+
+def test_retract_aggregate_merge_algebra(spark):
+    """Full retraction drops the key; a log-only key appears; the
+    merge equals a full signed recompute (the algebra the IVM query's
+    oracle checks at scale)."""
+    from utils_infra_spark.operators.temporal import retract_aggregate_merge
+
+    base = spark.createDataFrame(
+        [("a", 2, 3_000_000), ("b", 1, 5_000_000)], "k string, n long, total_micro long"
+    )
+    log = spark.createDataFrame(
+        [
+            ("a", -1, 1_000_000),   # retract one of a's rows
+            ("b", -1, 5_000_000),   # retract b entirely -> drops
+            ("c", 1, 7_000_000),    # brand-new key from the log
+        ],
+        "k string, sign int, micro long",
+    )
+    got = {
+        r["k"]: (r["n"], r["total_micro"])
+        for r in retract_aggregate_merge(base, log, "k").collect()
+    }
+    assert got == {"a": (1, 2_000_000), "c": (1, 7_000_000)}

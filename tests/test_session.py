@@ -75,6 +75,8 @@ def test_registry_surfaces_unproven_names_first():
         "ccnet_buckets_approx",
         "paragraph_dedup_documents",
         "cdc_apply_events",
+        "scd2_user_state_history",
+        "ivm_user_totals_events",
         # r8 contract/plan changes
         "pretrain_pipeline_documents",
         "embedding_jl_projection",

@@ -151,3 +151,87 @@ def scalar_subquery(df: DataFrame, agg: Column) -> DataFrame:
     plan.
     """
     return df.agg(agg)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    state_cols: list[str],
+    *tie_break: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from an event stream:
+    per key, collapse CONSECUTIVE rows with identical ``state_cols``
+    (only actual state CHANGES open a new version), then interval-ize
+    — each version is valid ``[valid_from, valid_to)`` with
+    ``valid_to`` = the next change's timestamp (NULL + ``is_current``
+    on the open version). The dimension-table shape every warehouse
+    derives from a CDC/event feed.
+
+    Determinism: ordering is ``(ts, tie_break...)`` — give a unique id
+    when timestamps can collide. Change detection is null-safe
+    (NULL → value and value → NULL both open versions).
+
+    Engine shape: ONE shuffle on the key feeds BOTH window passes
+    (change-flag lag, then interval lead over the collapsed rows —
+    same partitioning, Spark reuses the exchange) — the whole history
+    builds in a single corpus pass, no self-joins.
+    """
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tie_break]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # the first row per key has lag=NULL for every state col → opens
+    versions = (
+        df.withColumn("__chg", changed | F.lag(ts).over(w).isNull())
+        .where(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return versions.select(
+        key,
+        *state_cols,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )
+
+
+def retract_aggregate_merge(
+    base_aggs: DataFrame,
+    log: DataFrame,
+    key: str,
+    *,
+    micro_col: str = "total_micro",
+    n_col: str = "n",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Incremental aggregate maintenance, the Flink retract-stream
+    model: ``base_aggs`` is a per-key snapshot ``(key, n, total_micro)``
+    (counts + FIXED-POINT integer sums — exact, merge-order-free);
+    ``log`` carries signed rows ``(key, sign ∈ {+1, -1},
+    micro)`` — an insert contributes +, a retraction − the SAME value
+    it inserted. The merged result equals a full recompute over
+    base ∪ log, but the base FACTS never rescan: at 100 TB a daily
+    update touches the log (small) plus the aggregate snapshot (one
+    narrow row per key), never the corpus.
+
+    Keys whose merged count reaches 0 drop (fully retracted); a
+    negative merged count means the log retracted rows the base never
+    held — the algebra carries it through honestly rather than
+    masking the inconsistency.
+    """
+    delta = log.groupBy(key).agg(
+        F.sum(F.col(sign_col)).alias("__dn"),
+        F.sum(F.col(sign_col) * F.col("micro")).alias("__dmicro"),
+    )
+    merged = base_aggs.join(delta, key, "full_outer").select(
+        key,
+        (F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias(n_col),
+        (
+            F.coalesce(F.col(micro_col), F.lit(0).cast("bigint"))
+            + F.coalesce(F.col("__dmicro"), F.lit(0).cast("bigint"))
+        ).alias(micro_col),
+    )
+    return merged.where(F.col(n_col) != 0)

@@ -129,6 +129,8 @@ _SAMPLING_PRIORITY = [
     #     ship);
     "paragraph_dedup_documents",
     "cdc_apply_events",
+    "scd2_user_state_history",
+    "ivm_user_totals_events",
     "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
     # is not partition-order canonical; the exact ntile twin below
     # carries the value-hash proof of the shared scoring pipeline
@@ -188,12 +190,11 @@ _SAMPLING_PRIORITY = [
     "top_terms_tfidf",
     "inverted_index_postings",
     "pii_redact_documents",
-    "snapshot_diff_documents",
-    "column_profile_events",
-    # (ivf_assign_lists and token_counts_cms — both hash-green in r7 —
-    # were the trims for paragraph_dedup_documents and
-    # cdc_apply_events; sitrep_summarize — rows-only by
-    # design — got its driver-recorded
+    # (ivf_assign_lists, token_counts_cms, snapshot_diff_documents,
+    # and column_profile_events — all hash-green in r7 — were the
+    # trims for the four new r8 names (paragraph dedup, CDC apply,
+    # SCD2 history, IVM retract-merge); sitrep_summarize — rows-only
+    # by design — got its driver-recorded
     # weaker check in r7 and is deliberately NOT re-sampled: a window
     # slot re-proves a changed contract or a hash, not a row count.)
     # (purchase_funnel / weekly_retention / asof_click_purchase were

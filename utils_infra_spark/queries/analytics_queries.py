@@ -938,3 +938,92 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr("(MAX(em) - MIN(em)) DIV 1000000 AS duration_s"),
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    versions AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_state IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM versions
+    """,
+    doc="SCD Type-2 dimension history from the event stream: per user, "
+    "consecutive rows with the same state (event_type) collapse — only "
+    "actual changes open a version — then each version carries "
+    "[valid_from, valid_to) with is_current on the open one. Change "
+    "detection is null-safe; ordering ties break on event_id. ONE shuffle "
+    "on the key feeds both window passes (change-flag lag, interval lead) "
+    "— the whole history builds in a single corpus pass, no self-joins.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_history(ev, "user_id", "ts", ["event_type"], "event_id").select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
+    "ivm_user_totals_events",
+    oracle="""
+    WITH signed AS (
+      SELECT user_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   AND event_type = 'error' THEN -1 ELSE 1 END AS sign,
+             CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT) AS micro
+      FROM events
+    ),
+    merged AS (
+      SELECT user_id, SUM(sign) AS n, SUM(sign * micro) AS total_micro
+      FROM signed GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(total_micro AS DOUBLE) / 1000000.0 AS total_value
+    FROM merged WHERE n <> 0
+    """,
+    doc="Incremental aggregate maintenance (the Flink retract-stream "
+    "model): per-user totals snapshotted before Jan 16 merge with a "
+    "signed post-cutoff log ('error' rows retract, others insert) via "
+    "retract_aggregate_merge — counts plus FIXED-POINT integer sums, so "
+    "the merge is exact and order-free, and the result provably equals "
+    "the full recompute the oracle performs. At 100 TB the daily update "
+    "touches the log plus one narrow aggregate row per key — the base "
+    "facts never rescan. Keys fully retracted to n=0 drop.",
+)
+def ivm_user_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import retract_aggregate_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    micro = "CAST(FLOOR((value)*1000000 + 0.5) AS BIGINT)"
+    base = (
+        ev.where(F.col("ts") < cut)
+        .selectExpr("user_id", f"{micro} AS micro")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("micro").alias("total_micro"))
+    )
+    log = ev.where(F.col("ts") >= cut).selectExpr(
+        "user_id",
+        "IF(event_type = 'error', -1, 1) AS sign",
+        f"{micro} AS micro",
+    )
+    merged = retract_aggregate_merge(base, log, "user_id")
+    return merged.selectExpr(
+        "user_id",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(total_micro AS DOUBLE) / 1000000.0 AS total_value",
+    )
