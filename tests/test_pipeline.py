@@ -855,3 +855,40 @@ def test_segment_dedup_quote_in_pattern(spark):
     assert out[1]["clean_text"] == "alpha beta''gamma delta"
     assert out[1]["kept_segs"] == 2 and out[1]["dropped_segs"] == 1
     assert out[2]["clean_text"] == "zed"  # 'alpha beta' already seen in doc 1
+
+
+def test_weighted_topk_sample_exact_k_and_reference(spark):
+    """Exactly k per stratum, weights clamped, and the winners match a
+    pure-Python A-ES recompute (max-of-w md5 draws) — the operator's
+    whole determinism claim in one assertion. Also pins the FLOOR
+    weight contract (Spark CAST(double AS INT) truncates while DuckDB
+    ROUNDS — the explicit FLOOR is what keeps both engines on the
+    same integer weight)."""
+    import hashlib
+
+    from utils_infra_spark.pipeline.sampling import weighted_topk_sample
+
+    rows = [(i, "en" if i % 2 else "fr", i * 37 % 1400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = weighted_topk_sample(
+        df, "doc_id", "FLOOR(n_chars / 300)", 10, stratum_col="lang", max_weight=4
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert 1 <= r["weight"] <= 4
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 10, "fr": 10}
+
+    # python reference
+    def ref_key(doc_id: int, n_chars: int) -> str:
+        w = max(1, min(4, int(n_chars // 300)))
+        return max(
+            hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest() for i in range(1, w + 1)
+        )
+
+    for lang in ("en", "fr"):
+        want = sorted(
+            ((ref_key(i, c), i) for i, lg, c in rows if lg == lang), reverse=True
+        )[:10]
+        got = sorted(((r["sample_key"], r["doc_id"]) for r in by_lang[lang]), reverse=True)
+        assert got == want, lang

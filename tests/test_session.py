@@ -77,6 +77,7 @@ def test_registry_surfaces_unproven_names_first():
         "cdc_apply_events",
         "scd2_user_state_history",
         "ivm_user_totals_events",
+        "weighted_topk_sample_documents",
         # r8 contract/plan changes
         "pretrain_pipeline_documents",
         "embedding_jl_projection",

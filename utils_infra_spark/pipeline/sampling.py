@@ -249,3 +249,49 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
     thresh = F.least(F.floor(weight * _BUCKETS).cast("int"), F.lit(_BUCKETS - 1))
     thresh_str = F.when(weight >= 1.0, F.lit("g")).otherwise(F.format_string("%04x", thresh))
     return df.where(hash_prefix(id_col) < thresh_str)
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_expr: str,
+    k: int,
+    *,
+    stratum_col: str | None = None,
+    max_weight: int = 16,
+) -> DataFrame:
+    """EXACTLY-k weighted sampling WITHOUT replacement (per stratum
+    when ``stratum_col`` is given) — the Efraimidis–Spirakis A-ES
+    scheme specialized to INTEGER weights so it stays deterministic
+    and engine-exact: a row with weight w draws w independent md5
+    uniforms (``md5(id || ':' || i)``, i = 1..w) and competes with its
+    MAXIMUM draw; the top-k keys win. max-of-w-uniforms has exactly
+    the u^(1/w) distribution A-ES uses, but needs no pow()/ln() —
+    the whole construction is md5 + hex-string comparison, identical
+    in Spark and DuckDB, so the sample is hash-checkable and immune to
+    partitioning, retries, and engine swaps (the rand()-based
+    alternative is none of these). Weights clamp to [1, max_weight]
+    (the draw array is materialized per row).
+
+    Emits the input row plus ``weight`` and ``sample_key``.
+
+    Engine shape at 100 TB: the draws are one in-row projection;
+    global top-k is TakeOrderedAndProject (per-partition heaps, no
+    global sort), stratified top-k one window keyed on the stratum.
+    """
+    w_clamped = f"GREATEST(1, LEAST({int(max_weight)}, CAST({weight_expr} AS INT)))"
+    keyed = df.selectExpr(
+        "*",
+        f"{w_clamped} AS weight",
+        f"array_max(transform(sequence(1, {w_clamped}),"
+        f" i -> md5(concat(CAST({id_col} AS STRING), ':', CAST(i AS STRING)))))"
+        " AS sample_key",
+    )
+    if stratum_col is None:
+        return keyed.orderBy(F.desc("sample_key")).limit(k)
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("sample_key"))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

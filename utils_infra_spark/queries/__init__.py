@@ -131,6 +131,7 @@ _SAMPLING_PRIORITY = [
     "cdc_apply_events",
     "scd2_user_state_history",
     "ivm_user_totals_events",
+    "weighted_topk_sample_documents",
     "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
     # is not partition-order canonical; the exact ntile twin below
     # carries the value-hash proof of the shared scoring pipeline
@@ -189,11 +190,11 @@ _SAMPLING_PRIORITY = [
     "bm25_search",
     "top_terms_tfidf",
     "inverted_index_postings",
-    "pii_redact_documents",
     # (ivf_assign_lists, token_counts_cms, snapshot_diff_documents,
-    # and column_profile_events — all hash-green in r7 — were the
-    # trims for the four new r8 names (paragraph dedup, CDC apply,
-    # SCD2 history, IVM retract-merge); sitrep_summarize — rows-only
+    # column_profile_events, and pii_redact_documents — all hash-green
+    # in r7 — were the trims for the five new r8 names (paragraph
+    # dedup, CDC apply, SCD2 history, IVM retract-merge, weighted
+    # A-ES sampling); sitrep_summarize — rows-only
     # by design — got its driver-recorded
     # weaker check in r7 and is deliberately NOT re-sampled: a window
     # slot re-proves a changed contract or a hash, not a row count.)

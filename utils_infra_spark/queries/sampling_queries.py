@@ -268,3 +268,41 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("COUNT(1) AS n_docs"), F.expr("CAST(SUM(n_chars) AS BIGINT) AS total_chars")
     )
 
+
+
+@register(
+    "weighted_topk_sample_documents",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             GREATEST(1, LEAST(4, CAST(FLOOR(n_chars / 300) AS INT))) AS weight,
+             list_max(list_transform(range(1, GREATEST(1, LEAST(4,
+                        CAST(FLOOR(n_chars / 300) AS INT))) + 1),
+                      i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))))
+               AS sample_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sample_key DESC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, CAST(weight AS INT) AS weight, sample_key
+    FROM ranked WHERE rn <= 25
+    """,
+    doc="EXACTLY-k weighted sampling without replacement per language "
+    "(Efraimidis-Spirakis A-ES, integer-weight specialization): weight = "
+    "clamp(n_chars/300, 1, 4); each row competes with the MAX of `weight` "
+    "md5 draws — max-of-w-uniforms IS the u^(1/w) A-ES key, but needs no "
+    "pow()/ln(), so the sample is deterministic, engine-exact, and "
+    "hash-checkable (rand()-based sampling is none of these and silently "
+    "reassigns a 100 TB sample on any repartition). Draws are one in-row "
+    "projection; per-stratum top-k is one window on the stratum key.",
+)
+def weighted_topk_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sampling import weighted_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_topk_sample(
+        docs, "doc_id", "FLOOR(n_chars / 300)", 25, stratum_col="lang", max_weight=4
+    )
+    return out.selectExpr("doc_id", "lang", "CAST(weight AS INT) AS weight", "sample_key")
