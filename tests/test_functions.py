@@ -493,3 +493,53 @@ def test_retract_aggregate_merge_algebra(spark):
         for r in retract_aggregate_merge(base, log, "k").collect()
     }
     assert got == {"a": (1, 2_000_000), "c": (1, 7_000_000)}
+
+
+def test_scd2_history_null_ts_does_not_reopen(spark):
+    """A NULL-ts row (precondition violation) must not make the row
+    AFTER it open a spurious version: first-row detection is
+    row_number()==1, not lag(ts) IS NULL. Here all states are 'A', so
+    exactly ONE version exists regardless of the NULL."""
+    from utils_infra_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [("u", None, "A", 1), ("u", 1, "A", 2), ("u", 2, "A", 3)],
+        "k string, ts int, state string, eid int",
+    )
+    out = scd2_history(df, "k", "ts", ["state"], "eid").collect()
+    assert len(out) == 1
+    assert out[0]["state"] == "A" and out[0]["is_current"]
+
+
+def test_retract_aggregate_merge_custom_log_column(spark):
+    """The log's value column is a parameter, not a hardcoded 'micro'
+    literal — customizing it must reach the signed delta aggregate."""
+    from utils_infra_spark.operators.temporal import retract_aggregate_merge
+
+    base = spark.createDataFrame([("a", 2, 3_000_000)], "k string, n long, total_micro long")
+    log = spark.createDataFrame(
+        [("a", -1, 1_000_000)], "k string, sign int, delta_micro long"
+    )
+    got = {
+        r["k"]: (r["n"], r["total_micro"])
+        for r in retract_aggregate_merge(
+            base, log, "k", log_micro_col="delta_micro"
+        ).collect()
+    }
+    assert got == {"a": (1, 2_000_000)}
+
+
+def test_weighted_topk_sample_duplicate_id_deterministic(spark):
+    """Duplicate ids share every md5 draw; the id tiebreak keeps the
+    exact-k winner set identical under any partitioning."""
+    from utils_infra_spark.pipeline.sampling import weighted_topk_sample
+
+    rows = [(f"d{i % 5}", 900) for i in range(20)]  # 5 ids x 4 copies
+    df = spark.createDataFrame(rows, "doc_id string, n_chars int")
+    outs = []
+    for parts in (1, 7):
+        out = weighted_topk_sample(
+            df.repartition(parts), "doc_id", "FLOOR(n_chars / 300)", 7
+        )
+        outs.append(sorted((r["doc_id"], r["sample_key"]) for r in out.collect()))
+    assert outs[0] == outs[1] and len(outs[0]) == 7

@@ -722,3 +722,39 @@ def test_stream_interval_join_rejects_right_outer(spark):
     s = spark.readStream.format("rate").load().selectExpr("value AS user_id", "timestamp AS ts")
     with _pytest.raises(ValueError, match="only inner / leftOuter"):
         stream_interval_join(s, s, "user_id", how="rightOuter")
+
+
+def test_stream_interval_join_rejects_name_collisions(spark):
+    """The r_-prefix / __l_ / __r_ rename scheme must not silently
+    produce duplicate output columns: left already carrying r_<x> or
+    __l_<key>, right carrying __r_<key>, or right carrying both x and
+    r_x (rename-chain sweep) all raise instead."""
+    import pytest as _pytest
+
+    from utils_infra_spark.streaming.join import stream_interval_join
+
+    base = spark.readStream.format("rate").load()
+    l_rx = base.selectExpr("value AS user_id", "timestamp AS ts", "value AS r_amount")
+    r_amt = base.selectExpr("value AS user_id", "timestamp AS ts", "value AS amount")
+    with _pytest.raises(ValueError, match="r_amount"):
+        stream_interval_join(l_rx, r_amt, "user_id")
+
+    l_ok = base.selectExpr("value AS user_id", "timestamp AS ts")
+    r_badkey = base.selectExpr("value AS user_id", "timestamp AS ts", "value AS __r_user_id")
+    with _pytest.raises(ValueError, match="__r_user_id"):
+        stream_interval_join(l_ok, r_badkey, "user_id")
+
+    l_lkey = base.selectExpr("value AS user_id", "timestamp AS ts", "value AS __l_user_id")
+    with _pytest.raises(ValueError, match="__l_user_id"):
+        stream_interval_join(l_lkey, r_amt, "user_id")
+
+    r_chain = base.selectExpr(
+        "value AS user_id", "timestamp AS ts", "value AS x", "value AS r_x"
+    )
+    with _pytest.raises(ValueError, match="chain"):
+        stream_interval_join(l_ok, r_chain, "user_id")
+
+    # and a clean pair still builds a plan (guard has no false positives)
+    assert stream_interval_join(l_ok, r_amt, "user_id").columns == [
+        "user_id", "ts", "r_ts", "r_amount",
+    ]

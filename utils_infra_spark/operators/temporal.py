@@ -172,6 +172,15 @@ def scd2_history(
     when timestamps can collide. Change detection is null-safe
     (NULL → value and value → NULL both open versions).
 
+    Precondition: ``ts`` is NON-NULL. A NULL timestamp cannot anchor a
+    validity interval (NULL valid_from/valid_to already means "open"),
+    and engines disagree on NULL ordering (Spark ASC = NULLS FIRST,
+    DuckDB = NULLS LAST), so results over NULL-ts rows are
+    engine-dependent by construction. First-row detection uses
+    ``row_number() == 1`` (not ``lag(ts) IS NULL``), so even under a
+    violated precondition a mid-sequence NULL ts never silently opens
+    a spurious version.
+
     Engine shape: ONE shuffle on the key feeds BOTH window passes
     (change-flag lag, then interval lead over the collapsed rows —
     same partitioning, Spark reuses the exchange) — the whole history
@@ -182,9 +191,11 @@ def scd2_history(
     changed = F.lit(False)
     for c in state_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
-    # the first row per key has lag=NULL for every state col → opens
+    # row_number()==1 opens the first version per key; lag(ts).isNull()
+    # would also fire mid-sequence after a NULL-ts row (precondition
+    # violation) and open a version that isn't a state change
     versions = (
-        df.withColumn("__chg", changed | F.lag(ts).over(w).isNull())
+        df.withColumn("__chg", changed | (F.row_number().over(w) == 1))
         .where(F.col("__chg"))
         .drop("__chg")
     )
@@ -206,13 +217,14 @@ def retract_aggregate_merge(
     micro_col: str = "total_micro",
     n_col: str = "n",
     sign_col: str = "sign",
+    log_micro_col: str = "micro",
 ) -> DataFrame:
     """Incremental aggregate maintenance, the Flink retract-stream
-    model: ``base_aggs`` is a per-key snapshot ``(key, n, total_micro)``
-    (counts + FIXED-POINT integer sums — exact, merge-order-free);
-    ``log`` carries signed rows ``(key, sign ∈ {+1, -1},
-    micro)`` — an insert contributes +, a retraction − the SAME value
-    it inserted. The merged result equals a full recompute over
+    model: ``base_aggs`` is a per-key snapshot ``(key, n_col,
+    micro_col)`` (counts + FIXED-POINT integer sums — exact,
+    merge-order-free); ``log`` carries signed rows ``(key, sign_col ∈
+    {+1, -1}, log_micro_col)`` — an insert contributes +, a retraction
+    − the SAME value it inserted. The merged result equals a full recompute over
     base ∪ log, but the base FACTS never rescan: at 100 TB a daily
     update touches the log (small) plus the aggregate snapshot (one
     narrow row per key), never the corpus.
@@ -224,7 +236,7 @@ def retract_aggregate_merge(
     """
     delta = log.groupBy(key).agg(
         F.sum(F.col(sign_col)).alias("__dn"),
-        F.sum(F.col(sign_col) * F.col("micro")).alias("__dmicro"),
+        F.sum(F.col(sign_col) * F.col(log_micro_col)).alias("__dmicro"),
     )
     merged = base_aggs.join(delta, key, "full_outer").select(
         key,

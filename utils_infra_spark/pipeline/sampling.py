@@ -275,6 +275,12 @@ def weighted_topk_sample(
 
     Emits the input row plus ``weight`` and ``sample_key``.
 
+    Ordering ties break on ``id_col`` ascending (rows sharing an id
+    share every md5 draw, so without the tiebreak the exact-k winner
+    set would be partition-order-dependent). For FULL determinism
+    ``id_col`` should be unique — two rows with the SAME id and
+    different payloads are indistinguishable to the ranking.
+
     Engine shape at 100 TB: the draws are one in-row projection;
     global top-k is TakeOrderedAndProject (per-partition heaps, no
     global sort), stratified top-k one window keyed on the stratum.
@@ -288,8 +294,8 @@ def weighted_topk_sample(
         " AS sample_key",
     )
     if stratum_col is None:
-        return keyed.orderBy(F.desc("sample_key")).limit(k)
-    w = Window.partitionBy(stratum_col).orderBy(F.desc("sample_key"))
+        return keyed.orderBy(F.desc("sample_key"), F.col(id_col).asc()).limit(k)
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("sample_key"), F.col(id_col).asc())
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)

@@ -950,14 +950,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     versions AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_state IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
     FROM versions
     """,
     doc="SCD Type-2 dimension history from the event stream: per user, "

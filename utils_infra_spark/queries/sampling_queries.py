@@ -283,7 +283,8 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sample_key DESC) AS rn
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_key DESC, doc_id ASC) AS rn
       FROM keyed
     )
     SELECT doc_id, lang, CAST(weight AS INT) AS weight, sample_key
