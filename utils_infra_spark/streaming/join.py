@@ -60,6 +60,30 @@ def stream_interval_join(
         # refuse loudly instead of emitting key-less output
         raise ValueError(f"how={how!r}: only inner / leftOuter are supported")
     lkey, rkey = f"__l_{key}", f"__r_{key}"
+    # the rename scheme must not land on names the inputs already use,
+    # or the join output silently carries duplicate/ambiguous columns —
+    # fail loudly like the join-type guard above. Two hazards: (a) any
+    # duplicate among the POST-rename names of both sides (e.g. left
+    # already carries r_<x> or __l_<key>, right carries __r_<key>);
+    # (b) a rename-chain collision inside right (right has both x and
+    # r_x: renaming x -> r_x momentarily duplicates r_x and the later
+    # rename sweeps up both copies).
+    reserved = sorted({lkey, rkey}.intersection({*left.columns, *right.columns}))
+    lw_names = [lkey if c == key else c for c in left.columns]
+    rw_names = [rkey if c == key else f"r_{c}" for c in right.columns]
+    seen: set[str] = set()
+    dups = sorted({c for c in lw_names + rw_names if c in seen or seen.add(c)})
+    chain = sorted(
+        {f"r_{c}" for c in right.columns if c != key}.intersection(right.columns) - {key}
+    )
+    if reserved or dups or chain:
+        raise ValueError(
+            "stream_interval_join name collision: "
+            f"reserved name(s) {reserved} on an input, "
+            f"duplicate post-rename column(s) {dups}, "
+            f"right-side r_-prefix chain collision(s) {chain}; "
+            "rename the offending columns before joining"
+        )
     lw = left.withColumnRenamed(key, lkey).withWatermark(left_ts, watermark)
     prefixed = right.withColumnRenamed(key, rkey)
     for c in right.columns:
