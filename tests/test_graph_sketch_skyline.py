@@ -1,0 +1,155 @@
+"""Unit tests for the r9 operators: integer fixed-point PageRank,
+exact heavy hitters (sketch-then-verify), histogram quantile
+brackets, the 2-D Pareto frontier, and trigram language-ID."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    """a->b, b->a, a->c with n=3, scale=1e12, damping 85: every value
+    traced by hand through the integer spec (teleport truncates to
+    49999999999, shares/contribs DIV-truncate). c is dangling — its
+    rank leaks, by spec."""
+    from utils_infra_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=1).collect()}
+    assert got == {
+        "a": 49_999_999_999 + (85 * 333_333_333_333) // 100,   # 333333333332
+        "b": 49_999_999_999 + (85 * (333_333_333_333 // 2)) // 100,
+        "c": 49_999_999_999 + (85 * (333_333_333_333 // 2)) // 100,
+    }
+
+
+def test_pagerank_partition_invariant(spark):
+    """Integer sums are order-free: any repartitioning of the edge
+    list yields bit-identical ranks."""
+    from utils_infra_spark.pipeline.graph import pagerank
+
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(200)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, pagerank(edges.repartition(1), iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(13), iterations=3).collect()))
+    assert a == b
+
+
+def test_heavy_hitters_exact_equals_groupby_having(spark):
+    """The candidate pass only over-selects: the final answer equals
+    the plain groupBy-HAVING result for any batch split (forced tiny
+    Arrow batches) and any partitioning."""
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact
+
+    # 'a' x 50, 'b' x 30, 'c' x 12, 60 singletons -> N = 152
+    toks = ["a"] * 50 + ["b"] * 30 + ["c"] * 12 + [f"s{i}" for i in range(60)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    ppm = 100_000  # > 10% of N = 15.2 -> {'a', 'b'} ('c' at 12 misses)
+    exact = {
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 1_000_000 > len(toks) * ppm)
+        .collect()
+    }
+    assert {t for t, _ in exact} == {"a", "b"}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        for parts in (1, 11):
+            got = {
+                (r["tok"], r["cnt"])
+                for r in heavy_hitters_exact(
+                    df.repartition(parts), "tok", threshold_ppm=ppm
+                ).collect()
+            }
+            assert got == exact
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_heavy_hitters_null_tokens_excluded(spark):
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,), (None,)], "tok string"
+    )
+    # N = 3 non-null; x has 2/3 > 50% -> only x
+    got = {(r["tok"], r["cnt"]) for r in
+           heavy_hitters_exact(df, "tok", threshold_ppm=500_000).collect()}
+    assert got == {("x", 2)}
+
+
+def test_histogram_quantile_brackets_hand_computed(spark):
+    """Bin width 1.0 over [1.0, 1.5, 2.5, 3.5]: p50 target = ceil(2) ->
+    bin 1 (cum 2); p99 -> bin 3. Negative values floor correctly:
+    -2.5 lands in bin -3, and a p-small quantile finds it."""
+    from utils_infra_spark.pipeline.sketch import histogram_quantile_brackets
+
+    df = spark.createDataFrame([(1.0,), (1.5,), (2.5,), (3.5,)], "v double")
+    out = {
+        r["q_ppm"]: (r["bin"], r["cum"], r["total"], r["lo_micro"], r["hi_micro"])
+        for r in histogram_quantile_brackets(
+            df, "v", bin_micro=1_000_000, qs_ppm=[500_000, 990_000]
+        ).collect()
+    }
+    assert out[500_000] == (1, 2, 4, 1_000_000, 2_000_000)
+    assert out[990_000] == (3, 4, 4, 3_000_000, 4_000_000)
+
+    neg = spark.createDataFrame([(-2.5,), (0.5,), (7.25,)], "v double")
+    nout = {
+        r["q_ppm"]: r["bin"]
+        for r in histogram_quantile_brackets(
+            neg, "v", bin_micro=1_000_000, qs_ppm=[100_000, 990_000]
+        ).collect()
+    }
+    assert nout[100_000] == -3  # floor(-2.5), not trunc(-2.5) = -2
+    assert nout[990_000] == 7
+
+
+def test_pareto_frontier_tie_semantics(spark):
+    """Equal points are both kept; same-x-lower-y and same-y-higher-x
+    are dominated; the cheapest point survives regardless of y."""
+    from utils_infra_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [  # (id, price, size): minimize price, maximize size
+        (1, 1.0, 5), (2, 1.0, 3), (3, 2.0, 5), (4, 2.0, 7),
+        (5, 3.0, 7), (6, 3.0, 6), (7, 0.5, 1), (8, 1.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "price", "size").collect())
+    assert got == [1, 4, 7, 8]
+    # flipped directions (maximize price, minimize size), dominance
+    # traced by hand: 1/8 (1.0,5) lose to 3 (2.0,5); 4 (2.0,7) loses
+    # to 5 (3.0,7); 5 loses to 6 (3.0,6); 2/3/6/7 are undominated
+    flipped = sorted(
+        r["id"]
+        for r in pareto_frontier_2d(
+            df, "price", "size", minimize_x=False, maximize_y=False
+        ).collect()
+    )
+    assert flipped == [2, 3, 6, 7]
+
+
+def test_langid_trigram_basics(spark):
+    """Docs in two synthetic 'languages' with disjoint trigrams
+    classify back to their own language; a 2-char doc is unscorable
+    (NULL prediction, hits 0, correct False)."""
+    from utils_infra_spark.pipeline.text import langid_trigram
+
+    rows = [
+        (1, "aaa bbb aaa ccc", "xx"),
+        (2, "aaa ccc bbb", "xx"),
+        (3, "zzz yyy zzz qqq", "yy"),
+        (4, "yyy qqq zzz", "yy"),
+        (5, "aaa bbb", "xx"),
+        (6, "ab", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["predicted_lang"], r["correct"]) for r in
+           langid_trigram(df, "text", "lang", "doc_id", top_m=10).collect()}
+    assert got[1] == ("xx", True) and got[3] == ("yy", True)
+    assert got[5] == ("xx", True)
+    assert got[6] == (None, False)

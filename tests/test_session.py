@@ -66,41 +66,34 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r8 goal: every new-in-r8 operator and every query whose code or
-    # oracle changed in r8 must sit INSIDE the window — the round's
+    # r9 goal: every new-in-r9 operator and every query whose code or
+    # oracle changed in r9 must sit INSIDE the window — the round's
     # proofs land on the newest contracts
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
-        # new in r8
-        "ccnet_buckets_approx",
+        # new in r9
+        "pagerank_user_type_graph",
+        "heavy_hitter_tokens_documents",
+        "langid_trigram_documents",
+        "histogram_quantiles_lineitem",
+        "pareto_frontier_parts",
+        "mad_outliers_events",
+        # r9 contract changes (ADVICE hardening pass)
+        "scd2_user_state_history",
+        "weighted_topk_sample_documents",
+        "ivm_user_totals_events",
+        # r8 newcomers / contract changes, second consecutive proof
         "paragraph_dedup_documents",
         "cdc_apply_events",
-        "scd2_user_state_history",
-        "ivm_user_totals_events",
-        "weighted_topk_sample_documents",
-        # r8 contract/plan changes
         "pretrain_pipeline_documents",
         "embedding_jl_projection",
         "hll_distinct_users_by_type",
-        "embedding_topk_cosine",
-        "latest_event_per_user",
-        "union_distinct_orders",
-        "dsl_filter_events",
-        # r7 contract-changed family, re-proven for a second
-        # consecutive driver pass
-        "dup_span_coverage_documents",
-        "line_dedup_documents",
-        "char_lm_quality_documents",
-        "gopher_quality_documents",
-        "gopher_repetition_documents",
-        "c4_line_filters_documents",
     } <= window
-    # everything in the window is drawable evidence: oracle-backed,
-    # except ccnet_buckets_approx — rows-only BY DESIGN (the GK
-    # quantile sketch merge is not partition-order canonical; the
-    # exact ntile twin carries the value-hash proof)
+    # everything in the window is drawable hash evidence this round:
+    # oracle-backed only (ccnet_buckets_approx — rows-only by design —
+    # got its designed weaker check in r8 and is deliberately outside)
     for n in names[:DRIVER_SAMPLE_WINDOW]:
-        assert REGISTRY[n].oracle is not None or n == "ccnet_buckets_approx", n
+        assert REGISTRY[n].oracle is not None, n
 
 
 def test_checkpoint_with_ids_attributes_exactly_its_own_rdd(spark):

@@ -1,0 +1,96 @@
+"""Iterative graph ranking over edge lists (beyond the reference's
+query surface — the link-analysis sibling of pipeline/cluster.py's
+connected components).
+
+PageRank (Page/Brin/Motwani/Winograd 1999) in INTEGER fixed-point so
+the result is deterministic and engine-exact: every quantity is a
+bigint "picorank" (scale = 1e12 by default) and every division is
+integer DIV, so two engines (or two partitionings) produce the SAME
+bits — the fixed-point trick char_lm/DSIR/HLL already use, applied to
+an iterative algorithm. An oracle can unroll a fixed iteration count
+as CTEs (the same proof shape as kmeans_refine_assignments).
+
+100 TB shape: ranks and degrees are one narrow row per node; each
+iteration shuffles (a) the rank table on node for the degree join and
+(b) the EDGE list once for the contribution aggregate (map-side
+partial combine on dst) — payloads are (id, bigint) pairs, never
+vertex data. The driver loop only builds the plan; with a small fixed
+iteration count the whole thing is ONE static DAG. For long runs pass
+``checkpoint_every`` so lineage stays bounded (same pattern as
+connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 2,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank_fp)`` where ``rank_fp`` is the bigint
+    fixed-point rank (divide by ``scale`` for the float). Spec, per
+    iteration, all in non-negative integer arithmetic (DIV truncates
+    = floors for non-negatives, identical across engines):
+
+        share(u)   = rank(u) DIV out_deg(u)          (u with edges)
+        contrib(v) = SUM share(u) over edges u -> v
+        rank'(v)   = ((100-d) * (scale DIV n)) DIV 100
+                     + (d * contrib(v)) DIV 100
+
+    Dangling nodes (no out-edges) keep their rank but contribute
+    nothing — their mass leaks, as in the non-normalized PageRank
+    variant; total mass is NOT conserved and ranks are comparable
+    only within one run's parameters. Deterministic by construction:
+    integer sums are order-free, so the result is partition-invariant
+    and hash-checkable.
+    """
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct={damping_pct} outside [0, 100]")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # 1-row node count broadcast into every rank row (the declarative
+    # scalar-subquery spelling — no collect, no shuffle added)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    teleport = F.expr(f"(({100 - damping_pct}) * (CAST({scale} AS BIGINT) DIV __n)) DIV 100")
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", "__n", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("rank_fp")
+    )
+    elist = edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
+    for i in range(iterations):
+        shares = ranks.join(deg, "node").select(
+            "node", F.expr("rank_fp DIV __deg").alias("__share")
+        )
+        contrib = (
+            elist.join(shares, "node")
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum("__share").alias("__contrib"))
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .select(
+                "node",
+                "__n",
+                (
+                    teleport
+                    + F.expr(f"({damping_pct} * COALESCE(__contrib, CAST(0 AS BIGINT))) DIV 100")
+                ).alias("rank_fp"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank_fp")

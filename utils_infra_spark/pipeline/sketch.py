@@ -322,3 +322,136 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: int) -> DataFrame:
+    """EXACT frequent items above a relative threshold, found without
+    a full-domain groupBy — the two-pass sketch-then-verify pattern
+    (Misra-Gries 1982 / lossy counting, Manku & Motwani 2002, with an
+    exact recount so the answer carries no approximation).
+
+    Returns every token whose count satisfies
+    ``cnt * 1_000_000 > N * threshold_ppm`` (strict), with its EXACT
+    count — N = total non-null tokens. NULL tokens are excluded from
+    both N and the counts.
+
+    Pass 1 (candidates): each Arrow batch keeps the tokens that are
+    heavy WITHIN THE BATCH (``cnt_b * 1e6 > n_b * ppm``). Pigeonhole
+    guarantees the union is a SUPERSET of the true heavy hitters: if
+    x were below threshold in every batch, summing the per-batch
+    inequalities gives cnt(x) <= N*theta — contradiction. Each batch
+    can contribute at most 1e6/ppm candidates, so the union stays
+    tiny no matter the corpus size, and per-batch value_counts bounds
+    memory by the batch, not the token domain.
+
+    Pass 2 (verify): recount ONLY the candidates — a broadcast
+    semi-join filter on the token stream feeding a hash aggregate
+    whose key domain is the candidate set, plus one scalar count for
+    N. The full token domain is never shuffled: at 100 TB with
+    billions of distinct tokens, a plain groupBy-HAVING shuffles the
+    whole domain; this shuffles a few thousand candidate rows.
+
+    Output is EXACTLY the plain groupBy-HAVING answer (the oracle),
+    for any partitioning and any batch split — the candidate pass
+    only ever over-selects.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path)
+
+    toks = tokens_df.select(F.col(token_col).alias("tok")).where(F.col("tok").isNotNull())
+    ppm = int(threshold_ppm)
+
+    def _candidates(batches):
+        for pdf in batches:
+            s = pdf["tok"].dropna()
+            n_b = len(s)
+            if n_b == 0:
+                continue
+            vc = s.value_counts()
+            keep = vc[vc * 1_000_000 > n_b * ppm]
+            if len(keep):
+                yield keep.index.to_frame(index=False, name="tok")
+
+    cands = toks.mapInPandas(_candidates, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 1_000_000 > F.col("__n") * ppm)
+        .select(F.col("tok").alias(token_col), "cnt")
+    )
+
+
+def histogram_quantile_brackets(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bin_micro: int,
+    qs_ppm: list[int],
+    group_by: str | None = None,
+) -> DataFrame:
+    """Deterministic MERGEABLE quantiles via a fixed-width histogram —
+    the scale path where exact per-group sorts (percentile/ntile) and
+    GK sketches (approx_percentile — merge not partition-canonical)
+    both fall short. Bin counts are plain integer aggregates: exact,
+    order-free, partition-invariant, and mergeable across shards/days,
+    so the result is hash-checkable against any engine.
+
+    Spec (integer-exact; negatives are fine — the bin id is a true
+    FLOOR division, spelled ``(vm - pmod(vm, w)) DIV w`` with
+    ``pmod(vm, w) = ((vm % w) + w) % w``, because both engines' DIV
+    and % truncate toward zero / follow the dividend; subtracting the
+    POSITIVE remainder lands on the floor multiple even for negative
+    values): fixed-point ``vm = floor(v * 1e6 + 0.5)``,
+    bin ``floor(vm/w)``; for
+    each q (ppm) the answer is the SMALLEST bin whose cumulative count
+    reaches ceil(N * q / 1e6) — for integer cum that is
+    ``cum * 1e6 >= N * q_ppm``. Returns one row per (group, q):
+    ``q_ppm, bin, lo_micro, hi_micro, cum, total`` — the true quantile
+    lies in [lo_micro, hi_micro); error is bounded by the bin width,
+    chosen by the caller, never by data order.
+
+    100 TB shape: ONE corpus aggregate with map-side combine onto a
+    bounded key domain (value_range / bin_micro bins per group); the
+    cumulative window and the per-q argmin run over the tiny bin
+    table, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    g = [group_by] if group_by else []
+    vm = F.expr(f"CAST(FLOOR(({value_col}) * 1000000 + 0.5) AS BIGINT)")
+    w_lit = F.lit(int(bin_micro))
+    pmod = ((vm % w_lit) + w_lit) % w_lit
+    bins = (
+        df.select(*g, (vm - pmod).alias("__bm"))
+        .select(*g, F.expr(f"__bm DIV {int(bin_micro)}").alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(*g).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*g)
+    cum = bins.select(
+        *g,
+        "bin",
+        F.sum("__cnt").over(w).alias("cum"),
+        F.sum("__cnt").over(wt).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(int(q)).cast("bigint") for q in qs_ppm])).alias("q_ppm")
+    hit = cum.select(*g, "bin", "cum", "total", qs).where(
+        F.col("cum") * 1_000_000 >= F.col("total") * F.col("q_ppm")
+    )
+    first = hit.groupBy(*g, "q_ppm").agg(
+        F.min("bin").alias("bin"), F.first("total").alias("total")
+    )
+    # re-attach the chosen bin's cumulative count
+    out = first.join(cum.select(*g, "bin", "cum"), [*g, "bin"])
+    return out.select(
+        *g,
+        "q_ppm",
+        "bin",
+        (F.col("bin") * int(bin_micro)).alias("lo_micro"),
+        ((F.col("bin") + 1) * int(bin_micro)).alias("hi_micro"),
+        "cum",
+        "total",
+    )

@@ -1074,3 +1074,79 @@ def control_char_profile(df, text_col: str, id_col: str):
         " (2*(replacement_chars + control_chars)*1000000 + n_chars) DIV (2*n_chars) <= 1000)"
         " AS encoding_pass",
     )
+
+
+def langid_trigram(df, text_col: str, lang_col: str, id_col: str, *, top_m: int = 40):
+    """Character-trigram language ID (Cavnar & Trenkle 1994, the
+    n-gram profile method), fit and applied in one plan — the real
+    langid companion to the lang_guess stopword heuristic above.
+
+    Fit: per language, the ``top_m`` most frequent trigrams of the
+    normalized text (lowercased, whitespace collapsed to one space),
+    ties broken on the trigram string so the profile is deterministic.
+    Classify: each document's DISTINCT trigrams are intersected with
+    every profile; the language with the most hits wins (ties break
+    on the language string). Docs shorter than 3 normalized chars are
+    excluded from both fit and scoring and come back with NULL
+    prediction / 0 hits.
+
+    Output: (id, lang, predicted_lang, hits, correct) — correct is a
+    null-safe equality so unscorable docs read false, not NULL.
+
+    100 TB shape: the profile is langs x top_m rows — broadcast; the
+    trigram explode is in-row; hits aggregate on (doc, lang) is
+    bounded by langs per doc with map-side combine; the per-doc
+    argmax window partitions on the doc id (no hot key). The fit's
+    (lang, trigram) aggregate has a bounded key domain (charset³ per
+    language — the same bound the char-LM fit relies on).
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(lang_col).alias("lang"), norm.alias("__norm")
+    )
+    scorable = base.where(F.col("__norm").isNotNull() & (F.length("__norm") >= 3))
+    tris = scorable.select(
+        "__id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(__norm) - 2), i -> substring(__norm, i, 3))")
+        ).alias("tg"),
+    )
+    profile = (
+        tris.groupBy(F.col("lang").alias("predicted_lang"), "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("predicted_lang").orderBy(F.desc("cnt"), F.asc("tg"))
+        ))
+        .where(F.col("__rn") <= top_m)
+        .select("predicted_lang", "tg")
+    )
+    hits = (
+        tris.select("__id", "tg").distinct()
+        .join(F.broadcast(profile), "tg")
+        .groupBy("__id", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = (
+        hits.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.desc("hits"), F.asc("predicted_lang"))
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        base.select("__id", "lang")
+        .join(best, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "lang",
+            "predicted_lang",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.col("lang").eqNullSafe(F.col("predicted_lang")).alias("correct"),
+        )
+    )

@@ -122,23 +122,30 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- r8 rotation. Cumulative driver coverage closed at 151/151 in
-    # r7, so the window's job this round is RE-PROOF under changed
-    # contracts, in this order:
-    # (1) new-in-r8 operators (first driver evidence the round they
-    #     ship);
+    # --- r9 rotation. Window goals, in order:
+    # (1) new-in-r9 operators (first driver evidence the round they
+    #     ship): fixed-point PageRank, exact heavy hitters, trigram
+    #     langid, histogram quantile brackets, Pareto frontier, MAD
+    #     outliers;
+    "pagerank_user_type_graph",
+    "heavy_hitter_tokens_documents",
+    "langid_trigram_documents",
+    "histogram_quantiles_lineitem",
+    "pareto_frontier_parts",
+    "mad_outliers_events",
+    # (2) queries whose CODE or ORACLE changed in r9 (the ADVICE
+    #     hardening pass: SCD2 oracle event_id tiebreak, A-ES id
+    #     tiebreak both engines, retract-merge log column param);
+    "scd2_user_state_history",
+    "weighted_topk_sample_documents",
+    "ivm_user_totals_events",
+    # (3) r8 newcomers and r8 contract-changed names, re-proven so the
+    #     newest contracts carry two consecutive driver proofs
+    #     (ccnet_buckets_approx got its designed rows-only check in r8
+    #     and is deliberately NOT re-sampled — a slot re-proves a
+    #     hash, not a row count);
     "paragraph_dedup_documents",
     "cdc_apply_events",
-    "scd2_user_state_history",
-    "ivm_user_totals_events",
-    "weighted_topk_sample_documents",
-    "ccnet_buckets_approx",  # rows-only by design — GK sketch merge
-    # is not partition-order canonical; the exact ntile twin below
-    # carries the value-hash proof of the shared scoring pipeline
-    # (2) queries whose CODE or ORACLE changed in r8: the fused
-    #     capstone (gate_flags single projection), the JL row-domain
-    #     gate (size = in_dim both engines), the HLL estimate overflow
-    #     clamp, and the r8 perf-rewritten headliners;
     "pretrain_pipeline_documents",
     "embedding_jl_projection",
     "hll_distinct_users_by_type",
@@ -146,24 +153,19 @@ _SAMPLING_PRIORITY = [
     "latest_event_per_user",
     "union_distinct_orders",
     "dsl_filter_events",
-    # (3) the r7 contract-changed family (dup-span retokenized oracle,
-    #     line-dedup blank class, char-LM fixed-point nanonats, the
-    #     whitespace-fixture trio) — proven in r7, re-proven here so
-    #     the newest contracts carry two consecutive driver proofs;
-    "dup_span_coverage_documents",
+    # (4) reduction-heavy operators whose proofs should stay fresh;
     "line_dedup_documents",
     "char_lm_quality_documents",
-    "gopher_quality_documents",
-    "gopher_repetition_documents",
-    "c4_line_filters_documents",
     "dsir_importance_documents",
     "boilerplate_line_removal_documents",
-    "control_char_profile_documents",
     "ccnet_perplexity_buckets",
     "doc_fingerprint_md5",
     "semdedup_embeddings",
     "kmeans_refine_assignments",
-    # (4) the bench headline set + most load-bearing operators.
+    # (5) the bench headline set + most load-bearing operators.
+    # (dup_span_coverage / gopher_quality / gopher_repetition /
+    # c4_line_filters / control_char_profile — all hash-green in BOTH
+    # r7 and r8 — were the trims for the six new r9 names.)
     "pricing_summary",
     "composite_agg_orders",
     "order_revenue_top10",
@@ -237,6 +239,7 @@ def _load() -> None:
         analytics_queries,
         dsl_queries,
         geo_queries,
+        graph_queries,
         pipeline_queries,
         relational,
         sampling_queries,

@@ -1027,3 +1027,160 @@ def ivm_user_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         "CAST(total_micro AS DOUBLE) / 1000000.0 AS total_value",
     )
+
+
+@register(
+    "histogram_quantiles_lineitem",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR((l_quantity) * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM lineitem
+    ),
+    bins AS (
+      SELECT g, (vm - (((vm % 1000000) + 1000000) % 1000000)) // 1000000 AS bin,
+             COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, bin,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS total
+      FROM bins
+    ),
+    qs AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_ppm),
+    hit AS (
+      SELECT g, q_ppm, MIN(bin) AS bin
+      FROM cum, qs WHERE cum * 1000000 >= total * q_ppm
+      GROUP BY g, q_ppm
+    )
+    SELECT hit.g, hit.q_ppm, hit.bin,
+           hit.bin * 1000000 AS lo_micro, (hit.bin + 1) * 1000000 AS hi_micro,
+           CAST(cum.cum AS BIGINT) AS cum, CAST(cum.total AS BIGINT) AS total
+    FROM hit JOIN cum ON hit.g = cum.g AND hit.bin = cum.bin
+    """,
+    doc="Deterministic MERGEABLE quantiles via fixed-width histograms "
+    "(p50/p90/p99 of l_quantity per returnflag, bin width 1.0): bin "
+    "counts are exact integer aggregates — order-free, partition-"
+    "invariant, mergeable across shards/days — so unlike approx_percentile "
+    "(GK merge is not partition-canonical) the result hash-checks across "
+    "engines; unlike exact percentile it never buffers a group's values. "
+    "ONE corpus aggregate onto a bounded bin domain with map-side combine; "
+    "the cumulative window and per-q argmin run over the tiny bin table. "
+    "The quantile is returned as its bracket [lo_micro, hi_micro) — error "
+    "bounded by bin width, chosen by the caller, never by data order.",
+)
+def histogram_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import histogram_quantile_brackets
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity"
+    )
+    return histogram_quantile_brackets(
+        li, "l_quantity", bin_micro=1_000_000,
+        qs_ppm=[500_000, 900_000, 990_000], group_by="g",
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH xagg AS (
+      SELECT p_retailprice AS x, MAX(p_size) AS ymax FROM part GROUP BY p_retailprice
+    ),
+    xr AS (
+      SELECT x, ymax,
+             MAX(ymax) OVER (ORDER BY x ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM xagg
+    )
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p JOIN xr ON p.p_retailprice = xr.x
+    WHERE p.p_size = xr.ymax AND (xr.prev IS NULL OR xr.prev < p.p_size)
+    """,
+    doc="2-D Pareto frontier (skyline): parts no other part beats on BOTH "
+    "price (lower better) and size (higher better). The NOT-EXISTS "
+    "formulation is an O(n^2) nested-loop join; this is one keyed "
+    "aggregate (max size per distinct price, map-side combine) + a "
+    "running max over the DISTINCT-price table (tiny) + one equi-join "
+    "back — the only global ordering happens over distinct prices, never "
+    "the corpus. Set semantics: all rows tied on a frontier point are "
+    "kept, so the result is deterministic with no tiebreak column.",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(
+        part, "p_retailprice", "p_size", minimize_x=True, maximize_y=True
+    )
+
+
+@register(
+    "mad_outliers_events",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(2 * median(vm) AS BIGINT) AS m2
+      FROM v GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_id, v.event_type, vm, ABS(2 * vm - m2) AS d2
+      FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(vm AS DOUBLE) / 1000000.0 AS value,
+           CAST(d2 AS BIGINT) AS dev2_micro, CAST(mad4 AS BIGINT) AS mad4_micro
+    FROM d JOIN mad USING (event_type)
+    WHERE 2 * d2 > 3 * mad4
+    """,
+    doc="Robust outlier detection per event type: |value - median| > "
+    "3 * MAD (median absolute deviation), the estimator that survives the "
+    "outliers it hunts (z-scores don't — the outliers inflate the stddev "
+    "that defines them; cf. zscore_by_segment). All comparisons in "
+    "DOUBLED/QUADRUPLED integer micro space so even-count median "
+    "interpolation (x.5) stays exact and the filter is engine-exact. "
+    "Groups with MAD = 0 flag every non-median value (the standard MAD "
+    "degeneracy — documented, not masked). Two keyed aggregates on the "
+    "bounded event_type domain + broadcast joins back; at 100 TB swap the "
+    "exact medians for histogram_quantile_brackets' p50 bin midpoint "
+    "(exact median buffers each group's values on an executor).",
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("CAST(2 * median(vm) AS BIGINT)").alias("m2")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "vm", F.expr("ABS(2 * vm - m2)").alias("d2")
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("CAST(2 * median(d2) AS BIGINT)").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where(F.expr("2 * d2 > 3 * mad4"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(vm AS DOUBLE) / 1000000.0").alias("value"),
+            F.col("d2").alias("dev2_micro"),
+            F.col("mad4").alias("mad4_micro"),
+        )
+    )

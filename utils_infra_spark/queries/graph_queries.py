@@ -1,0 +1,68 @@
+"""Graph-analytics queries: link analysis over edge lists derived
+from the star schema (companions to near_dup_clusters' connected
+components in pipeline/cluster.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.graph import pagerank
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "pagerank_user_type_graph",
+    oracle="""
+    WITH fwd AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n AS rank_fp, n
+           FROM nodes, nn),
+    s1 AS (SELECT r0.node, rank_fp // deg AS share FROM r0 JOIN deg USING (node)),
+    c1 AS (SELECT e.dst AS node, SUM(share) AS contrib
+           FROM edges e JOIN s1 ON e.src = s1.node GROUP BY e.dst),
+    r1 AS (SELECT r0.node,
+                  ((15 * (CAST(1000000000000 AS BIGINT) // n)) // 100)
+                  + ((85 * COALESCE(c1.contrib, 0)) // 100) AS rank_fp, n
+           FROM r0 LEFT JOIN c1 USING (node)),
+    s2 AS (SELECT r1.node, rank_fp // deg AS share FROM r1 JOIN deg USING (node)),
+    c2 AS (SELECT e.dst AS node, SUM(share) AS contrib
+           FROM edges e JOIN s2 ON e.src = s2.node GROUP BY e.dst),
+    r2 AS (SELECT r1.node,
+                  ((15 * (CAST(1000000000000 AS BIGINT) // n)) // 100)
+                  + ((85 * COALESCE(c2.contrib, 0)) // 100) AS rank_fp
+           FROM r1 LEFT JOIN c2 USING (node))
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r2
+    """,
+    doc="PageRank (2 iterations, damping 0.85) over the bipartite "
+    "user<->event-type graph, in INTEGER fixed-point (picorank, scale 1e12) "
+    "so every engine and every partitioning produces the same bits — the "
+    "oracle unrolls both iterations as CTEs (the kmeans proof shape). Per "
+    "iteration the plan shuffles one narrow (node, bigint) rank table plus "
+    "the edge list once with map-side combine; vertex payloads never move. "
+    "Dangling-node mass leaks by spec (non-normalized PageRank variant).",
+)
+def pagerank_user_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=2, damping_pct=85, scale=10**12)

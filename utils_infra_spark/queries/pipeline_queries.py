@@ -2242,3 +2242,88 @@ def pretrain_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(c4_keep AND quality_pass AND repetition_pass AND encoding_pass"
         " AND NOT is_exact_dup) AS final_keep",
     )
+
+
+@register(
+    "heavy_hitter_tokens_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt
+    FROM cnt, tot WHERE cnt * 1000000 > n * 2000
+    """,
+    doc="EXACT heavy-hitter tokens (> 0.2% of the corpus token stream) "
+    "via the sketch-then-verify pattern: per-Arrow-batch candidate "
+    "generation (pigeonhole superset guarantee, <= 1e6/ppm candidates per "
+    "batch) then an exact recount of candidates only — a broadcast "
+    "semi-join plus a hash aggregate whose key domain is the candidate "
+    "set. The full token domain is never shuffled (a plain groupBy-HAVING "
+    "shuffles billions of distinct tokens at 100 TB; this shuffles "
+    "thousands), yet the answer equals the oracle's exact HAVING bit for "
+    "bit for any partitioning/batch split.",
+)
+def heavy_hitter_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", threshold_ppm=2000)
+
+
+@register(
+    "langid_trigram_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    scorable AS (
+      SELECT * FROM base WHERE norm IS NOT NULL AND length(norm) >= 3
+    ),
+    tris AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(norm) - 1),
+                                   i -> substr(norm, CAST(i AS INT), 3))) AS tg
+      FROM scorable
+    ),
+    profile AS (
+      SELECT predicted_lang, tg FROM (
+        SELECT lang AS predicted_lang, tg, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tg ASC) AS rn
+        FROM tris GROUP BY lang, tg
+      ) WHERE rn <= 40
+    ),
+    hits AS (
+      SELECT doc_id, predicted_lang, COUNT(*) AS hits
+      FROM (SELECT DISTINCT doc_id, tg FROM tris) d
+      JOIN profile USING (tg)
+      GROUP BY doc_id, predicted_lang
+    ),
+    best AS (
+      SELECT doc_id, predicted_lang, hits FROM (
+        SELECT doc_id, predicted_lang, hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, predicted_lang ASC) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.lang, best.predicted_lang,
+           CAST(COALESCE(best.hits, 0) AS BIGINT) AS hits,
+           (b.lang IS NOT DISTINCT FROM best.predicted_lang) AS correct
+    FROM base b LEFT JOIN best USING (doc_id)
+    """,
+    doc="Character-trigram language ID (Cavnar & Trenkle 1994): per-lang "
+    "top-40 trigram profiles fit over the normalized corpus, each doc "
+    "classified by distinct-trigram overlap, ties deterministic (trigram "
+    "then lang string). Profile is langs x 40 rows -> broadcast; trigram "
+    "explode is in-row; hit counts aggregate on (doc, lang) with map-side "
+    "combine; argmax is a per-doc window (no hot key).",
+)
+def langid_trigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.langid_trigram(docs, "text", "lang", "doc_id", top_m=40)
