@@ -543,3 +543,27 @@ def test_weighted_topk_sample_duplicate_id_deterministic(spark):
         )
         outs.append(sorted((r["doc_id"], r["sample_key"]) for r in out.collect()))
     assert outs[0] == outs[1] and len(outs[0]) == 7
+
+
+def test_interval_coalesce_running_max_not_prev_end(spark):
+    """The case gap sessionization gets wrong: a long interval [0, 100)
+    swallows [10, 20) and [30, 40); [20, 25) touches nothing new; the
+    next span only opens past the RUNNING max end (100), not past the
+    previous row's end (40)."""
+    from utils_infra_spark.operators.temporal import interval_coalesce
+
+    rows = [
+        ("u", 0, 100), ("u", 10, 20), ("u", 30, 40), ("u", 100, 110),
+        ("u", 250, 260), ("v", 5, 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["span_id"], r["span_start"], r["span_end"], r["n_intervals"])
+        for r in interval_coalesce(df, "k", "s", "e").collect()
+    )
+    # [100, 110) touches [0, 100) (half-open) -> merges into span 1
+    assert got == [
+        ("u", 1, 0, 110, 4),
+        ("u", 2, 250, 260, 1),
+        ("v", 1, 5, 6, 1),
+    ]

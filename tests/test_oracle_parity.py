@@ -108,6 +108,16 @@ PARTITION_SENSITIVE = [
     "doc_fingerprint_md5",
     "hll_distinct_users_by_type",
     "embedding_topk_cosine",
+    # r9 newcomers with reductions the spec claims are order-free:
+    # PageRank's integer DIV/sum chain, heavy hitters' per-batch
+    # candidate pass (the SET must not depend on the batch split),
+    # histogram bins' cumulative window over the aggregated table,
+    # langid's fit counts + argmax ties, MAD's exact medians
+    "pagerank_user_type_graph",
+    "heavy_hitter_tokens_documents",
+    "histogram_quantiles_lineitem",
+    "langid_trigram_documents",
+    "mad_outliers_events",
 ]
 
 

@@ -247,3 +247,51 @@ def retract_aggregate_merge(
         ).alias(micro_col),
     )
     return merged.where(F.col(n_col) != 0)
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    *tie_break: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    disjoint spans — the interval-union / coverage-span operator
+    (uptime windows, sensor coverage, blackout merging). Distinct from
+    gap sessionization: interval ENDS need not be monotone with
+    starts, so the span test compares each start against the RUNNING
+    MAX of all previous ends, not the previous row's end (a long
+    interval can swallow many later short ones).
+
+    Intervals are half-open ``[start, end)``; touching intervals
+    (``start == prev_end``) merge. Output: one row per
+    ``(key, span_id)`` with ``span_start``, ``span_end``,
+    ``n_intervals``; ``span_id`` numbers spans per key from 1 in span
+    order (deterministic). ``tie_break`` columns extend the ordering
+    for full determinism when (start, end) can collide — though span
+    boundaries are value-determined either way (identical sort keys
+    carry identical values into the running max).
+
+    Engine shape: ONE shuffle on the key feeds both window passes
+    (running-max flag, running-sum span numbering — same
+    partitioning + ordering, one sort) and the final
+    (key, span_id) aggregate — hashpartitioning(key) satisfies the
+    superset clustering, exactly the sessionize_events plan shape.
+    """
+    order = [F.col(start).asc(), F.col(end).asc()] + [F.col(c).asc() for c in tie_break]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "__new_span",
+        F.when(prev_max_end.isNull() | (F.col(start) > prev_max_end), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("__new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return spans.groupBy(key, "span_id").agg(
+        F.min(start).alias("span_start"),
+        F.max(end).alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -1184,3 +1184,55 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad4").alias("mad4_micro"),
         )
     )
+
+
+@register(
+    "interval_coalesce_user_activity",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_span,
+             event_id
+      FROM iv
+    ),
+    spans AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      FROM flagged
+    )
+    SELECT user_id, span_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           COUNT(*) AS n_intervals
+    FROM spans GROUP BY user_id, span_id
+    """,
+    doc="Interval coalescing (interval union / coverage spans): each "
+    "event opens a VARIABLE-length activity interval [ts, ts + value "
+    "seconds) and overlapping-or-touching intervals merge into maximal "
+    "disjoint spans per user. Distinct from gap sessionization: ends are "
+    "non-monotone with starts, so the span test compares each start "
+    "against the RUNNING MAX of previous ends (a long interval swallows "
+    "later short ones). ONE shuffle on user_id feeds both window passes "
+    "and the (user_id, span_id) aggregate — the sessionize_events plan "
+    "shape. Epoch-microsecond integers end to end: engine-exact.",
+)
+def interval_coalesce_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_coalesce
+
+    ev = load_table(spark, sf_dir, "events")
+    em = epoch_micros(ev, "ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        em.alias("s"),
+        (em + F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)")).alias("e"),
+    )
+    return interval_coalesce(iv, "user_id", "s", "e", "event_id")
