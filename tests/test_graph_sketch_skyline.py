@@ -66,8 +66,12 @@ def test_heavy_hitters_exact_equals_groupby_having(spark):
             }
             assert got == exact
     finally:
+        # unset, don't skip: leaving 7-row batches in the session-
+        # scoped fixture would silently slow every later Arrow test
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
 def test_heavy_hitters_null_tokens_excluded(spark):

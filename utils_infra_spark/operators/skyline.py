@@ -45,6 +45,12 @@ def pareto_frontier_2d(
     better. Output keeps every input column; NULL x or y rows are
     dropped (a NULL measure can neither dominate nor be ranked).
     """
+    reserved = {"__x", "__y", "__ymax", "__prev"}.intersection(df.columns)
+    if reserved:
+        raise ValueError(
+            f"pareto_frontier_2d: input columns {sorted(reserved)} collide "
+            "with internal names; rename them first"
+        )
     sx = F.col(x_col) if minimize_x else -F.col(x_col)
     sy = F.col(y_col) if maximize_y else -F.col(y_col)
     base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).withColumns(

@@ -273,12 +273,24 @@ def interval_coalesce(
     boundaries are value-determined either way (identical sort keys
     carry identical values into the running max).
 
+    Precondition: ``start`` and ``end`` are NON-NULL (a NULL endpoint
+    has no place on a span, and engines disagree on NULL ordering —
+    Spark ASC = NULLS FIRST, DuckDB = NULLS LAST — so NULL rows would
+    make span numbering engine-dependent; same contract as
+    scd2_history's ts).
+
     Engine shape: ONE shuffle on the key feeds both window passes
     (running-max flag, running-sum span numbering — same
     partitioning + ordering, one sort) and the final
     (key, span_id) aggregate — hashpartitioning(key) satisfies the
     superset clustering, exactly the sessionize_events plan shape.
     """
+    reserved = {"__new_span", "span_id"}.intersection(df.columns)
+    if reserved:
+        raise ValueError(
+            f"interval_coalesce: input columns {sorted(reserved)} collide "
+            "with internal/output names; rename them first"
+        )
     order = [F.col(start).asc(), F.col(end).asc()] + [F.col(c).asc() for c in tie_break]
     w = Window.partitionBy(key).orderBy(*order)
     prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -340,9 +340,15 @@ def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: 
     guarantees the union is a SUPERSET of the true heavy hitters: if
     x were below threshold in every batch, summing the per-batch
     inequalities gives cnt(x) <= N*theta — contradiction. Each batch
-    can contribute at most 1e6/ppm candidates, so the union stays
-    tiny no matter the corpus size, and per-batch value_counts bounds
-    memory by the batch, not the token domain.
+    contributes at most 1e6/ppm candidates, so the honest bound on
+    the union is batches x 1e6/ppm — near-empty per batch for stable
+    distributions (the common case), but a DRIFTING distribution
+    (locally-heavy date-stamped ids, say) can make it grow with the
+    corpus; if the candidate broadcast ever threatens driver memory,
+    insert an MG-style compaction round (re-run this same candidate
+    pass over the candidate+count pairs) before the verify join.
+    Per-batch value_counts bounds pass-1 memory by the batch, not the
+    token domain.
 
     Pass 2 (verify): recount ONLY the candidates — a broadcast
     semi-join filter on the token stream feeding a hash aggregate
@@ -404,7 +410,9 @@ def histogram_quantile_brackets(
     and % truncate toward zero / follow the dividend; subtracting the
     POSITIVE remainder lands on the floor multiple even for negative
     values): fixed-point ``vm = floor(v * 1e6 + 0.5)``,
-    bin ``floor(vm/w)``; for
+    bin ``floor(vm/w)``; NULL values are excluded from bins AND totals
+    (mirror the filter in any oracle — a NULL bin would sort
+    differently per engine: Spark NULLS FIRST, DuckDB NULLS LAST); for
     each q (ppm) the answer is the SMALLEST bin whose cumulative count
     reaches ceil(N * q / 1e6) — for integer cum that is
     ``cum * 1e6 >= N * q_ppm``. Returns one row per (group, q):
@@ -423,6 +431,11 @@ def histogram_quantile_brackets(
     vm = F.expr(f"CAST(FLOOR(({value_col}) * 1000000 + 0.5) AS BIGINT)")
     w_lit = F.lit(int(bin_micro))
     pmod = ((vm % w_lit) + w_lit) % w_lit
+    # NULL values are excluded (a NULL has no bin; leaving it in would
+    # create a NULL bin the two engines ORDER differently — Spark
+    # NULLS FIRST vs DuckDB NULLS LAST — shifting every cumulative
+    # count) — mirror the filter in any oracle
+    df = df.where(F.expr(f"({value_col}) IS NOT NULL"))
     bins = (
         df.select(*g, (vm - pmod).alias("__bm"))
         .select(*g, F.expr(f"__bm DIV {int(bin_micro)}").alias("bin"))

@@ -1102,7 +1102,12 @@ def langid_trigram(df, text_col: str, lang_col: str, id_col: str, *, top_m: int 
     """
     from pyspark.sql import Window
 
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # EXPLICIT whitespace class, never \s: Java \s matches U+000B,
+    # RE2's (DuckDB) does not — the r7 dup-span lesson, same spelling
+    # as char_trigram_lm_scores / repetition_profile above
+    norm = F.lower(
+        F.regexp_replace(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " ")
+    )
     base = df.select(
         F.col(id_col).alias("__id"), F.col(lang_col).alias("lang"), norm.alias("__norm")
     )

@@ -946,13 +946,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_state
+                                   ORDER BY ts, event_id) AS prev_state,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
       FROM events
     ),
     versions AS (
       SELECT user_id, event_type, ts, event_id
       FROM ordered
-      WHERE prev_state IS DISTINCT FROM event_type
+      -- rn = 1 opens the first version even when its state is NULL
+      -- (NULL IS DISTINCT FROM NULL is false — the lag test alone
+      -- would drop a NULL-first-state key's opening version)
+      WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,
@@ -1035,7 +1040,7 @@ def ivm_user_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT l_returnflag AS g,
              CAST(FLOOR((l_quantity) * 1000000 + 0.5) AS BIGINT) AS vm
-      FROM lineitem
+      FROM lineitem WHERE l_quantity IS NOT NULL
     ),
     bins AS (
       SELECT g, (vm - (((vm % 1000000) + 1000000) % 1000000)) // 1000000 AS bin,

@@ -2279,7 +2279,7 @@ def heavy_hitter_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH base AS (
       SELECT doc_id, lang,
-             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+             lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
       FROM documents
     ),
     scorable AS (
