@@ -350,12 +350,14 @@ def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: 
     Per-batch value_counts bounds pass-1 memory by the batch, not the
     token domain.
 
-    Pass 2 (verify): recount ONLY the candidates — a broadcast
-    semi-join filter on the token stream feeding a hash aggregate
-    whose key domain is the candidate set, plus one scalar count for
-    N. The full token domain is never shuffled: at 100 TB with
-    billions of distinct tokens, a plain groupBy-HAVING shuffles the
-    whole domain; this shuffles a few thousand candidate rows.
+    Pass 2 (verify): ONE corpus scan does both the candidate recount
+    and N — a broadcast LEFT join marks candidate rows, the aggregate
+    keys on candidate-or-NULL (every non-candidate collapses into the
+    single NULL group), and N is a window sum over the aggregated
+    (candidates + 1)-row table, never the corpus. The full token
+    domain is never shuffled: at 100 TB with billions of distinct
+    tokens, a plain groupBy-HAVING shuffles the whole domain; this
+    shuffles candidate rows plus one other-bucket row per task.
 
     Output is EXACTLY the plain groupBy-HAVING answer (the oracle),
     for any partitioning and any batch split — the candidate pass
@@ -377,14 +379,19 @@ def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: 
             if len(keep):
                 yield keep.index.to_frame(index=False, name="tok")
 
+    from pyspark.sql import Window
+
     cands = toks.mapInPandas(_candidates, schema="tok string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    marked = toks.join(F.broadcast(cands.withColumn("__c", F.lit(1))), "tok", "left")
+    per = marked.groupBy(
+        F.when(F.col("__c") == 1, F.col("tok")).alias("tok")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # global window over the aggregated table only — candidates + 1
+    # rows, NOT the corpus (the single-partition warning is benign)
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        toks.join(F.broadcast(cands), "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .where(F.col("cnt") * 1_000_000 > F.col("__n") * ppm)
+        per.withColumn("__n", F.sum("cnt").over(w))
+        .where(F.col("tok").isNotNull() & (F.col("cnt") * 1_000_000 > F.col("__n") * ppm))
         .select(F.col("tok").alias(token_col), "cnt")
     )
 
