@@ -157,3 +157,23 @@ def test_langid_trigram_basics(spark):
     assert got[1] == ("xx", True) and got[3] == ("yy", True)
     assert got[5] == ("xx", True)
     assert got[6] == (None, False)
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 has exactly 4 triangles; a star (celebrity hub) has none; a
+    triangle with a pendant edge has 1. Duplicate/reversed/self-loop
+    edges must not change the counts."""
+    from utils_infra_spark.pipeline.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (1, 0)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    assert triangle_count(df).collect()[0]["triangles"] == 4
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)], "src long, dst long")
+    assert triangle_count(star).collect()[0]["triangles"] == 0
+
+    pendant = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(pendant).collect()[0]["triangles"] == 1

@@ -79,6 +79,7 @@ def test_registry_surfaces_unproven_names_first():
         "pareto_frontier_parts",
         "mad_outliers_events",
         "interval_coalesce_user_activity",
+        "triangle_count_copurchase",
         # r9 contract changes (ADVICE hardening pass)
         "scd2_user_state_history",
         "weighted_topk_sample_documents",

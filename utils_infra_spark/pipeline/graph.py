@@ -94,3 +94,52 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank_fp")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an UNDIRECTED edge list, degree-
+    ordered (Suri & Vassilvitskii 2011, "Counting Triangles and the
+    Curse of the Last Reducer") — each triangle is counted exactly
+    once, from its lowest-(degree, id) corner.
+
+    Naive wedge enumeration explodes on hot nodes: a degree-d vertex
+    yields d² wedges (the "celebrity problem"). Orienting every edge
+    from its lower-(degree, id) endpoint to the higher one caps every
+    vertex's OUT-degree at O(sqrt(m)), so the wedge set is O(m^1.5)
+    total — the published bound — and no single reducer inherits a
+    celebrity's d² work.
+
+    Plan: normalize (dedupe, drop self-loops) → degree aggregate →
+    orient → one self-join on the wedge pivot + one join to close the
+    wedge — all joins key on node ids, payloads are id pairs; nothing
+    collects. Returns one row: ``triangles`` (bigint).
+    """
+    a, b = F.col(src).alias("u"), F.col(dst).alias("v")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "n")
+    # orient: s -> t iff (deg(s), s) < (deg(t), t) — a total order, so
+    # every undirected edge gets exactly one direction
+    withdeg = (
+        und.join(deg, und["u"] == deg["n"]).drop("n").withColumnRenamed("d", "du")
+        .join(deg, und["v"] == deg["n"]).drop("n").withColumnRenamed("d", "dv")
+    )
+    lt = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = withdeg.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("x"), F.col("dt").alias("dx"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("y"), F.col("dt").alias("dy"))
+    wedges = e1.join(e2, "s").where(
+        (F.col("dx") < F.col("dy")) | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    return wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )

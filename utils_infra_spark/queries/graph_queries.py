@@ -66,3 +66,42 @@ def pagerank_user_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=2, damping_pct=85, scale=10**12)
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle count over the part co-purchase graph (parts paired "
+    "within an order; triangle = three parts each pair of which "
+    "co-occurs somewhere). Engine side is DEGREE-ORDERED (Suri & "
+    "Vassilvitskii 2011): edges orient low->high (degree, id), capping "
+    "every out-degree at O(sqrt(m)) so wedge work is O(m^1.5) and no "
+    "reducer inherits a celebrity node's d^2 wedges — the oracle uses "
+    "the naive id-ordered 3-join, which must (and does) give the same "
+    "count, proving the orientation trick loses nothing. Joins carry id "
+    "pairs only; basket-pair expansion is bounded by order size.",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges, "u", "v")
