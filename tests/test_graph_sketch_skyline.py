@@ -177,3 +177,35 @@ def test_triangle_count_hand_computed(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_count(pendant).collect()[0]["triangles"] == 1
+
+
+def test_heavy_hitters_grouped_equals_per_group_having(spark):
+    """Grouped form: thresholds are relative to EACH group's total;
+    the answer equals the per-group groupBy-HAVING under forced tiny
+    batches and any partitioning; NULL groups are excluded."""
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact
+
+    rows = (
+        [("en", "the")] * 30 + [("en", f"e{i}") for i in range(20)]   # en: N=50
+        + [("fr", "le")] * 5 + [("fr", f"f{i}") for i in range(5)]    # fr: N=10
+        + [(None, "x")] * 9
+    )
+    df = spark.createDataFrame(rows, "lang string, tok string")
+    # > 40% of the group: en -> 'the' (30/50); fr -> 'le' (5/10)
+    exact = {("en", "the", 30), ("fr", "le", 5)}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        for parts in (1, 9):
+            got = {
+                (r["lang"], r["tok"], r["cnt"])
+                for r in heavy_hitters_exact(
+                    df.repartition(parts), "tok", threshold_ppm=400_000, group_col="lang"
+                ).collect()
+            }
+            assert got == exact
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

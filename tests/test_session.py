@@ -80,6 +80,7 @@ def test_registry_surfaces_unproven_names_first():
         "mad_outliers_events",
         "interval_coalesce_user_activity",
         "triangle_count_copurchase",
+        "heavy_hitter_tokens_by_lang",
         # r9 contract changes (ADVICE hardening pass)
         "scd2_user_state_history",
         "weighted_topk_sample_documents",

@@ -324,7 +324,13 @@ def hll_distinct_stream(
     )
 
 
-def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: int) -> DataFrame:
+def heavy_hitters_exact(
+    tokens_df: DataFrame,
+    token_col: str,
+    *,
+    threshold_ppm: int,
+    group_col: str | None = None,
+) -> DataFrame:
     """EXACT frequent items above a relative threshold, found without
     a full-domain groupBy — the two-pass sketch-then-verify pattern
     (Misra-Gries 1982 / lossy counting, Manku & Motwani 2002, with an
@@ -333,7 +339,13 @@ def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: 
     Returns every token whose count satisfies
     ``cnt * 1_000_000 > N * threshold_ppm`` (strict), with its EXACT
     count — N = total non-null tokens. NULL tokens are excluded from
-    both N and the counts.
+    both N and the counts. With ``group_col`` the threshold is
+    relative to EACH GROUP's total (N_g) and the output gains the
+    group column — "top tokens per language" without ever shuffling
+    the (group, token) domain; the pigeonhole guarantee holds per
+    group because every (g, token) occurrence lands in exactly one
+    batch. Rows with a NULL group are excluded (a NULL group key has
+    no well-defined total, and engines order NULL groups differently).
 
     Pass 1 (candidates): each Arrow batch keeps the tokens that are
     heavy WITHIN THE BATCH (``cnt_b * 1e6 > n_b * ppm``). Pigeonhole
@@ -365,35 +377,45 @@ def heavy_hitters_exact(tokens_df: DataFrame, token_col: str, *, threshold_ppm: 
     """
     import pandas as pd  # noqa: F401 (Arrow path)
 
-    toks = tokens_df.select(F.col(token_col).alias("tok")).where(F.col("tok").isNotNull())
+    from pyspark.sql import Window
+
     ppm = int(threshold_ppm)
+    if group_col is None:
+        toks = tokens_df.select(F.lit(0).alias("g"), F.col(token_col).alias("tok"))
+        g_type = "int"
+    else:
+        toks = tokens_df.select(F.col(group_col).alias("g"), F.col(token_col).alias("tok"))
+        toks = toks.where(F.col("g").isNotNull())
+        g_type = tokens_df.schema[group_col].dataType.simpleString()
+    toks = toks.where(F.col("tok").isNotNull())
 
     def _candidates(batches):
         for pdf in batches:
-            s = pdf["tok"].dropna()
-            n_b = len(s)
-            if n_b == 0:
+            if not len(pdf):
                 continue
-            vc = s.value_counts()
-            keep = vc[vc * 1_000_000 > n_b * ppm]
+            cnt = pdf.groupby(["g", "tok"]).size().reset_index(name="c")
+            ng = pdf.groupby("g").size().reset_index(name="n")
+            m = cnt.merge(ng, on="g")
+            keep = m[m["c"] * 1_000_000 > m["n"] * ppm][["g", "tok"]]
             if len(keep):
-                yield keep.index.to_frame(index=False, name="tok")
+                yield keep
 
-    from pyspark.sql import Window
-
-    cands = toks.mapInPandas(_candidates, schema="tok string").distinct()
-    marked = toks.join(F.broadcast(cands.withColumn("__c", F.lit(1))), "tok", "left")
+    cands = toks.mapInPandas(_candidates, schema=f"g {g_type}, tok string").distinct()
+    marked = toks.join(F.broadcast(cands.withColumn("__c", F.lit(1))), ["g", "tok"], "left")
     per = marked.groupBy(
-        F.when(F.col("__c") == 1, F.col("tok")).alias("tok")
+        "g", F.when(F.col("__c") == 1, F.col("tok")).alias("tok")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    # global window over the aggregated table only — candidates + 1
-    # rows, NOT the corpus (the single-partition warning is benign)
-    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (
+    # window over the aggregated table only — (candidates + 1) rows
+    # PER GROUP, not the corpus (single-partition warning in the
+    # ungrouped case is benign: the table is tiny by construction)
+    w = Window.partitionBy("g")
+    out = (
         per.withColumn("__n", F.sum("cnt").over(w))
         .where(F.col("tok").isNotNull() & (F.col("cnt") * 1_000_000 > F.col("__n") * ppm))
-        .select(F.col("tok").alias(token_col), "cnt")
     )
+    if group_col is None:
+        return out.select(F.col("tok").alias(token_col), "cnt")
+    return out.select(F.col("g").alias(group_col), F.col("tok").alias(token_col), "cnt")
 
 
 def histogram_quantile_brackets(

@@ -135,6 +135,7 @@ _SAMPLING_PRIORITY = [
     "mad_outliers_events",
     "interval_coalesce_user_activity",
     "triangle_count_copurchase",
+    "heavy_hitter_tokens_by_lang",
     # (2) queries whose CODE or ORACLE changed in r9 (the ADVICE
     #     hardening pass: SCD2 oracle event_id tiebreak, A-ES id
     #     tiebreak both engines, retract-merge log column param);
@@ -161,12 +162,12 @@ _SAMPLING_PRIORITY = [
     "dsir_importance_documents",
     "boilerplate_line_removal_documents",
     "ccnet_perplexity_buckets",
-    "kmeans_refine_assignments",
     # (5) the bench headline set + most load-bearing operators.
     # (dup_span_coverage / gopher_quality / gopher_repetition /
     # c4_line_filters / control_char_profile / doc_fingerprint_md5 /
-    # semdedup_embeddings — all hash-green in BOTH r7 and r8 — were
-    # the trims for the eight new r9 names.)
+    # semdedup_embeddings /
+    # kmeans_refine_assignments — all hash-green in BOTH r7 and r8 —
+    # were the trims for the nine new r9 names.)
     "pricing_summary",
     "composite_agg_orders",
     "order_revenue_top10",

@@ -2327,3 +2327,33 @@ def heavy_hitter_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 def langid_trigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.langid_trigram(docs, "text", "lang", "doc_id", top_m=40)
+
+
+@register(
+    "heavy_hitter_tokens_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang),
+    cnt AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok)
+    SELECT cnt.lang, tok, CAST(cnt AS BIGINT) AS cnt
+    FROM cnt JOIN tot USING (lang) WHERE cnt * 1000000 > n * 5000
+    """,
+    doc="PER-GROUP exact heavy hitters: tokens above 0.5% of EACH "
+    "LANGUAGE's token stream, found without shuffling the (lang, token) "
+    "domain — per-batch grouped candidates (pigeonhole superset holds "
+    "per group), one-scan verify keyed on (lang, candidate-or-NULL), "
+    "per-group N via a window over the aggregated table. The grouped "
+    "form of heavy_hitter_tokens_documents: same machinery, per-stratum "
+    "thresholds — the 'top boilerplate tokens per language' question a "
+    "corpus pipeline actually asks.",
+)
+def heavy_hitter_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", threshold_ppm=5000, group_col="lang")
