@@ -567,3 +567,20 @@ def test_interval_coalesce_running_max_not_prev_end(spark):
         ("u", 2, 250, 260, 1),
         ("v", 1, 5, 6, 1),
     ]
+
+
+def test_interval_coalesce_reserved_output_names_raise(spark):
+    """r9 ADVICE: a key column named span_start/span_end/n_intervals
+    would reach the final aggregate as both a grouping column and an
+    agg alias — the guard must fail loudly, not emit duplicates."""
+    import pytest
+
+    from utils_infra_spark.operators.temporal import interval_coalesce
+
+    for bad in ("span_start", "span_end", "n_intervals", "span_id", "__new_span"):
+        df = spark.createDataFrame(
+            [("u", 0, 10)], f"{bad} string, s long, e long"
+        )
+        with pytest.raises(ValueError, match=bad):
+            interval_coalesce(df, bad, "s", "e")
+

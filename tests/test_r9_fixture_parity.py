@@ -89,3 +89,46 @@ def test_histogram_quantiles_null_values_excluded(spark):
     }
     # N = 4 (NULL excluded): p50 target = 2 -> bin 2 (values 1,2) cum 2
     assert out[500_000] == (2, 2, 4)
+
+
+def test_interval_coalesce_null_value_parity(spark):
+    """r9 ADVICE: a NULL `value` makes the interval end NULL, which
+    sits in the middle (s, e, event_id) sort key where Spark (NULLS
+    FIRST) and DuckDB (NULLS LAST) order differently — both the query
+    and its oracle now EXCLUDE NULL-endpoint rows, so the fixture must
+    come back identical with the NULL row absent from the spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.functions.datetimes import epoch_micros
+    from utils_infra_spark.operators.temporal import interval_coalesce
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: [0,10s) and [5s,8s) overlap; the NULL-value event at
+        # 6s would otherwise sort engine-differently inside the span
+        (1, 100, t0, 10.0),
+        (1, 101, t0 + dt.timedelta(seconds=5), 3.0),
+        (1, 102, t0 + dt.timedelta(seconds=6), None),
+        (1, 103, t0 + dt.timedelta(seconds=20), 1.0),
+        (2, 200, t0, None),  # a user whose ONLY event is NULL-valued
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    sdf = spark.createDataFrame(pdf)
+    ev = sdf.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    em = epoch_micros(ev, "ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        em.alias("s"),
+        (em + F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)")).alias("e"),
+    )
+    got = interval_coalesce(iv, "user_id", "s", "e", "event_id").toPandas()
+    con = duckdb.connect()
+    con.register("ev_rows", pdf)
+    con.execute("CREATE VIEW events AS SELECT * FROM ev_rows")
+    want = con.execute(REGISTRY["interval_coalesce_user_activity"].oracle).df()
+    assert set(want["user_id"]) == {1}  # user 2 drops entirely
+    assert len(want) == 2  # [0,10s) swallowing [5,8s); [20,21s)
+    _assert_parity("interval_coalesce_null_value", got, want)

@@ -164,3 +164,92 @@ def test_doc_fingerprint_md5_whitespace_parity(ws_spark_docs, ws_duck):
     # would give them different window sets — the fingerprints must match
     assert w.loc[1, "fingerprint"] == w.loc[2, "fingerprint"]
     _assert_parity("doc_fingerprint_md5", got, want)
+
+
+def test_token_histogram_whitespace_parity(ws_spark_docs, ws_duck):
+    # r9 ADVICE sweep: T.tokens and every '\s+' oracle moved to the
+    # explicit class in one pass — before it, Java \s split on doc 4's
+    # VT while RE2's did not, so "alpha\x0bbeta" was one oracle token
+    # but two engine tokens. This is the first VT-content parity run
+    # for the token_histogram contract.
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline import text as T
+
+    got = (
+        ws_spark_docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    want = ws_duck.execute(REGISTRY["token_histogram"].oracle).df()
+    # the VT split must be real on both engines: alpha and beta are
+    # separate tokens, and no token contains a vertical tab
+    toks = set(want["token"])
+    assert "alpha" in toks and "beta" in toks
+    assert not any("\x0b" in t for t in toks)
+    _assert_parity("token_histogram", got, want)
+
+
+def test_text_stats_whitespace_parity(ws_spark_docs, ws_duck):
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline import text as T
+
+    ex = ws_spark_docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.explode(T.tokens("text")).alias("tok"),
+    )
+    n = F.count(F.lit(1))
+    got = (
+        ex.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.first("n_chars_actual").alias("n_chars_actual"),
+            F.round(F.sum(F.length("tok")) / n, 6).alias("avg_token_len"),
+            F.round(
+                F.sum(F.when(F.lower("tok").isin("the", "a"), 1).otherwise(0)) / n, 6
+            ).alias("stopword_ratio"),
+        )
+        .select("doc_id", "n_tokens", "n_chars_actual", "avg_token_len", "stopword_ratio")
+        .toPandas()
+    )
+    want = ws_duck.execute(REGISTRY["text_stats_documents"].oracle).df()
+    # doc 4 ("alpha<VT>beta gamma " + 9-token sentence): VT must
+    # separate, so both engines count 12 tokens, not 11
+    assert set(want[want["doc_id"] == 4]["n_tokens"]) == {12}
+    _assert_parity("text_stats", got, want)
+
+
+def test_heavy_hitters_whitespace_parity(ws_spark_docs, ws_duck):
+    # the r9 ADVICE item by name: the heavy-hitter oracles tokenized
+    # with RE2 '\s+' while the engine used Java '\s+' — divergent on
+    # exactly this fixture set (U+000B content). Runs the PRODUCTION
+    # operator at the registered query's threshold.
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline import text as T
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact
+
+    toks = ws_spark_docs.select(F.explode(T.tokens("text")).alias("tok"))
+    got = heavy_hitters_exact(toks, "tok", threshold_ppm=2000).toPandas()
+    want = ws_duck.execute(REGISTRY["heavy_hitter_tokens_documents"].oracle).df()
+    assert "alpha" in set(want["tok"])  # VT-split token reaches the answer
+    _assert_parity("heavy_hitter_tokens", got, want)
+
+
+def test_heavy_hitters_non_string_token_type(spark):
+    # r9 ADVICE: the candidate schema hardcoded `tok string`; a bigint
+    # id stream must flow through with its type preserved end to end
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact
+
+    ids = [7] * 60 + [9] * 25 + list(range(100, 115))
+    df = spark.createDataFrame(pd.DataFrame({"item_id": pd.Series(ids, dtype="int64")}))
+    out = heavy_hitters_exact(df, "item_id", threshold_ppm=200_000)
+    assert dict(out.dtypes)["item_id"] == "bigint"
+    rows = {r["item_id"]: r["cnt"] for r in out.collect()}
+    assert rows == {7: 60, 9: 25}

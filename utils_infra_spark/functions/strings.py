@@ -58,7 +58,7 @@ def extract_embedded_json(col: Column | str, var_name: str) -> Column:
     escaped terminator sequence.
     """
     col = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(col, rf"(?s){re.escape(var_name)}\s*=\s*(\[.*?\]|\{{.*?\}})\s*;", 1)
+    return F.regexp_extract(col, rf"(?s){re.escape(var_name)}[ \t\n\x0B\f\r]*=[ \t\n\x0B\f\r]*(\[.*?\]|\{{.*?\}})[ \t\n\x0B\f\r]*;", 1)
 
 
 def callsign_fallback(callsign: Column | str, *fallbacks: Column | str) -> Column:

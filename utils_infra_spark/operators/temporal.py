@@ -285,7 +285,13 @@ def interval_coalesce(
     (key, span_id) aggregate — hashpartitioning(key) satisfies the
     superset clustering, exactly the sessionize_events plan shape.
     """
-    reserved = {"__new_span", "span_id"}.intersection(df.columns)
+    # every internal AND output name is reserved: a key column named
+    # span_start/span_end/n_intervals would otherwise reach the final
+    # aggregate as both a grouping column and an agg alias — duplicate
+    # output columns instead of a loud failure (r9 ADVICE)
+    reserved = {"__new_span", "span_id", "span_start", "span_end", "n_intervals"}.intersection(
+        df.columns
+    )
     if reserved:
         raise ValueError(
             f"interval_coalesce: input columns {sorted(reserved)} collide "

@@ -203,7 +203,7 @@ def band_key_rows_inrow(
     rows_per_band = num_hashes // bands
     staged = (
         df.selectExpr(
-            f"{id_col} AS doc_id", f"{ts_col} AS ts", rf"split(trim({text_col}), '\\s+') AS __toks"
+            f"{id_col} AS doc_id", f"{ts_col} AS ts", rf"split(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS __toks"
         )
         .selectExpr("doc_id", "ts", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
         .selectExpr("doc_id", "ts", "transform(sh, s -> xxhash64(s)) AS hs")
@@ -278,7 +278,7 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     re-splits the text per reference — use ``shingles_from_tokens``
     with an aliased token column in compute-heavy plans."""
     text = F.col(text) if isinstance(text, str) else text
-    return shingles_from_tokens(F.split(F.trim(text), r"\s+"), k)
+    return shingles_from_tokens(F.split(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+"), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -340,7 +340,7 @@ def minhash_near_duplicates(
         # round-trips instead of ~60.
         return (
             spread(frame.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
-            .selectExpr("doc_id", r"split(trim(__text), '\\s+') AS __toks")
+            .selectExpr("doc_id", r"split(trim(__text), '[ \\t\\n\\x0B\\f\\r]+') AS __toks")
             .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
         )
 
@@ -401,7 +401,7 @@ def simhash_votes(text: Column | str, bits: int = 64) -> Column:
     the vote aggregate is evaluated once per row (see
     minhash_near_duplicates for the plan-shape rationale)."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+")
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
     def bits_of(t: Column) -> Column:
@@ -510,7 +510,7 @@ def minhash_band_keys(
         base = base.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     shingled = (
         spread(base.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
-        .selectExpr("doc_id", r"split(trim(__text), '\\s+') AS __toks")
+        .selectExpr("doc_id", r"split(trim(__text), '[ \\t\\n\\x0B\\f\\r]+') AS __toks")
         .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
     )
     if hash_family == "md5":
@@ -560,7 +560,7 @@ def simhash16_md5(df: DataFrame, text_col: str, id_col: str, *, alias: str = "si
             .selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"),
             min_bytes=0,
         )
-        .selectExpr("doc_id", r"explode(split(trim(__text), '\\s+')) AS tok")
+        .selectExpr("doc_id", r"explode(split(trim(__text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok")
         .selectExpr(
             "doc_id",
             *[f"instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1 AS n{i}" for i in range(4)],
@@ -659,7 +659,7 @@ def prefix_filter_pairs(
     filter ``min(n_a, n_b) >= t * max(n_a, n_b)`` prunes candidates
     before verification.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     base = (
         df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
         .where(F.size("toks") >= k_shingle)

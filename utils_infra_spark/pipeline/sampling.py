@@ -140,7 +140,7 @@ def token_chunks(
     step = chunk_size - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_size")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     # a start past size - overlap - 1 would emit a chunk fully
     # contained in its predecessor (the tail already covered via the
     # overlap) — redundant duplicated training text, exactly what the
@@ -185,7 +185,7 @@ def ngram_contamination(
 
     def grams(frame: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
-        tokenized = frame.select(*cols, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+        tokenized = frame.select(*cols, F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+").alias("__toks"))
         exploded = tokenized.select(
             *([id_col] if keep_id else []),
             F.explode(shingles_from_tokens("__toks", k)).alias("gram"),

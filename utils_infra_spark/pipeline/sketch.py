@@ -387,6 +387,10 @@ def heavy_hitters_exact(
         toks = tokens_df.select(F.col(group_col).alias("g"), F.col(token_col).alias("tok"))
         toks = toks.where(F.col("g").isNotNull())
         g_type = tokens_df.schema[group_col].dataType.simpleString()
+    # the token type is derived from the input schema, like g_type —
+    # hardcoding `string` would fail (or silently coerce) a stream of
+    # e.g. bigint ids, which this operator supports just as well
+    tok_type = tokens_df.schema[token_col].dataType.simpleString()
     toks = toks.where(F.col("tok").isNotNull())
 
     def _candidates(batches):
@@ -400,7 +404,7 @@ def heavy_hitters_exact(
             if len(keep):
                 yield keep
 
-    cands = toks.mapInPandas(_candidates, schema=f"g {g_type}, tok string").distinct()
+    cands = toks.mapInPandas(_candidates, schema=f"g {g_type}, tok {tok_type}").distinct()
     marked = toks.join(F.broadcast(cands.withColumn("__c", F.lit(1))), ["g", "tok"], "left")
     per = marked.groupBy(
         "g", F.when(F.col("__c") == 1, F.col("tok")).alias("tok")

@@ -22,6 +22,12 @@ _TRIS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 # stream; same per-build unpersist discipline as _TRIS_CACHE
 _DSIR_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
+# THE whitespace contract, spelled explicitly so both engines read the
+# same set: Java \s == [ \t\n\x0B\f\r] but RE2/DuckDB \s excludes
+# U+000B (vertical tab) — any \s-based oracle silently diverges on VT
+# content. Oracles must use this same class (pipeline_queries.py).
+WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -32,9 +38,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (empty string → empty array)."""
+    """Whitespace tokenization (empty string → empty array).
+
+    The separator class is EXPLICIT (``[ \\t\\n\\x0B\\f\\r]+``), never
+    ``\\s``: Java's ``\\s`` includes U+000B while RE2's (DuckDB's) does
+    not, so a ``\\s``-spelled contract silently diverges the engines on
+    vertical-tab content. For Spark the explicit class is bit-identical
+    to Java ``\\s`` — this spelling pins the contract so every oracle
+    can copy it verbatim (r9 ADVICE; same fix as line_dedup/char_lm).
+    """
     text = F.col(text) if isinstance(text, str) else text
-    t = F.split(F.trim(text), r"\s+")
+    t = F.split(F.trim(text), WHITESPACE_CLASS + "+")
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
 
 

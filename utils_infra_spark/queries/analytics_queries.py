@@ -697,7 +697,7 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_decile_stats",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     scored AS (
       SELECT doc_id,
@@ -728,7 +728,7 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopwords = ["the", "a", "of", "to", "is"]
     scored = docs.select(
         "doc_id", F.round(T.quality_score("text", stopwords), 6).alias("quality")
-    ).where(F.size(F.split(F.trim("text"), r"\s+")) > 0)
+    ).where(F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")) > 0)
     ranked = scored.select(
         "doc_id", "quality", F.ntile(10).over(Window.orderBy("quality", "doc_id")).alias("decile")
     )
@@ -1195,9 +1195,13 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_coalesce_user_activity",
     oracle="""
     WITH iv AS (
+      -- NULL ts/value guard (r9 ADVICE): a NULL endpoint would sit in
+      -- the (s, e, event_id) sort keys, where Spark (NULLS FIRST) and
+      -- DuckDB (NULLS LAST) order differently before the tiebreak —
+      -- the operator's documented non-null precondition, enforced here
       SELECT user_id, event_id, epoch_us(ts) AS s,
              epoch_us(ts) + CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT) AS e
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, s, e,
@@ -1233,6 +1237,9 @@ def interval_coalesce_user_activity(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.temporal import interval_coalesce
 
     ev = load_table(spark, sf_dir, "events")
+    # non-null endpoints only (r9 ADVICE): mirror of the oracle's
+    # WHERE — interval_coalesce's documented precondition
+    ev = ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
     em = epoch_micros(ev, "ts")
     iv = ev.select(
         "user_id",

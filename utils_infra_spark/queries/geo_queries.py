@@ -209,7 +209,7 @@ def nztm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     extracted AS (
-      SELECT doc_id, regexp_extract(page, 'allOutages\\s*=\\s*(\\[.*?\\])\\s*;', 1) AS payload FROM html
+      SELECT doc_id, regexp_extract(page, 'allOutages[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*(\\[.*?\\])[ \\t\\n\\x0B\\f\\r]*;', 1) AS payload FROM html
     )
     SELECT doc_id,
            CAST(json_extract_string(payload, '$[0].id') AS BIGINT) AS outage_id,

@@ -53,7 +53,7 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_documents_md5",
     oracle="""
     WITH ex AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ),
     nib AS (
@@ -109,7 +109,7 @@ def simhash_documents_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_band_keys_md5",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
       WHERE text IS NOT NULL AND trim(text) <> ''
     ),
     sh AS (
@@ -154,7 +154,7 @@ def minhash_band_keys_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, lang,
              list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS grams
-      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
     -- exact candidate restriction: jaccard >= 0.4 > 0 requires a
@@ -182,7 +182,7 @@ def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = (
         spread(docs.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select("doc_id", "lang", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("toks"))
         .select("doc_id", "lang", F.array_distinct(shingles_from_tokens("toks", 3)).alias("grams"), F.size("toks").alias("ntok"))
         .where(F.col("ntok") >= 3)
     )
@@ -270,13 +270,13 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats_documents",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
-                 len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len,
-           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           ROUND(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) /
+                 len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                        t -> lower(t) IN ('the','a'))) AS DOUBLE) /
-                 len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+                 len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 6) AS stopword_ratio
     FROM documents
     WHERE text IS NOT NULL AND trim(text) <> ''
     """,
@@ -305,7 +305,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_histogram",
     oracle="""
     SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents
           WHERE text IS NOT NULL AND trim(text) <> '')
     GROUP BY token ORDER BY n DESC, token
     """,
@@ -349,7 +349,7 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"), F.col("text")).select(
+    return docs.select("doc_id", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("toks"), F.col("text")).select(
         "doc_id",
         T.rolling_fingerprint_from_tokens("toks").alias("fingerprint"),
         T.lang_guess("text").alias("lang_guess"),
@@ -360,7 +360,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_filter_documents",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     scored AS (
       SELECT doc_id, lang,
@@ -543,7 +543,7 @@ REGISTRY["ivf_topk_probes"].oracle = f"""
     "top_terms_tfidf",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS term FROM documents
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
     ), dfx AS (
@@ -572,7 +572,7 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import scalar_subquery
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfx = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = scalar_subquery(docs, F.count(F.lit(1)).alias("n"))
@@ -593,7 +593,7 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_gram_ratio",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ), g AS (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -622,7 +622,7 @@ def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     g = (
-        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__toks"))
+        docs.select("doc_id", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("__toks"))
         .select("doc_id", F.explode(shingles_from_tokens("__toks", 3)).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
     )
@@ -640,7 +640,7 @@ def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH pairs AS (
       SELECT DISTINCT doc_id, term FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS term
         FROM documents)
     )
     SELECT term, COUNT(*) AS df,
@@ -656,7 +656,7 @@ def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("term"))
         .dropDuplicates(["doc_id", "term"])
     )
     return (
@@ -730,7 +730,7 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sh AS (
       SELECT doc_id, lang,
              list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS grams
-      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
     -- exact candidate restriction (same argument as
@@ -783,7 +783,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = (
         spread(docs.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select("doc_id", "lang", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("toks"))
         .select(
             "doc_id",
             "lang",
@@ -867,7 +867,7 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS grams
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
     -- candidate pairs = pairs sharing >= 1 gram. EXACT, not an
@@ -912,7 +912,7 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts_cms",
     oracle="""
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+      SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t FROM documents
     ),
     exact AS (SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t),
     cells AS (
@@ -950,7 +950,7 @@ def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = spread(docs.select("text"), min_bytes=0).select(
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        F.explode(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("token")
     )
     sketch = count_min_sketch(tok, "token", width=512, depth=4)
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
@@ -965,7 +965,7 @@ def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_search",
     oracle="""
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents
     ),
     stats AS (
       SELECT COUNT(*) AS n,
@@ -1017,7 +1017,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     TERMS = ["join", "scan", "filter"]
     K1, B = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    d = docs.select("doc_id", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("toks"))
     dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
     stats = scalar_subquery(
         dl,
@@ -2248,7 +2248,7 @@ def pretrain_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens_documents",
     oracle="""
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ),
     tot AS (SELECT COUNT(*) AS n FROM tok),
@@ -2333,7 +2333,7 @@ def langid_trigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens_by_lang",
     oracle="""
     WITH tok AS (
-      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      SELECT lang, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM documents
       WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
     ),

@@ -92,7 +92,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_token_chunks",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ), s AS (
       -- starts bounded at len - overlap - 1: a later start's chunk is
       -- fully contained in its predecessor (duplicated training text)
@@ -118,7 +118,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benchmark_contamination",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ), g AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3
