@@ -892,3 +892,108 @@ def test_weighted_topk_sample_exact_k_and_reference(spark):
         )[:10]
         got = sorted(((r["sample_key"], r["doc_id"]) for r in by_lang[lang]), reverse=True)
         assert got == want, lang
+
+
+def test_brute_force_topk_codegen_matches_quantized_ground_truth(spark):
+    """The all-JVM path must equal a numpy brute force computed over
+    the SAME quantized integers (the contract: integer dots, one IEEE
+    division, floor quantize at 1e-6)."""
+    import math
+
+    import numpy as np
+
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_codegen
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.3, size=(60, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk_codegen(
+        df.where("vec_id < 3"), df, k=4, in_dim=8
+    ).collect()
+
+    qint = np.array(
+        [[math.floor(float(v) * 1_000_000 + 0.5) for v in row] for row in vecs],
+        dtype=np.int64,
+    )
+    want = {}
+    for qid in range(3):
+        sims = []
+        for cid in range(60):
+            if cid == qid:
+                continue
+            d = int(np.dot(qint[qid], qint[cid]))
+            qn2, cn2 = int(np.dot(qint[qid], qint[qid])), int(np.dot(qint[cid], qint[cid]))
+            cos = math.floor(d / (math.sqrt(qn2) * math.sqrt(cn2)) * 1e6 + 0.5) / 1e6
+            sims.append((-cos, cid))
+        sims.sort()
+        want[qid] = [(cid, -ns) for ns, cid in sims[:4]]
+    got = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rnk)):
+        got.setdefault(r.query_id, []).append((r.cand_id, r.cos_sim))
+    assert got == want
+
+
+def test_brute_force_topk_codegen_partition_and_finish_invariance(spark):
+    """Identical answer for any partitioning AND for both finishes
+    (the size-gated single-level vs the at-scale two-level pre-top-k):
+    both rank by the same (cos desc, cand_id asc) criterion."""
+    import numpy as np
+
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_codegen
+    from utils_infra_spark.session import TINY_INPUT_CONF
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 0.3, size=(80, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    outs = []
+    prior = spark.conf.get(TINY_INPUT_CONF, None)
+    try:
+        for tiny in ("true", "false"):
+            spark.conf.set(TINY_INPUT_CONF, tiny)
+            for parts in (1, 13):
+                out = brute_force_topk_codegen(
+                    base.repartition(parts).where("vec_id < 4"),
+                    base.repartition(parts),
+                    k=5,
+                    in_dim=8,
+                )
+                outs.append(
+                    sorted((r.query_id, r.rnk, r.cand_id, r.cos_sim) for r in out.collect())
+                )
+    finally:
+        if prior is None:
+            spark.conf.unset(TINY_INPUT_CONF)
+        else:
+            spark.conf.set(TINY_INPUT_CONF, prior)
+    assert all(o == outs[0] for o in outs[1:]) and len(outs[0]) == 4 * 5
+
+
+def test_brute_force_topk_codegen_excludes_zero_norm_and_wrong_dim(spark):
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_codegen
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.5, 0.5]),
+        (2, [0.0, 0.0]),        # zero-norm candidate: excluded
+        (3, [1.0, 0.0, 9.9]),   # wrong dim: excluded
+        (4, None),              # null vector: excluded
+        (5, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk_codegen(df.where("vec_id <= 2"), df, k=10, in_dim=2).collect()
+    # query 2 (zero-norm) emits nothing; candidates 2/3/4 never appear
+    assert {r.query_id for r in out} == {0, 1}
+    assert not {r.cand_id for r in out} & {2, 3, 4}
+
+
+def test_brute_force_topk_codegen_empty_queries(spark):
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_codegen
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = brute_force_topk_codegen(df.where("vec_id < 0"), df, k=3, in_dim=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "cos_sim", "rnk"]

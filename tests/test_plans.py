@@ -836,3 +836,26 @@ def test_pretrain_pipeline_fused_gates_shape(spark, sf_dir):
     # partitions when one document repeats corpus-wide)
     win = [ln for ln in plan.splitlines() if "Window" in ln and "__dig" in ln]
     assert not win, f"window over digest: {win}"
+
+
+def test_embedding_topk_cosine_is_all_jvm(spark, sf_dir):
+    """r10 rewrite: the bench headliner's warm cost was two Python
+    Arrow crossings; the codegen path must keep the whole plan JVM-side
+    — no Python eval nodes, no window over a per-query hot key, and
+    the dot-product aggregate keyed on the candidate id (map-side
+    partial combine collapses 64 exploded rows to one per candidate
+    before the exchange)."""
+    from utils_infra_spark.queries import REGISTRY, _load
+
+    _load()
+    plan = (
+        REGISTRY["embedding_topk_cosine"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("ArrowEval", "MapInArrow", "BatchEval", "PythonUDF", "MapInPandas", "Window"):
+        assert bad not in plan, f"{bad} in plan:\n{plan[:2000]}"
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan[:1500]
+    assert plan.count("Exchange") <= 3, plan[:2000]

@@ -199,6 +199,158 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_codegen(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_dp: int = 6,
+    in_dim: int = 64,
+    elem_scale: int = 1_000_000,
+) -> DataFrame:
+    """All-JVM twin of :func:`brute_force_topk`: the dot products run
+    inside whole-stage codegen instead of a Python Arrow kernel — no
+    Python worker round-trip at all, which is the entire warm cost of
+    the kernel path at bench scale (two Arrow crossings ≈ 100 ms
+    against a sub-ms matmul).
+
+    The shape is jl_project_long's proven codegen recipe (NOT per-row
+    HOF lambdas, which are CodegenFallback, and NOT one 64-term
+    literal chain per query, which blows the JIT method limit into
+    interpreted fallback): posexplode the candidate vector to
+    (cand_id, j, elem) rows, then ONE hash aggregate per candidate
+    computing every query's dot product as
+    ``SUM(element_at(<64-int literal array>, j) * elem)`` plus the
+    candidate's own norm — map-side partial combine collapses to one
+    row per candidate per partition before any exchange.
+
+    Cross-engine contract (integer-quantized cosine, order-free BY
+    CONSTRUCTION): every element — query side at build time, candidate
+    side in the plan — is quantized ONCE to ``floor(v*elem_scale+0.5)``
+    integers; dots and norms are exact integer sums of those (any
+    partitioning, any merge order, same bits; products are ≤
+    64·(0.6e6)² ≈ 2.3e13 here, exact even in a double-summing oracle
+    since < 2^53); only the final ``dot/(√qn·√cn)`` division runs in
+    floating point, on identical integers — IEEE-identical in any
+    engine — then quantizes to ``round_dp``. Zero-norm vectors are
+    EXCLUDED on both sides (cosine undefined; their NaN would rank
+    differently per engine), as are vectors whose length ≠ ``in_dim``
+    (same row-domain gate and rationale as jl_project_long).
+
+    Top-k finish without a hot-key window (|Q| keys would each funnel
+    the corpus through one task): a per-partition
+    ``slice(array_sort(collect_list(...)), 1, k)`` aggregate keyed on
+    (partition id, query) — each group holds one partition's
+    candidates, bounded by the split size — then the identical
+    criterion over the ≤ partitions·|Q|·k survivors. Both levels rank
+    by (cos desc, cand_id asc), so the partial/global split cannot
+    change the answer.
+
+    Use this for BROADCASTABLE query sets scored against the whole
+    corpus (the bench headliner's contract). The Arrow-kernel twin
+    remains the right call when a bucket constraint rides along or
+    |Q| is large enough that |Q| literal arrays bloat the plan
+    (hundreds+): there the matmul amortizes the Python crossing.
+    """
+    import math
+
+    id_type = dict(candidates.dtypes)[id_col]
+    qrows = queries.select(F.col(id_col), _vec(vec_col)).collect()
+    qint: list[tuple] = []
+    for r in qrows:
+        if r[1] is None or len(r[1]) != in_dim:
+            continue
+        qi = [int(math.floor(float(v) * elem_scale + 0.5)) for v in r[1]]
+        qn2 = sum(x * x for x in qi)
+        if qn2 > 0:
+            qint.append((r[0], qi, qn2))
+    if not qint:
+        return candidates.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, cand_id {id_type}, cos_sim double, rnk int"
+        )
+
+    ex = (
+        candidates.where(f"{vec_col} IS NOT NULL AND size({vec_col}) = {in_dim}")
+        .selectExpr(f"{id_col} AS cand_id", f"posexplode({vec_col}) AS (j0, v)")
+        .selectExpr(
+            "cand_id",
+            "j0 + 1 AS j",
+            f"CAST(FLOOR(CAST(v AS DOUBLE) * {int(elem_scale)}.0 + 0.5) AS BIGINT) AS q",
+        )
+    )
+    aggs = [
+        F.expr(
+            "SUM(element_at(array(" + ", ".join(str(x) for x in qi) + "), j) * q)"
+            f" AS __d{i}"
+        )
+        for i, (_, qi, _) in enumerate(qint)
+    ]
+    aggs.append(F.expr("SUM(q * q) AS __n2"))
+    wide = ex.groupBy("cand_id").agg(*aggs).where("__n2 > 0")
+
+    scale10 = 10 ** int(round_dp)
+    structs = [
+        F.struct(
+            F.lit(qid).cast(id_type).alias("query_id"),
+            F.expr(
+                # FLOOR(double) is already BIGINT in Spark; the outer
+                # divide must see DOUBLE on the left or the decimal
+                # literal divisor would produce a DECIMAL result
+                f"CAST(FLOOR(CAST(__d{i} AS DOUBLE)"
+                f" / (SQRT(CAST({qn2} AS DOUBLE)) * SQRT(CAST(__n2 AS DOUBLE)))"
+                f" * {scale10}.0 + 0.5) AS DOUBLE) / {scale10}.0"
+            ).alias("cos_sim"),
+        )
+        for i, (qid, _, qn2) in enumerate(qint)
+    ]
+    longf = (
+        wide.select("cand_id", F.explode(F.array(*structs)).alias("t"))
+        .select(F.col("t.query_id").alias("query_id"), "cand_id", F.col("t.cos_sim").alias("cos_sim"))
+        .where("query_id <> cand_id")
+    )
+    # size-gated finish (the is_tiny_input pattern, cf. the top-10
+    # query's SHJ hint): on a measured-tiny input the per-partition
+    # pre-top-k stage costs a whole extra exchange + stage schedule
+    # (~30 ms) to prune a few hundred rows — one aggregate is faster.
+    # Untuned / at-scale sessions ALWAYS take the two-level shape:
+    # per-(partition, query) partial top-k bounds both the shuffle
+    # (partitions·|Q|·k survivor rows) and each group's buffered list
+    # (one split's candidates), where the single-level form would
+    # collect_list the whole corpus per query. Both levels rank by the
+    # identical (cos desc, cand_id asc) criterion, so the split cannot
+    # change the answer — a partition-invariance test pins it.
+    from utils_infra_spark.session import is_tiny_input
+
+    if is_tiny_input(candidates.sparkSession):
+        survivors = longf.select(
+            "query_id", F.expr("struct(-cos_sim AS ns, cand_id)").alias("s")
+        )
+    else:
+        survivors = (
+            longf.groupBy(F.spark_partition_id().alias("__pid"), "query_id")
+            .agg(
+                F.expr(
+                    f"slice(array_sort(collect_list(struct(-cos_sim AS ns, cand_id))), 1, {int(k)})"
+                    " AS tops"
+                )
+            )
+            .select("query_id", F.explode("tops").alias("s"))
+        )
+    return (
+        survivors.groupBy("query_id")
+        .agg(F.expr(f"slice(array_sort(collect_list(s)), 1, {int(k)}) AS tops"))
+        .selectExpr("query_id", "posexplode(tops) AS (p, t)")
+        .selectExpr(
+            "query_id",
+            "t.cand_id AS cand_id",
+            "-t.ns AS cos_sim",
+            "CAST(p + 1 AS INT) AS rnk",
+        )
+    )
+
+
 def bucketed_pairs(
     df: DataFrame,
     *,

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import text as T
 from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
-from ..pipeline.similarity import brute_force_topk, bucketed_pairs
+from ..pipeline.similarity import brute_force_topk, brute_force_topk_codegen, bucketed_pairs
 from ..sources import load_table
 from ..sources.tables import spread
 from . import REGISTRY, register
@@ -202,30 +202,62 @@ def ngram_jaccard_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_topk_cosine",
     oracle="""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    -- integer-quantized cosine contract (r10): every element is
+    -- quantized ONCE to floor(v*1e6 + 0.5) integers; dots and norms
+    -- are exact integer sums of those (products <= 64*(0.6e6)^2 ~
+    -- 2.3e13 < 2^53, so the double-typed list_dot_product below is
+    -- still EXACT integer arithmetic, merge-order-free); only the
+    -- final division runs in floating point, on identical integers —
+    -- IEEE-identical cross-engine — then floor-quantizes to 1e-6
+    -- (floor(x+0.5), not ROUND: half-away-from-zero vs half-up would
+    -- differ on negative cosines). Zero-norm and wrong-length vectors
+    -- are excluded on both sides (cosine undefined; NaN ranks
+    -- differently per engine).
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS qv
+      FROM embeddings WHERE vec_id < 8 AND len(embedding) = 64
+    ),
+    qn AS (
+      SELECT query_id, qv, list_dot_product(qv, qv) AS qn2 FROM q
+      WHERE list_dot_product(qv, qv) > 0
+    ),
+    c AS (
+      SELECT vec_id AS cand_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cn AS (
+      SELECT cand_id, cv, list_dot_product(cv, cv) AS cn2 FROM c
+      WHERE list_dot_product(cv, cv) > 0
+    ),
     scored AS (
-      -- floor(x*1e6 + 0.5), the kernel's exact quantization rule:
-      -- ROUND would differ on NEGATIVE cosines at decimal halves
-      -- (half away from zero vs half toward +inf), and this query
-      -- ranks the full signed range
-      SELECT q.query_id, c.cand_id,
-             FLOOR(list_dot_product(q.qv, c.cv) /
-                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
-                   * 1000000 + 0.5) / 1000000 AS cos_sim
-      FROM c, q WHERE q.query_id <> c.cand_id
+      SELECT qn.query_id, cn.cand_id,
+             CAST(FLOOR(list_dot_product(qn.qv, cn.cv) / (sqrt(qn.qn2) * sqrt(cn.cn2))
+                        * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cos_sim
+      FROM cn, qn WHERE qn.query_id <> cn.cand_id
     )
     SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
       FROM scored
     ) WHERE rnk <= 5
     """,
-    doc="Brute-force cosine top-k ANN baseline: broadcast query matrix × partition-parallel candidate scan, Arrow-batched numpy matmul kernel, per-batch partial top-k.",
+    doc="Brute-force cosine top-k ANN baseline, ALL-JVM (r10 rewrite of "
+    "the Arrow-kernel path, whose two Python crossings were the whole "
+    "warm cost): posexplode the candidate vectors, ONE hash aggregate "
+    "per candidate computing all 8 query dots as sums over 64-int "
+    "literal arrays plus the self-norm (jl_project_long's proven "
+    "codegen shape — map-side combine collapses to one row per "
+    "candidate before any exchange), then a (partition, query)-keyed "
+    "partial top-k so no per-query hot key ever funnels the corpus "
+    "through one task. Integer-quantized cosine end to end: exact "
+    "integer dots for any partitioning, one IEEE division on identical "
+    "integers, floor-quantized at 1e-6.",
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return brute_force_topk(queries, emb, vec_col="embedding", id_col="vec_id", k=5)
+    return brute_force_topk_codegen(queries, emb, vec_col="embedding", id_col="vec_id", k=5)
 
 
 @register(
