@@ -262,3 +262,157 @@ def test_pareto_frontier_continuous_x_no_single_task_funnel(spark):
             want.extend(grp.loc[grp["y"] == ymax, "rid"].tolist())
             best = ymax
     assert got == sorted(want)
+
+
+def test_mad_bracketed_deviates_from_exact_only_within_bin_bound(spark, sf_dir):
+    """The bracketed MAD (histogram p50 midpoints, the 100 TB shape)
+    may flag differently from the exact query ONLY near the 3-MAD
+    boundary, and provably so: |m2b - m2| <= BIN and |mad4b - mad4| <=
+    4*BIN, so a row whose verdict flips must sit within
+    2*BIN + 3*4*BIN = 14*BIN of the exact boundary in doubled-deviation
+    space. Checks both set-level closeness and the per-row bound."""
+    from utils_infra_spark.queries import REGISTRY, _load
+
+    _load()
+    BIN = 250_000
+    exact_q = REGISTRY["mad_outliers_events"].fn(spark, sf_dir)
+    brack_q = REGISTRY["mad_outliers_bracketed_events"].fn(spark, sf_dir)
+    exact = {r["event_id"]: (r["dev2_micro"], r["mad4_micro"]) for r in exact_q.collect()}
+    brack = {r["event_id"] for r in brack_q.collect()}
+    # the exact query's (d2, mad4) for EVERY row, to evaluate flipped
+    # rows that the exact filter dropped
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type",
+        F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    med = v.groupBy("event_type").agg(F.expr("CAST(2 * median(vm) AS BIGINT)").alias("m2"))
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", F.expr("ABS(2 * vm - m2)").alias("d2")
+    )
+    mad = d.groupBy("event_type").agg(F.expr("CAST(2 * median(d2) AS BIGINT)").alias("mad4"))
+    allrows = {
+        r["event_id"]: (r["d2"], r["mad4"])
+        for r in d.join(F.broadcast(mad), "event_type").collect()
+    }
+    flipped = brack.symmetric_difference(exact.keys())
+    for eid in flipped:
+        d2, mad4 = allrows[eid]
+        assert abs(2 * d2 - 3 * mad4) <= 14 * BIN, (eid, d2, mad4)
+    # and the overlap dominates: the flip set is a boundary sliver
+    assert len(flipped) <= max(10, len(exact) // 5), (len(flipped), len(exact))
+
+
+def test_heavy_hitters_drifting_distribution_bounded_candidates(spark):
+    """r9 verdict item: under a DRIFTING distribution (date-stamped
+    locally-heavy tokens) the r9 raw per-batch candidate union grew
+    with the corpus; the Misra-Gries merge must cap candidates at
+    k = ceil(1e6/ppm) regardless, while the exact output still equals
+    the plain groupBy-HAVING answer."""
+    from pyspark.sql import functions as F
+
+    from utils_infra_spark.pipeline.sketch import heavy_hitters_exact, mg_candidates
+
+    # 40 "days": each day one locally-dominant token day-i x 40 plus
+    # 20 singletons; two globally heavy tokens spread across all days
+    toks = []
+    for day in range(40):
+        toks += [f"day-{day}"] * 40
+        toks += [f"noise-{day}-{j}" for j in range(20)]
+        toks += ["hot-a"] * 60 + ["hot-b"] * 45
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    n = len(toks)
+    ppm = 20_000  # 2%: hot-a (3.6%) and hot-b (2.7%) only
+    k = -(-1_000_000 // ppm)  # 50
+
+    exact = {
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 1_000_000 > n * ppm)
+        .collect()
+    }
+    assert {t for t, _ in exact} == {"hot-a", "hot-b"}
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        # tiny batches ~ one "day" per batch: max drift pressure
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "125")
+        cands = mg_candidates(df.repartition(8), "tok", threshold_ppm=ppm).collect()
+        assert len(cands) <= k, f"{len(cands)} candidates > k={k}"
+        assert {"hot-a", "hot-b"} <= {r["tok"] for r in cands}
+        got = {
+            (r["tok"], r["cnt"])
+            for r in heavy_hitters_exact(
+                df.repartition(8), "tok", threshold_ppm=ppm
+            ).collect()
+        }
+        assert got == exact
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_pagerank_redistribute_hand_computed_and_mass_conserving(spark):
+    """a->b, a->c (b and c dangling), n=3, scale 1e12, damping 85,
+    one iteration — every value traced by hand through the integer
+    spec with the dangling term dm DIV n; total mass must come back
+    within integer-truncation dust of the scale."""
+    from utils_infra_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(edges, iterations=1, dangling="redistribute").collect()
+    }
+    r0 = 1_000_000_000_000 // 3            # 333333333333
+    teleport = (15 * r0) // 100            # 49999999999
+    dm_share = (2 * r0) // 3               # 222222222222
+    share_a = r0 // 2
+    assert got == {
+        "a": teleport + (85 * dm_share) // 100,
+        "b": teleport + (85 * (share_a + dm_share)) // 100,
+        "c": teleport + (85 * (share_a + dm_share)) // 100,
+    }
+    total = sum(got.values())
+    assert 1_000_000_000_000 - (3 + 100) <= total <= 1_000_000_000_000
+
+    # leak variant on the same graph loses the dangling mass instead
+    leak = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(edges, iterations=1, dangling="leak").collect()
+    }
+    assert sum(leak.values()) < total
+
+
+def test_pagerank_redistribute_partition_invariant(spark):
+    from utils_infra_spark.pipeline.graph import pagerank
+
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(120)] + [
+        (f"n{i}", f"sink{i % 5}") for i in range(40)  # 5 dangling sinks
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(
+        map(tuple, pagerank(edges.repartition(1), iterations=3,
+                            dangling="redistribute").collect())
+    )
+    b = sorted(
+        map(tuple, pagerank(edges.repartition(13), iterations=3,
+                            dangling="redistribute").collect())
+    )
+    assert a == b
+
+
+def test_pagerank_bad_dangling_mode_raises(spark):
+    import pytest
+
+    from utils_infra_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, dangling="normalize")

@@ -66,31 +66,30 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r9 goal: every new-in-r9 operator and every query whose code or
-    # oracle changed in r9 must sit INSIDE the window — the round's
-    # proofs land on the newest contracts
+    # r10 goal: the two never-proven newcomers, every query whose code
+    # or oracle contract changed in r10 (all-JVM cosine, skyline
+    # prefix scan, NULL-endpoint interval guard, the whitespace-class
+    # oracle sweep), and the stalest r1-r3-proven relational core must
+    # all sit INSIDE the window
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
-        # new in r9
-        "pagerank_user_type_graph",
-        "heavy_hitter_tokens_documents",
-        "langid_trigram_documents",
-        "histogram_quantiles_lineitem",
+        # new in r10
+        "mad_outliers_bracketed_events",
+        "pagerank_redistribute_user_type",
+        # r10 contract changes
+        "embedding_topk_cosine",
         "pareto_frontier_parts",
-        "mad_outliers_events",
         "interval_coalesce_user_activity",
-        "triangle_count_copurchase",
+        "heavy_hitter_tokens_documents",
         "heavy_hitter_tokens_by_lang",
-        # r9 contract changes (ADVICE hardening pass)
-        "scd2_user_state_history",
-        "weighted_topk_sample_documents",
-        "ivm_user_totals_events",
-        # r8 newcomers / contract changes, second consecutive proof
-        "paragraph_dedup_documents",
-        "cdc_apply_events",
-        "pretrain_pipeline_documents",
-        "embedding_jl_projection",
-        "hll_distinct_users_by_type",
+        "token_histogram",
+        "text_stats_documents",
+        # stalest proofs (last driver-proven r1-r3)
+        "grouped_sum_orders",
+        "segment_rollup",
+        "region_outage_join",
+        "label_centroids",
+        "lang_distribution",
     } <= window
     # everything in the window is drawable hash evidence this round:
     # oracle-backed only (ccnet_buckets_approx — rows-only by design —

@@ -35,6 +35,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     checkpoint_every: int = 0,
+    dangling: str = "leak",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -48,15 +49,31 @@ def pagerank(
         rank'(v)   = ((100-d) * (scale DIV n)) DIV 100
                      + (d * contrib(v)) DIV 100
 
-    Dangling nodes (no out-edges) keep their rank but contribute
-    nothing — their mass leaks, as in the non-normalized PageRank
-    variant; total mass is NOT conserved and ranks are comparable
-    only within one run's parameters. Deterministic by construction:
-    integer sums are order-free, so the result is partition-invariant
-    and hash-checkable.
+    Dangling nodes (no out-edges) are handled per ``dangling``:
+
+    - ``"leak"`` (default): they keep their rank but contribute
+      nothing — mass leaks, as in the non-normalized PageRank variant;
+      ranks are comparable only within one run's parameters.
+    - ``"redistribute"``: the mass-conserving variant real link
+      analysis usually wants — each iteration adds every node an equal
+      share of the dangling mass before damping:
+
+          dm        = SUM rank(u) over dangling u     (scalar)
+          rank'(v)  = teleport + (d * (contrib(v) + dm DIV n)) DIV 100
+
+      Total mass is conserved up to DIV truncation (< n + 100 units
+      per iteration — picorank dust, never a rank inversion). Costs
+      one tiny scalar aggregate + broadcast per iteration; the
+      per-iteration shuffle shape is unchanged.
+
+    Deterministic by construction either way: integer sums are
+    order-free, so the result is partition-invariant and
+    hash-checkable.
     """
     if not (0 <= damping_pct <= 100):
         raise ValueError(f"damping_pct={damping_pct} outside [0, 100]")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(f"dangling={dangling!r} not in ('leak', 'redistribute')")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -80,9 +97,29 @@ def pagerank(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum("__share").alias("__contrib"))
         )
-        ranks = (
-            ranks.join(contrib, "node", "left")
-            .select(
+        joined = ranks.join(contrib, "node", "left")
+        if dangling == "redistribute":
+            # dangling mass this iteration: one scalar aggregate over
+            # the anti-join of ranks with the out-degree table,
+            # broadcast into every rank row (same scalar-subquery
+            # spelling as __n — no collect)
+            dm = (
+                ranks.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("bigint").alias("__dm"))
+            )
+            ranks = joined.crossJoin(F.broadcast(dm)).select(
+                "node",
+                "__n",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_pct} * (COALESCE(__contrib, CAST(0 AS BIGINT))"
+                        " + (__dm DIV __n))) DIV 100"
+                    )
+                ).alias("rank_fp"),
+            )
+        else:
+            ranks = joined.select(
                 "node",
                 "__n",
                 (
@@ -90,7 +127,6 @@ def pagerank(
                     + F.expr(f"({damping_pct} * COALESCE(__contrib, CAST(0 AS BIGINT))) DIV 100")
                 ).alias("rank_fp"),
             )
-        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank_fp")

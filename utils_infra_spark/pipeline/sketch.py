@@ -324,6 +324,103 @@ def hll_distinct_stream(
     )
 
 
+def _normalized_tokens(
+    tokens_df: DataFrame, token_col: str, group_col: str | None
+) -> tuple[DataFrame, str, str]:
+    """(g, tok) projection with NULL tokens/groups excluded; types are
+    derived from the input schema (hardcoding `string` would fail or
+    silently coerce e.g. bigint id streams)."""
+    if group_col is None:
+        toks = tokens_df.select(F.lit(0).alias("g"), F.col(token_col).alias("tok"))
+        g_type = "int"
+    else:
+        toks = tokens_df.select(F.col(group_col).alias("g"), F.col(token_col).alias("tok"))
+        toks = toks.where(F.col("g").isNotNull())
+        g_type = tokens_df.schema[group_col].dataType.simpleString()
+    tok_type = tokens_df.schema[token_col].dataType.simpleString()
+    return toks.where(F.col("tok").isNotNull()), g_type, tok_type
+
+
+def _mg_candidates(toks: DataFrame, g_type: str, tok_type: str, ppm: int) -> DataFrame:
+    """The bounded candidate summary feeding the verify pass: per-batch
+    Misra-Gries with k = ceil(1e6/ppm) counters, merged distributedly
+    and compressed twice (per (g, shuffle partition), then per g) —
+    at most k (g, tok, w) rows per group for ANY drift, every true
+    heavy hitter retained with positive weight (see
+    heavy_hitters_exact's docstring for the deficit-bound argument)."""
+    # k counters give undercount <= N/(k+1) < N*ppm/1e6 — every true
+    # heavy hitter keeps positive weight through any merge tree
+    k = -(-1_000_000 // ppm)  # ceil
+
+    def _batch_summaries(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cnt = pdf.groupby(["g", "tok"]).size().reset_index(name="w")
+            # per-group MG compress of the batch's exact counts: when a
+            # group holds more than k distinct tokens, subtract its
+            # (k+1)-th largest count and keep positive remainders
+            t = (
+                cnt.groupby("g")["w"]
+                .apply(lambda s: s.nlargest(k + 1).iloc[-1] if len(s) > k else 0)
+                .rename("t")
+                .reset_index()
+            )
+            m = cnt.merge(t, on="g")
+            m["w"] = m["w"] - m["t"]
+            keep = m[m["w"] > 0][["g", "tok", "w"]]
+            if len(keep):
+                yield keep
+
+    summaries = toks.mapInPandas(_batch_summaries, schema=f"g {g_type}, tok {tok_type}, w bigint")
+    merged = summaries.groupBy("g", "tok").agg(F.sum("w").alias("w"))
+
+    def _compress(df: DataFrame, *part_cols: str) -> DataFrame:
+        """One MG subtract-compress round over (g, tok, w): within each
+        partition spec, subtract the (k+1)-th largest weight (0 when
+        fewer than k+1 tokens) and keep positive remainders — at most
+        k survivors per spec, deterministically (the boundary value is
+        a property of the weight multiset, not of tie order)."""
+        from pyspark.sql import Window as W
+
+        wrk = W.partitionBy(*part_cols).orderBy(F.desc("w"), "tok")
+        wall = W.partitionBy(*part_cols)
+        ranked = df.withColumn("__rk", F.row_number().over(wrk))
+        t = F.max(F.when(F.col("__rk") == k + 1, F.col("w"))).over(wall)
+        return (
+            ranked.withColumn("__t", F.coalesce(t, F.lit(0)))
+            .where(F.col("w") > F.col("__t"))
+            .select("g", "tok", (F.col("w") - F.col("__t")).alias("w"))
+        )
+
+    # two-level compress: per (g, shuffle partition) — parallel, each
+    # slice bounded by what the (g, tok) shuffle landed there — then
+    # per g over the <= partitions*k survivors
+    lvl1 = _compress(merged.withColumn("__pid", F.spark_partition_id()), "g", "__pid")
+    return _compress(lvl1, "g")
+
+
+def mg_candidates(
+    tokens_df: DataFrame,
+    token_col: str,
+    *,
+    threshold_ppm: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Public probe of heavy_hitters_exact's pass 1: the merged,
+    compressed Misra-Gries candidate summary (g?, token, w). Useful on
+    its own as a bounded-memory approximate top list, and in tests to
+    pin the drift-independence bound (<= ceil(1e6/ppm) rows per
+    group)."""
+    toks, g_type, tok_type = _normalized_tokens(tokens_df, token_col, group_col)
+    out = _mg_candidates(toks, g_type, tok_type, int(threshold_ppm))
+    if group_col is None:
+        return out.select(F.col("tok").alias(token_col), "w")
+    return out.select(
+        F.col("g").alias(group_col), F.col("tok").alias(token_col), "w"
+    )
+
+
 def heavy_hitters_exact(
     tokens_df: DataFrame,
     token_col: str,
@@ -347,20 +444,27 @@ def heavy_hitters_exact(
     batch. Rows with a NULL group are excluded (a NULL group key has
     no well-defined total, and engines order NULL groups differently).
 
-    Pass 1 (candidates): each Arrow batch keeps the tokens that are
-    heavy WITHIN THE BATCH (``cnt_b * 1e6 > n_b * ppm``). Pigeonhole
-    guarantees the union is a SUPERSET of the true heavy hitters: if
-    x were below threshold in every batch, summing the per-batch
-    inequalities gives cnt(x) <= N*theta — contradiction. Each batch
-    contributes at most 1e6/ppm candidates, so the honest bound on
-    the union is batches x 1e6/ppm — near-empty per batch for stable
-    distributions (the common case), but a DRIFTING distribution
-    (locally-heavy date-stamped ids, say) can make it grow with the
-    corpus; if the candidate broadcast ever threatens driver memory,
-    insert an MG-style compaction round (re-run this same candidate
-    pass over the candidate+count pairs) before the verify join.
-    Per-batch value_counts bounds pass-1 memory by the batch, not the
-    token domain.
+    Pass 1 (candidates): each Arrow batch emits its MISRA-GRIES
+    SUMMARY with k = ceil(1e6/ppm) counters — the batch's exact counts
+    compressed by subtracting the (k+1)-th largest count and keeping
+    the positive remainders (Misra & Gries 1982). MG summaries MERGE:
+    summing weights per token and compressing again preserves the
+    deficit bound (Agarwal, Cormode, Huang, Phillips, Wei & Yi,
+    "Mergeable Summaries", PODS 2012), because every compression step
+    that subtracts t removes >= (k+1)*t total mass while costing any
+    single token at most t — so across ANY tree of merges a token's
+    total undercount is <= N/(k+1) < N*ppm/1e6. A true heavy hitter
+    (cnt > N*theta) therefore always survives with positive weight:
+    the final candidate set is a SUPERSET of the answer, and — unlike
+    the r9 raw per-batch-candidate union, which grew with the corpus
+    under drifting distributions (locally-heavy date-stamped ids) —
+    it is capped at k tokens PER GROUP no matter how the distribution
+    drifts. The merge runs as one distributed (g, tok) aggregate, a
+    per-(g, shuffle-partition) compress (window over that partition's
+    slice — parallel, bounded), then a per-g compress over the
+    <= partitions*k survivors; compression composes, so the error
+    budget is unchanged. Per-batch value_counts bounds pass-1 memory
+    by the batch, not the token domain.
 
     Pass 2 (verify): ONE corpus scan does both the candidate recount
     and N — a broadcast LEFT join marks candidate rows, the aggregate
@@ -380,31 +484,8 @@ def heavy_hitters_exact(
     from pyspark.sql import Window
 
     ppm = int(threshold_ppm)
-    if group_col is None:
-        toks = tokens_df.select(F.lit(0).alias("g"), F.col(token_col).alias("tok"))
-        g_type = "int"
-    else:
-        toks = tokens_df.select(F.col(group_col).alias("g"), F.col(token_col).alias("tok"))
-        toks = toks.where(F.col("g").isNotNull())
-        g_type = tokens_df.schema[group_col].dataType.simpleString()
-    # the token type is derived from the input schema, like g_type —
-    # hardcoding `string` would fail (or silently coerce) a stream of
-    # e.g. bigint ids, which this operator supports just as well
-    tok_type = tokens_df.schema[token_col].dataType.simpleString()
-    toks = toks.where(F.col("tok").isNotNull())
-
-    def _candidates(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cnt = pdf.groupby(["g", "tok"]).size().reset_index(name="c")
-            ng = pdf.groupby("g").size().reset_index(name="n")
-            m = cnt.merge(ng, on="g")
-            keep = m[m["c"] * 1_000_000 > m["n"] * ppm][["g", "tok"]]
-            if len(keep):
-                yield keep
-
-    cands = toks.mapInPandas(_candidates, schema=f"g {g_type}, tok {tok_type}").distinct()
+    toks, g_type, tok_type = _normalized_tokens(tokens_df, token_col, group_col)
+    cands = _mg_candidates(toks, g_type, tok_type, ppm).select("g", "tok")
     marked = toks.join(F.broadcast(cands.withColumn("__c", F.lit(1))), ["g", "tok"], "left")
     per = marked.groupBy(
         "g", F.when(F.col("__c") == 1, F.col("tok")).alias("tok")
@@ -429,6 +510,7 @@ def histogram_quantile_brackets(
     bin_micro: int,
     qs_ppm: list[int],
     group_by: str | None = None,
+    micro: bool = False,
 ) -> DataFrame:
     """Deterministic MERGEABLE quantiles via a fixed-width histogram —
     the scale path where exact per-group sorts (percentile/ntile) and
@@ -461,7 +543,14 @@ def histogram_quantile_brackets(
     from pyspark.sql import Window
 
     g = [group_by] if group_by else []
-    vm = F.expr(f"CAST(FLOOR(({value_col}) * 1000000 + 0.5) AS BIGINT)")
+    # micro=True: the column IS already an integer micro quantity (e.g.
+    # a derived deviation in 2x-micro space) — skip the fixed-point
+    # step so downstream compositions stay in exact integer arithmetic
+    # end to end (any oracle mirrors with a plain CAST)
+    if micro:
+        vm = F.expr(f"CAST(({value_col}) AS BIGINT)")
+    else:
+        vm = F.expr(f"CAST(FLOOR(({value_col}) * 1000000 + 0.5) AS BIGINT)")
     w_lit = F.lit(int(bin_micro))
     pmod = ((vm % w_lit) + w_lit) % w_lit
     # NULL values are excluded (a NULL has no bin; leaving it in would

@@ -122,100 +122,76 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- r9 rotation. Window goals, in order:
-    # (1) new-in-r9 operators (first driver evidence the round they
-    #     ship): fixed-point PageRank, exact heavy hitters, trigram
-    #     langid, histogram quantile brackets, Pareto frontier, MAD
-    #     outliers;
-    "pagerank_user_type_graph",
-    "heavy_hitter_tokens_documents",
-    "langid_trigram_documents",
-    "histogram_quantiles_lineitem",
-    "pareto_frontier_parts",
-    "mad_outliers_events",
-    "interval_coalesce_user_activity",
-    "triangle_count_copurchase",
-    "heavy_hitter_tokens_by_lang",
-    # (2) queries whose CODE or ORACLE changed in r9 (the ADVICE
-    #     hardening pass: SCD2 oracle event_id tiebreak, A-ES id
-    #     tiebreak both engines, retract-merge log column param);
-    "scd2_user_state_history",
-    "weighted_topk_sample_documents",
-    "ivm_user_totals_events",
-    # (3) r8 newcomers and r8 contract-changed names, re-proven so the
-    #     newest contracts carry two consecutive driver proofs
-    #     (ccnet_buckets_approx got its designed rows-only check in r8
-    #     and is deliberately NOT re-sampled — a slot re-proves a
-    #     hash, not a row count);
-    "paragraph_dedup_documents",
-    "cdc_apply_events",
-    "pretrain_pipeline_documents",
-    "embedding_jl_projection",
-    "hll_distinct_users_by_type",
+    # --- r10 rotation. Window goals, in order:
+    # (1) never-proven r10 newcomers (first driver evidence the round
+    #     they ship): the bracketed 100 TB MAD composition and the
+    #     mass-conserving PageRank variant;
+    "mad_outliers_bracketed_events",
+    "pagerank_redistribute_user_type",
+    # (2) queries whose CODE or ORACLE contract changed in r10 and so
+    #     need fresh hash proof: the all-JVM integer-cosine rewrite,
+    #     the range-partitioned skyline, the NULL-endpoint interval
+    #     guard, and every oracle swept from RE2 '\s+' to the explicit
+    #     whitespace class (values unchanged on VT-free data — the
+    #     sweep is exactly what the hash re-proof should confirm);
     "embedding_topk_cosine",
-    "latest_event_per_user",
-    "union_distinct_orders",
-    "dsl_filter_events",
-    # (4) reduction-heavy operators whose proofs should stay fresh;
-    "line_dedup_documents",
-    "char_lm_quality_documents",
-    "dsir_importance_documents",
-    "boilerplate_line_removal_documents",
-    "ccnet_perplexity_buckets",
-    # (5) the bench headline set + most load-bearing operators.
-    # (dup_span_coverage / gopher_quality / gopher_repetition /
-    # c4_line_filters / control_char_profile / doc_fingerprint_md5 /
-    # semdedup_embeddings /
-    # kmeans_refine_assignments — all hash-green in BOTH r7 and r8 —
-    # were the trims for the nine new r9 names.)
-    "pricing_summary",
-    "composite_agg_orders",
-    "order_revenue_top10",
-    "nation_revenue",
-    "enrich_customer_nation",
-    "top3_orders_per_customer",
-    "sliding_window_counts",
-    "mercator_tile_cover",
-    "point_in_polygon_regions",
-    "dedup_exact_documents",
-    # minhash evidence via the oracle-backed md5 twin (the headline
-    # minhash query itself is rows-only by design — weaker signal)
-    "minhash_band_keys_md5",
-    "embedding_bucketed_pairs",
-    "text_stats_documents",
+    "pareto_frontier_parts",
+    "interval_coalesce_user_activity",
+    "heavy_hitter_tokens_documents",
+    "heavy_hitter_tokens_by_lang",
     "token_histogram",
-    "bloom_novelty_documents",
-    "user_sessions",
-    "rate_limit_violations",
-    "template_render",
-    "event_interarrival",
-    "jaccard_prefix_pairs",
-    "near_dup_clusters",
+    "text_stats_documents",
     "bm25_search",
     "top_terms_tfidf",
     "inverted_index_postings",
-    # (ivf_assign_lists, token_counts_cms, snapshot_diff_documents,
-    # column_profile_events, and pii_redact_documents — all hash-green
-    # in r7 — were the trims for the five new r8 names (paragraph
-    # dedup, CDC apply, SCD2 history, IVM retract-merge, weighted
-    # A-ES sampling); sitrep_summarize — rows-only
-    # by design — got its driver-recorded
-    # weaker check in r7 and is deliberately NOT re-sampled: a window
-    # slot re-proves a changed contract or a hash, not a row count.)
-    # (purchase_funnel / weekly_retention / asof_click_purchase were
-    # listed here in an early r7 draft but sat at positions 50-52 —
-    # OUTSIDE the 50-slot window, silently unproven; all three are
-    # already pass(p) from prior rounds, so they were cut rather than
-    # displace never-proven names. The head must stay <= 50 entries.
-    # Session 2 repeated the mistake in the other direction: adding 7
-    # new operators grew the list to 57, pushing embedding_int8_quantize
-    # / train_val_test_split / doc_token_chunks / benchmark_contamination
-    # / pack_documents_shards / stratified_sample_by_lang /
-    # sessionize_events to positions 50-56; all seven were pass(p)
-    # re-proofs, so they were trimmed (coverage unaffected), and
-    # fuzzy_part_name_pairs (hash-green in r6, the freshest re-proof)
-    # was later cut to make room for ccnet_perplexity_buckets. The
-    # window-size test in test_session.py now pins len(head) == 50.)
+    "doc_token_chunks",
+    "benchmark_contamination",
+    "jaccard_prefix_pairs",
+    "near_dup_clusters",
+    "ngram_jaccard_bucketed",
+    "quality_decile_stats",
+    "quality_filter_documents",
+    "embedded_json_extract",
+    "minhash_band_keys_md5",
+    "simhash_documents_md5",
+    "token_counts_cms",
+    "boilerplate_gram_ratio",
+    # (3) the stalest proofs in the registry (r9 verdict item 6): the
+    #     relational/scalar core was last driver-proven in r1-r3,
+    #     before several cross-engine contract conventions (rounding,
+    #     NULL ordering) settled — oldest-proven-first;
+    "grouped_sum_orders",
+    "affected_ratio_by_nation",
+    "category_counts_events",
+    "value_counts_brand",
+    "segment_rollup",
+    "recent_activity_24h",
+    "range_filter_events",
+    "prefix_set_filter_orders",
+    "not_future_orders",
+    "fresh_events",
+    "param_filter_documents",
+    "prefix_filter_part",
+    "category_include_events",
+    "wire_projection_customer",
+    "orders_semi_building",
+    "customers_without_orders",
+    "user_rollup_events",
+    "region_outage_join",
+    "label_centroids",
+    "lang_distribution",
+    # (4) next-stalest (r5) proofs fill the remaining slots.
+    "geojson_features_emit",
+    "zscore_by_segment",
+    "salted_user_rollup",
+    "dsl_contains_in_docs",
+    "dsl_negation_null_semantics",
+    "style_rules_orders",
+    # (Everything trimmed from the r9 head — the 9 r9 newcomers, the
+    # scd2/cdc/ivm trio, the bench headliner block — is hash-green in
+    # CORRECTNESS_r09 and unchanged in r10, so a slot spent there
+    # would re-prove a fresh proof while r1-proven names rot. The
+    # window-size test in test_session.py pins len(head) == 50.)
 ]
 
 # the driver's CORRECTNESS runner verifies this many registry entries,

@@ -1192,6 +1192,115 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outliers_bracketed_events",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    b1 AS (
+      SELECT event_type,
+             (vm - (((vm % 250000) + 250000) % 250000)) // 250000 AS bin,
+             COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b1
+    ),
+    m AS (
+      SELECT event_type, MIN(bin) AS bin FROM c1
+      WHERE cum * 1000000 >= total * 500000 GROUP BY event_type
+    ),
+    m2 AS (
+      SELECT event_type, bin * 250000 + (bin + 1) * 250000 AS m2b FROM m
+    ),
+    d AS (
+      SELECT v.event_id, v.event_type, vm, ABS(2 * vm - m2b) AS d2
+      FROM v JOIN m2 USING (event_type)
+    ),
+    b2 AS (
+      SELECT event_type,
+             (d2 - (((d2 % 500000) + 500000) % 500000)) // 500000 AS bin,
+             COUNT(*) AS cnt
+      FROM d GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b2
+    ),
+    mm AS (
+      SELECT event_type, MIN(bin) AS bin FROM c2
+      WHERE cum * 1000000 >= total * 500000 GROUP BY event_type
+    ),
+    mad AS (
+      SELECT event_type, bin * 500000 + (bin + 1) * 500000 AS mad4b FROM mm
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(vm AS DOUBLE) / 1000000.0 AS value,
+           CAST(d2 AS BIGINT) AS dev2_micro,
+           CAST(mad4b AS BIGINT) AS mad4_bracket_micro
+    FROM d JOIN mad USING (event_type)
+    WHERE 2 * d2 > 3 * mad4b
+    """,
+    doc="The 100 TB MAD composition the exact query's docstring "
+    "prescribes, NOW IN CODE (r9 verdict): median and MAD come from "
+    "histogram_quantile_brackets p50 MIDPOINTS (doubled, so they stay "
+    "integers) instead of exact per-group medians — no executor ever "
+    "buffers a group's values; both passes are bounded-bin integer "
+    "aggregates with map-side combine, mergeable across shards. Bin "
+    "width 0.25 in value space (0.5 in doubled-deviation space): the "
+    "bracket median is within bin/2 of the exact one, so the flagged "
+    "set deviates from mad_outliers_events only near the 3-MAD "
+    "boundary, bounded by the caller-chosen width (parity test pins "
+    "the bound). Exact integer arithmetic end to end on both engines.",
+)
+def mad_outliers_bracketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketch import histogram_quantile_brackets
+
+    BIN = 250_000
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    p50 = histogram_quantile_brackets(
+        ev.select("event_type", "value"), "value",
+        bin_micro=BIN, qs_ppm=[500_000], group_by="event_type",
+    )
+    m2 = p50.select("event_type", (F.col("lo_micro") + F.col("hi_micro")).alias("m2b"))
+    d = v.join(F.broadcast(m2), "event_type").select(
+        "event_id", "event_type", "vm", F.expr("ABS(2 * vm - m2b)").alias("d2")
+    )
+    p50d = histogram_quantile_brackets(
+        d.select("event_type", "d2"), "d2",
+        bin_micro=2 * BIN, qs_ppm=[500_000], group_by="event_type", micro=True,
+    )
+    mad4 = p50d.select(
+        "event_type", (F.col("lo_micro") + F.col("hi_micro")).alias("mad4b")
+    )
+    return (
+        d.join(F.broadcast(mad4), "event_type")
+        .where(F.expr("2 * d2 > 3 * mad4b"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(vm AS DOUBLE) / 1000000.0").alias("value"),
+            F.col("d2").alias("dev2_micro"),
+            F.col("mad4b").alias("mad4_bracket_micro"),
+        )
+    )
+
+
+@register(
     "interval_coalesce_user_activity",
     oracle="""
     WITH iv AS (

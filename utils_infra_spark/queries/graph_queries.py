@@ -69,6 +69,64 @@ def pagerank_user_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagerank_redistribute_user_type",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n AS rank_fp, n
+           FROM nodes, nn),
+    d1 AS (SELECT COALESCE(SUM(r0.rank_fp), 0) AS dm
+           FROM r0 LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+    s1 AS (SELECT r0.node, rank_fp // deg AS share FROM r0 JOIN deg USING (node)),
+    c1 AS (SELECT e.dst AS node, SUM(share) AS contrib
+           FROM edges e JOIN s1 ON e.src = s1.node GROUP BY e.dst),
+    r1 AS (SELECT r0.node,
+                  ((15 * (CAST(1000000000000 AS BIGINT) // n)) // 100)
+                  + ((85 * (COALESCE(c1.contrib, 0) + (d1.dm // n))) // 100) AS rank_fp, n
+           FROM r0 LEFT JOIN c1 USING (node) CROSS JOIN d1),
+    d2 AS (SELECT COALESCE(SUM(r1.rank_fp), 0) AS dm
+           FROM r1 LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+    s2 AS (SELECT r1.node, rank_fp // deg AS share FROM r1 JOIN deg USING (node)),
+    c2 AS (SELECT e.dst AS node, SUM(share) AS contrib
+           FROM edges e JOIN s2 ON e.src = s2.node GROUP BY e.dst),
+    r2 AS (SELECT r1.node,
+                  ((15 * (CAST(1000000000000 AS BIGINT) // n)) // 100)
+                  + ((85 * (COALESCE(c2.contrib, 0) + (d2.dm // n))) // 100) AS rank_fp
+           FROM r1 LEFT JOIN c2 USING (node) CROSS JOIN d2)
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r2
+    """,
+    doc="Mass-conserving PageRank (r10; the redistribute-dangling "
+    "variant real link analysis wants) over the DIRECTED user->event-"
+    "type graph, where every event-type node is dangling — the "
+    "strongest exercise of the dangling term: each iteration adds one "
+    "scalar aggregate (dangling mass via anti-join with the degree "
+    "table) broadcast into every rank row, rank' = teleport + d*("
+    "contrib + dm DIV n) DIV 100, all integer picorank so mass is "
+    "conserved up to DIV truncation and the result is partition-"
+    "invariant. Oracle unrolls both iterations as CTEs with the same "
+    "d1/d2 dangling-mass terms (the kmeans/pagerank proof shape).",
+)
+def pagerank_redistribute_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    return pagerank(
+        edges, iterations=2, damping_pct=85, scale=10**12, dangling="redistribute"
+    )
+
+
+@register(
     "triangle_count_copurchase",
     oracle="""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
