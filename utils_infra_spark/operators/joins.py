@@ -234,3 +234,70 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     """J8 (ref verify-tlc-localities.js:26-28): left rows WITHOUT a
     match — the reference's missing/extra coverage check."""
     return left.join(F.broadcast(right), on=on, how="left_anti")
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    *,
+    m_bits: int = 65_536,
+    k: int = 4,
+) -> DataFrame:
+    """Semi-join reduction via a broadcast Bloom filter: prune fact
+    rows that cannot match BEFORE the fact side shuffles for the real
+    join — the classic distributed-join bandwidth saver for the
+    regime where the dimension is too big to broadcast outright (so
+    Catalyst picks a shuffle join of BOTH sides) but its KEY SET
+    compresses into a few-KB..MB filter that broadcasts trivially.
+
+    Plan: build the filter from ``dim``'s keys (explode k positions →
+    groupBy word index, a BOUNDED ≤ m/32-row domain, map-side
+    combined → one-row ``map<w, word>`` scalar), cross-join-broadcast
+    it into the fact scan, test the k bits IN-ROW (pure codegen), and
+    only the survivors enter the real equi-join — which then removes
+    the Bloom's false positives, so the result is EXACTLY
+    ``fact.join(dim, on, how)`` for any m/k (an oracle needs no Bloom
+    at all). Same filter-as-scalar shape as bloom_novelty; positions
+    come from xxhash64(key, seed j), engine-internal by design since
+    the filter never crosses an engine boundary.
+
+    At 100 TB: the fact scan's shuffle shrinks by the fact's
+    non-matching fraction (often 10-100x when the dim is a filtered
+    subset); the filter build shuffles ≤ m/32 partial words per map
+    task. Spark's AQE can inject runtime Bloom pushdown on its own
+    when stats line up (spark.sql.optimizer.runtime.bloomFilter.*);
+    this operator makes the reduction explicit, deterministic, and
+    available to cached/reused subplans the runtime rule skips.
+
+    Restriction: ``how`` must be "inner" or "left_semi" — the prune
+    drops non-matching fact rows, which outer joins must keep.
+    NULL keys never match an equi-join, and the prune drops them
+    (xxhash64(NULL) positions are NULL → the bit test is NULL →
+    filtered), preserving semantics.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_pruned_join: how={how!r} (prune drops non-matches; "
+                         "outer joins must keep them)")
+    if m_bits % 32:
+        raise ValueError(f"m_bits={m_bits} must be a multiple of 32")
+    pos = [f"pmod(xxhash64({on}, {j}), {m_bits})" for j in range(k)]
+    words = (
+        dim.selectExpr(f"explode(array({', '.join(pos)})) AS pos")
+        .selectExpr("pos div 32 AS w", "pos % 32 AS b")
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) AS word"))
+        .agg(F.expr("map_from_entries(collect_list(struct(w, word))) AS __bwmap"))
+    )
+    tests = " AND ".join(
+        f"((coalesce(element_at(__bwmap, {p} div 32), 0L)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))) != 0)"
+        for p in pos
+    )
+    pruned = (
+        fact.crossJoin(F.broadcast(words))
+        .where(F.expr(tests))
+        .drop("__bwmap")
+    )
+    return pruned.join(dim, on, how)

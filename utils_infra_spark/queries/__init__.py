@@ -128,6 +128,7 @@ _SAMPLING_PRIORITY = [
     #     mass-conserving PageRank variant;
     "mad_outliers_bracketed_events",
     "pagerank_redistribute_user_type",
+    "bloom_pruned_urgent_revenue",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -186,7 +187,6 @@ _SAMPLING_PRIORITY = [
     "salted_user_rollup",
     "dsl_contains_in_docs",
     "dsl_negation_null_semantics",
-    "style_rules_orders",
     # (Everything trimmed from the r9 head — the 9 r9 newcomers, the
     # scd2/cdc/ivm trio, the bench headliner block — is hash-green in
     # CORRECTNESS_r09 and unchanged in r10, so a slot spent there

@@ -12,6 +12,7 @@ from ..operators import filters
 from ..operators.aggregations import dsum, dsum_sql, pivot_counts, ratio_pct, value_counts
 from ..operators.joins import (
     anti_join,
+    bloom_pruned_join,
     broadcast_lookup,
     enrich_coalesce,
     latest_wins,
@@ -633,4 +634,45 @@ def enrich_coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_is_missing=("s_acctbal",),
         provenance="name_source",
         provenance_for="s_name",  # the oracle's name_source tracks the name fill only
+    )
+
+
+@register(
+    "bloom_pruned_urgent_revenue",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    doc="Semi-join reduction via a broadcast Bloom filter (r10): "
+    "lineitem rows whose order cannot be urgent are pruned IN-ROW "
+    "against an 8 KB filter of the urgent-order keys BEFORE the fact "
+    "side shuffles for the real join — the classic bandwidth saver "
+    "when the dim is too big to broadcast but its key set compresses. "
+    "The equi-join then removes the Bloom's false positives, so the "
+    "oracle is the PLAIN join+aggregate: the filter must be invisible "
+    "in the answer for any m/k. Filter build = bounded <=m/32-word "
+    "aggregate, map-side combined, collapsed to a one-row scalar map; "
+    "probe is pure whole-stage codegen (xxhash64 bit tests).",
+)
+def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .selectExpr("o_orderkey AS l_orderkey")
+    )
+    j = bloom_pruned_join(li, od, "l_orderkey")
+    return (
+        j.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
