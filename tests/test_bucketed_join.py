@@ -158,8 +158,25 @@ def test_bloom_pruned_join_probe_sits_below_fact_exchange(spark, sf_dir):
     )
     assert "xxhash64" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the probe filter references the scalar map — it must appear in a
-    # Filter above the lineitem scan, not after the join
-    fact_scan = plan.find("l_extendedprice")
-    probe = plan.find("xxhash64")
-    assert probe != -1 and fact_scan != -1
+    # ordering assertion (a tree prints parent-first, children after):
+    # the Filter carrying the xxhash64 bit test must sit BELOW the
+    # l_orderkey equi-join — i.e. its line comes after the join's line
+    # — or the prune ran after the join and saved no bandwidth
+    lines = plan.splitlines()
+    join_line = next(
+        i for i, ln in enumerate(lines)
+        if ("Join" in ln or "HashJoin" in ln) and "l_orderkey" in ln
+        and "xxhash64" not in ln
+    )
+    # Catalyst may keep the bit test as a Filter or fuse it into the
+    # scalar-map BroadcastNestedLoopJoin's condition — either way it
+    # must reference the FACT key (the dim-side filter build also
+    # contains xxhash64, inside its explode)
+    probe_line = next(
+        i for i, ln in enumerate(lines)
+        if "xxhash64" in ln and ("Filter" in ln or "BroadcastNestedLoopJoin" in ln)
+    )
+    assert probe_line > join_line, (
+        f"bloom probe (line {probe_line}) hoisted above the equi-join "
+        f"(line {join_line}):\n{plan[:3000]}"
+    )

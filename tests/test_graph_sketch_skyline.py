@@ -215,7 +215,7 @@ def test_pareto_frontier_continuous_x_no_single_task_funnel(spark):
     """r9 judge finding: the old Window.orderBy(__x) ran the running
     max as ONE task over every distinct x — continuous-x inputs
     (distinct-x ≈ n) funneled the corpus through one reducer. The
-    range-partitioned prefix scan must (a) stay exact on 500k distinct
+    value-binned prefix scan must (a) stay exact on 500k distinct
     doubles vs a local ground truth and (b) leave no unpartitioned
     window over the distinct-x table in the plan."""
     import numpy as np
@@ -247,7 +247,7 @@ def test_pareto_frontier_continuous_x_no_single_task_funnel(spark):
         spec = m.group(0)
         if "__x" in spec.split("], [")[-1]:
             # a window ORDERED on __x must carry a partition spec
-            assert "__pid" in spec, f"unpartitioned window over __x:\n{spec}"
+            assert "__bin" in spec, f"unpartitioned window over __x:\n{spec}"
 
     got = out.select("rid").toPandas()["rid"].sort_values().tolist()
 

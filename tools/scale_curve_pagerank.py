@@ -37,7 +37,7 @@ if not os.path.exists(DATA):
         # ~1% of edges point at 100 pure sinks (dangling by design)
         base = base.selectExpr(
             "src",
-            f"CASE WHEN src % 100 = 7 THEN CAST({N} + src % 100 AS BIGINT) ELSE dst END AS dst",
+            f"CASE WHEN src % 100 = 7 THEN CAST({N} + (src DIV 100) % 100 AS BIGINT) ELSE dst END AS dst",
         )
     base.where("src <> dst").distinct().write.mode("overwrite").parquet(DATA)
 

@@ -273,18 +273,29 @@ def bloom_pruned_join(
 
     Restriction: ``how`` must be "inner" or "left_semi" — the prune
     drops non-matching fact rows, which outer joins must keep.
-    NULL keys never match an equi-join, and the prune drops them
-    (xxhash64(NULL) positions are NULL → the bit test is NULL →
-    filtered), preserving semantics.
+    NULL keys: Spark's xxhash64 hashes a NULL input to a NON-null
+    value (seed-dependent constant), so a NULL fact key CAN pass the
+    bit test — it is the downstream equi-join that drops it, exactly
+    as the plain join would (result unaffected; do NOT consume the
+    pruned stream as if NULL-free). NULL dim keys are excluded from
+    the filter build here so they cannot set spurious bits.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_pruned_join: how={how!r} (prune drops non-matches; "
                          "outer joins must keep them)")
     if m_bits % 32:
         raise ValueError(f"m_bits={m_bits} must be a multiple of 32")
+    # same reserved-name discipline as interval_coalesce / the skyline
+    collide = [c for c in ("__bwmap",) if c in fact.columns or c in dim.columns]
+    if collide:
+        raise ValueError(
+            f"bloom_pruned_join: input columns {collide} collide with "
+            "internal names; rename them first"
+        )
     pos = [f"pmod(xxhash64({on}, {j}), {m_bits})" for j in range(k)]
     words = (
-        dim.selectExpr(f"explode(array({', '.join(pos)})) AS pos")
+        dim.where(F.col(on).isNotNull())
+        .selectExpr(f"explode(array({', '.join(pos)})) AS pos")
         .selectExpr("pos div 32 AS w", "pos % 32 AS b")
         .groupBy("w")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) AS word"))

@@ -17,22 +17,38 @@ finding): a bare ``Window.orderBy(x)`` is a SINGLE-TASK sort over
 every distinct x — fine for a discrete domain (part sizes), a
 one-reducer funnel of the whole corpus when x is continuous
 (distinct-x ≈ n). The running max here is instead a distributed
-two-level prefix scan, exact for any x domain:
+two-level prefix scan over VALUE-DERIVED bins, exact for any x
+domain:
 
-2a. range-partition the (distinct x, ymax) table on x — balanced by
-    construction, equal keys co-located, partition ids ascending
-    with x;
-2b. per partition: a LOCAL running max (window partitioned by the
-    range-bucket id — parallel, no hot key);
-2c. per partition: its total max — a tiny (#partitions)-row table;
-    the prefix max over THAT is the only unpartitioned window left,
-    bounded by the shuffle-partition count, never the data;
+2a. bin each distinct x by its value against the (min, max) range —
+    a broadcast scalar pair, so the bin id is a DETERMINISTIC, pure
+    function of the data (an earlier draft keyed on
+    ``repartitionByRange`` + ``spark_partition_id()``, whose
+    correctness silently depended on the two readers of the range
+    exchange reusing ONE materialization: with exchange reuse
+    disabled, the RangePartitioner's id-seeded sampling could pick
+    different bounds per materialization and the prefix offsets
+    would index mismatched partitions — r10 self-review finding;
+    value-derived bins cannot disagree between readers by
+    construction);
+2b. per bin: a LOCAL running max (window partitioned by bin —
+    parallel, hash-distributed);
+2c. per bin: its total max — a tiny (#bins)-row table; the prefix
+    max over THAT is the only unpartitioned window left, bounded by
+    the fixed bin count, never the data;
 2d. prev(x) = greatest(local running max, broadcast prefix of all
-    earlier partitions).
+    earlier bins).
+
+Bin monotonicity makes the split exact: bins partition the x axis
+into ordered intervals, so (bin asc, x asc) IS the global x order.
+Balance is heuristic (uniform-ish x → n/bins per bin; adversarial
+value clustering degrades a bin to one task's local sort — slower,
+NEVER wrong), which is the same contract every static partitioning
+carries.
 
 Step 3 re-touches the corpus once via an equi-join on x. Total: one
 corpus aggregate + one corpus join; every ordering is either
-partition-local or over the bounded partition-count table.
+bin-local or over the bounded bin-count table.
 
 Set semantics: ALL rows tied on a frontier point are kept (no strict
 dominance between equal points), so the result needs no tiebreak and
@@ -44,7 +60,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_INTERNAL = ("__x", "__y", "__ymax", "__prev", "__pid", "__lprev", "__pmax", "__poff")
+_INTERNAL = ("__x", "__y", "__ymax", "__prev", "__xd", "__mn", "__mx", "__bin", "__lprev", "__bmax", "__poff")
+
+# fixed bin count for the prefix scan: the bin table (2c) stays a few
+# KB while uniform-ish domains land ~n/4096 distinct x per bin
+_BINS = 4096
 
 
 def pareto_frontier_2d(
@@ -61,8 +81,9 @@ def pareto_frontier_2d(
     keyword flags (internally the worse-direction column is negated —
     exact for doubles and integers). Row r is dominated iff some s has
     x_s at-least-as-good AND y_s at-least-as-good with one strictly
-    better. Output keeps every input column; NULL x or y rows are
-    dropped (a NULL measure can neither dominate nor be ranked).
+    better. Output keeps every input column; NULL or NaN x/y rows are
+    dropped (a NULL/NaN measure can neither dominate nor be ranked —
+    and NaN would poison the bin arithmetic differently per engine).
     """
     reserved = set(_INTERNAL).intersection(df.columns)
     if reserved:
@@ -72,36 +93,53 @@ def pareto_frontier_2d(
         )
     sx = F.col(x_col) if minimize_x else -F.col(x_col)
     sy = F.col(y_col) if maximize_y else -F.col(y_col)
-    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).withColumns(
-        {"__x": sx, "__y": sy}
-    )
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & ~F.isnan(F.col(x_col).cast("double"))
+        & ~F.isnan(F.col(y_col).cast("double"))
+    ).withColumns({"__x": sx, "__y": sy})
     xagg = base.groupBy("__x").agg(F.max("__y").alias("__ymax"))
 
-    # distributed prefix max over distinct x (module docstring 2a-2d).
-    # The range partitioner assigns ascending x ranges to ascending
-    # partition ids and keeps equal keys together (and xagg is
-    # distinct-x anyway), so (pid asc, x asc) IS the global x order;
-    # AQE coalescing only merges ADJACENT ranges, preserving both
-    # properties. Both branches below share the one range exchange
-    # (ReusedExchange), so spark_partition_id() agrees between them.
-    ranged = xagg.repartitionByRange(F.col("__x")).withColumn(
-        "__pid", F.spark_partition_id()
+    # 2a: value-derived bin id — deterministic in the data, so every
+    # reader of this subtree computes identical bins even if the
+    # subtree materializes more than once (no exchange-reuse
+    # dependence). The double cast is monotone (non-strict) for every
+    # orderable numeric, so bins are ordered intervals of x; ties and
+    # >2^53 bigints that collapse in double stay within ONE bin, where
+    # the local window orders by the true __x.
+    bounds = xagg.agg(
+        F.min(F.col("__x").cast("double")).alias("__mn"),
+        F.max(F.col("__x").cast("double")).alias("__mx"),
+    )
+    binned = (
+        xagg.crossJoin(F.broadcast(bounds))
+        .withColumn("__xd", F.col("__x").cast("double"))
+        .withColumn(
+            "__bin",
+            F.expr(
+                f"CASE WHEN __mx <= __mn THEN 0 ELSE "
+                f"LEAST({_BINS - 1}, GREATEST(0, "
+                f"CAST(FLOOR((__xd - __mn) / ((__mx - __mn) / {_BINS})) AS INT))) END"
+            ),
+        )
+        .select("__x", "__ymax", "__bin")
     )
     w_local = (
-        Window.partitionBy("__pid").orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy("__bin").orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("__lprev", F.max("__ymax").over(w_local))
-    w_pid = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    local = binned.withColumn("__lprev", F.max("__ymax").over(w_local))
+    w_bin = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
     prefix = (
-        ranged.groupBy("__pid")
-        .agg(F.max("__ymax").alias("__pmax"))
-        .withColumn("__poff", F.max("__pmax").over(w_pid))
-        .select("__pid", "__poff")
+        binned.groupBy("__bin")
+        .agg(F.max("__ymax").alias("__bmax"))
+        .withColumn("__poff", F.max("__bmax").over(w_bin))
+        .select("__bin", "__poff")
     )
     # greatest() skips NULLs (returns NULL only when both are), which
     # is exactly the "no earlier x" semantics on the global first row
     xr = (
-        local.join(F.broadcast(prefix), "__pid")
+        local.join(F.broadcast(prefix), "__bin")
         .select(
             "__x",
             "__ymax",

@@ -124,8 +124,8 @@ _loaded = False
 _SAMPLING_PRIORITY = [
     # --- r10 rotation. Window goals, in order:
     # (1) never-proven r10 newcomers (first driver evidence the round
-    #     they ship): the bracketed 100 TB MAD composition and the
-    #     mass-conserving PageRank variant;
+    #     they ship): the bracketed 100 TB MAD composition, the
+    #     mass-conserving PageRank variant, and the Bloom-pruned join;
     "mad_outliers_bracketed_events",
     "pagerank_redistribute_user_type",
     "bloom_pruned_urgent_revenue",
