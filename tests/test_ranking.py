@@ -1,0 +1,173 @@
+"""Unit tests for operators/ranking.py: the two-level distributed
+global rank (value-binned, no single-task window) and the
+sorted-neighborhood pair generator built on it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from utils_infra_spark.operators.ranking import global_rank, sorted_neighborhood_pairs
+
+
+def _window_rank(df, order_cols, partition_cols=None):
+    w = (Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy(F.lit(0))).orderBy(
+        *order_cols
+    )
+    return df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def test_global_rank_equals_window_row_number_numeric(spark):
+    rows = [(i, float((i * 37) % 101) / 3.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid bigint, v double").repartition(13)
+    got = sorted(map(tuple, global_rank(df, ["v", "rid"]).select("rid", "rank").collect()))
+    want = sorted(map(tuple, _window_rank(df, ["v", "rid"]).select("rid", "rank").collect()))
+    assert got == want
+
+
+def test_global_rank_equals_window_row_number_string_key(spark):
+    # 2-char-prefix surrogate: lots of shared prefixes and ties, plus
+    # empty and 1-char strings (ascii('') = 0 paths)
+    rows = [(i, f"{'ab'[(i // 7) % 2]}{chr(97 + i % 5)}{'x' * (i % 4)}") for i in range(500)]
+    rows += [(1000, ""), (1001, "a"), (1002, "b")]
+    df = spark.createDataFrame(rows, "rid bigint, s string").repartition(7)
+    got = sorted(map(tuple, global_rank(df, ["s", "rid"]).select("rid", "rank").collect()))
+    want = sorted(map(tuple, _window_rank(df, ["s", "rid"]).select("rid", "rank").collect()))
+    assert got == want
+
+
+def test_global_rank_nulls_first(spark):
+    """NULLs in the first order column rank FIRST (Spark ASC NULLS
+    FIRST), matching the plain window exactly."""
+    rows = [(1, None), (2, 5.0), (3, None), (4, 1.0)]
+    df = spark.createDataFrame(rows, "rid bigint, v double")
+    got = {r["rid"]: r["rank"] for r in global_rank(df, ["v", "rid"]).collect()}
+    assert got == {1: 1, 3: 2, 4: 3, 2: 4}
+
+
+def test_global_rank_partition_invariant(spark):
+    rows = [(i, float((i * 13) % 50)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid bigint, v double")
+    a = sorted(map(tuple, global_rank(df.repartition(1), ["v", "rid"]).collect()))
+    b = sorted(map(tuple, global_rank(df.repartition(17), ["v", "rid"]).collect()))
+    assert a == b
+
+
+def test_global_rank_grouped_equals_per_group_window(spark):
+    rows = [(i, ["x", "y", None][i % 3], float((i * 7) % 40)) for i in range(900)]
+    df = spark.createDataFrame(rows, "rid bigint, g string, v double").repartition(11)
+    got = sorted(
+        map(tuple, global_rank(df, ["v", "rid"], partition_cols=["g"]).select("rid", "rank").collect())
+    )
+    want = sorted(
+        map(tuple, _window_rank(df, ["v", "rid"], partition_cols=["g"]).select("rid", "rank").collect())
+    )
+    # NULL group keys are a group too — the null-safe offsets join must
+    # keep their rows (a plain equi-join would silently drop a third of
+    # the input here)
+    assert len(got) == 900
+    assert got == want
+
+
+def test_global_rank_validation(spark):
+    df = spark.createDataFrame([(1, 2.0)], "rid bigint, v double")
+    with pytest.raises(ValueError, match="order_cols"):
+        global_rank(df, [])
+    with pytest.raises(ValueError, match="rank_col"):
+        global_rank(df, ["v"], rank_col="rid")
+    with pytest.raises(ValueError, match="collide"):
+        global_rank(df.withColumnRenamed("rid", "__bin"), ["v"])
+    with pytest.raises(ValueError, match="unknown order column"):
+        global_rank(df, ["nope"])
+
+
+def test_global_rank_no_unpartitioned_window_over_data(spark):
+    """The only PARTITION-free (constant-partitioned) window allowed
+    is over the aggregated per-bin offsets table; the corpus window
+    must carry the __bin partition spec."""
+    import re
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("rid"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = global_rank(df, ["v", "rid"])._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(0)
+        assert "__bin" in spec, f"row_number window without the bin partition:\n{spec}"
+
+
+def _brute_pairs(rows, w):
+    """All (l, r) id pairs with 0 < rank(r) - rank(l) <= w in the
+    (key, id) ascending order."""
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    out = set()
+    for i, (lid, _) in enumerate(ranked):
+        for j in range(i + 1, min(i + w + 1, len(ranked))):
+            out.add((lid, ranked[j][0]))
+    return out
+
+
+def test_sorted_neighborhood_pairs_equals_brute_force(spark):
+    rows = [(i, f"k{(i * 11) % 37:02d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "rid bigint, k string").repartition(9)
+    got = {
+        (r["rid_l"], r["rid_r"])
+        for r in sorted_neighborhood_pairs(df, ["k"], "rid", window=4).collect()
+    }
+    assert got == _brute_pairs(rows, 4)
+
+
+def test_sorted_neighborhood_window_wider_than_data(spark):
+    rows = [(i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "rid bigint, v double")
+    got = {
+        (r["rid_l"], r["rid_r"])
+        for r in sorted_neighborhood_pairs(df, ["v"], "rid", window=100).collect()
+    }
+    # every ordered pair exactly once — no bucket-replication dupes
+    assert got == {(a, b) for a in range(6) for b in range(6) if a < b}
+    n_rows = sorted_neighborhood_pairs(df, ["v"], "rid", window=100).count()
+    assert n_rows == 15
+
+
+def test_sorted_neighborhood_validation(spark):
+    df = spark.createDataFrame([(1, 2.0)], "rid bigint, v double")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, ["v"], "rid", window=0)
+
+
+def test_weighted_median_equals_brute_force(spark):
+    """Lower weighted median vs an explicit expansion: repeating each
+    value weight times and taking the element at ceil(total/2)."""
+    from utils_infra_spark.operators.aggregations import weighted_median
+
+    rows = [
+        ("a", 10, 3), ("a", 20, 1), ("a", 5, 2),      # expanded: 5,5,10,10,10,20 -> lower median 10
+        ("b", 7, 1), ("b", 9, 1),                      # even split: 7,9 -> lower median 7
+        ("c", 4, 5),                                   # single value
+        ("d", 1, 0), ("d", 2, -3), ("d", 3, 1),        # zero/negative weights drop
+        ("e", None, 4), ("e", 8, None), ("e", 6, 2),   # NULL value/weight drop
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, w int").repartition(5)
+    got = {r["g"]: r["wm"] for r in weighted_median(df, ["g"], "v", "w", alias="wm").collect()}
+
+    def brute(pairs):
+        expanded = sorted(v for v, w in pairs for _ in range(w) if w and w > 0)
+        return expanded[(len(expanded) + 1) // 2 - 1] if expanded else None
+
+    assert got["a"] == brute([(10, 3), (20, 1), (5, 2)]) == 10
+    assert got["b"] == brute([(7, 1), (9, 1)]) == 7
+    assert got["c"] == 4
+    assert got["d"] == 3
+    assert got["e"] == 6
+
+
+def test_weighted_median_partition_invariant(spark):
+    from utils_infra_spark.operators.aggregations import weighted_median
+
+    rows = [(f"g{i % 4}", (i * 13) % 29, 1 + i % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    a = sorted(map(tuple, weighted_median(df.repartition(1), ["g"], "v", "w").collect()))
+    b = sorted(map(tuple, weighted_median(df.repartition(19), ["g"], "v", "w").collect()))
+    assert a == b

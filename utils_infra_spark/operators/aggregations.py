@@ -106,3 +106,65 @@ def value_counts(df: DataFrame, col: str, *, count_alias: str = "n") -> DataFram
     """A6 (ref scripts/find-missing-types.js:51-78): value histogram,
     most frequent first."""
     return df.groupBy(col).agg(F.count(F.lit(1)).alias(count_alias)).orderBy(F.desc(count_alias), col)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    alias: str = "wmedian",
+) -> DataFrame:
+    """Exact LOWER weighted median per group: the smallest value v
+    with cumulative weight(≤v) ≥ half the group's total weight.
+
+    Contract: ``value_col`` must be integer-typed (quantize money to
+    micros first — the fixed-point house rule, so the result is
+    hash-identical across engines) and ``weight_col`` integral;
+    NULL-value rows and NULL/≤0 weights are dropped (a zero weight
+    cannot move the median; negative weights have no median
+    semantics). The lower-median convention needs no interpolation,
+    so ties and even totals stay exact.
+
+    Scale shape: one keyed aggregate collapses the corpus to the
+    DISTINCT (group, value) table (map-side combined — the shuffle
+    carries partial weight sums, never rows); both the cumulative and
+    the total window ride the SAME hash partitioning on the group
+    key, so one exchange feeds everything. Weights accumulate in
+    DECIMAL(38,0) (compact-long fast path, graceful past 2^63 — the
+    100 TB token-count case a raw BIGINT sum would silently wrap).
+
+    Oracle fragment (same shape in SQL)::
+
+        WITH d AS (SELECT g, v, SUM(CAST(w AS BIGINT)) AS wsum
+                   FROM t WHERE v IS NOT NULL AND w > 0 GROUP BY g, v),
+             c AS (SELECT g, v,
+                          SUM(wsum) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(wsum) OVER (PARTITION BY g) AS total FROM d)
+        SELECT g, MIN(CASE WHEN 2*cum >= total THEN v END) AS wmedian
+        FROM c GROUP BY g
+    """
+    from pyspark.sql import Window
+
+    for c in ("__wsum", "__cum", "__total"):
+        if c in df.columns:
+            raise ValueError(f"weighted_median: input column {c} collides with an internal name")
+    w = F.col(weight_col)
+    d = (
+        df.where(F.col(value_col).isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum(w.cast(_ACC)).alias("__wsum"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = d.withColumn("__cum", F.sum("__wsum").over(w_cum)).withColumn(
+        "__total", F.sum("__wsum").over(w_all)
+    )
+    pick = F.when(F.col("__cum") * 2 >= F.col("__total"), F.col(value_col))
+    return c.groupBy(*group_cols).agg(F.min(pick).alias(alias))

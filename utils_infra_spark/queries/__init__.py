@@ -129,6 +129,16 @@ _SAMPLING_PRIORITY = [
     "mad_outliers_bracketed_events",
     "pagerank_redistribute_user_type",
     "bloom_pruned_urgent_revenue",
+    #     ... and the six r10 ranking/robust-stats newcomers: the
+    #     distributed-rank pair (sorted-neighborhood blocking, RRF
+    #     fusion), the weighted median, the equi-depth histogram on
+    #     grouped global_rank, Simpson diversity, and the OLS trend;
+    "sorted_neighborhood_part_pairs",
+    "rrf_orders_value_recency",
+    "weighted_median_price_by_flag",
+    "equi_depth_price_histogram",
+    "event_type_diversity_daily",
+    "ols_trend_by_segment",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -174,24 +184,23 @@ _SAMPLING_PRIORITY = [
     "param_filter_documents",
     "prefix_filter_part",
     "category_include_events",
-    "wire_projection_customer",
     "orders_semi_building",
     "customers_without_orders",
     "user_rollup_events",
     "region_outage_join",
     "label_centroids",
     "lang_distribution",
-    # (4) next-stalest (r5) proofs fill the remaining slots.
-    "geojson_features_emit",
-    "zscore_by_segment",
-    "salted_user_rollup",
-    "dsl_contains_in_docs",
-    "dsl_negation_null_semantics",
     # (Everything trimmed from the r9 head — the 9 r9 newcomers, the
     # scd2/cdc/ivm trio, the bench headliner block — is hash-green in
     # CORRECTNESS_r09 and unchanged in r10, so a slot spent there
-    # would re-prove a fresh proof while r1-proven names rot. The
-    # window-size test in test_session.py pins len(head) == 50.)
+    # would re-prove a fresh proof while r1-proven names rot. The six
+    # mid-session r10 newcomers displaced the r5-proven tail block
+    # (geojson_features_emit, zscore_by_segment, salted_user_rollup,
+    # dsl_contains_in_docs, dsl_negation_null_semantics) and the
+    # r1-stale wire_projection_customer (a plain projection — the
+    # lowest-information stale proof): never-proven beats
+    # stale-but-proven for a window slot. The window-size test in
+    # test_session.py pins len(head) == 50.)
 ]
 
 # the driver's CORRECTNESS runner verifies this many registry entries,
@@ -219,6 +228,7 @@ def _load() -> None:
         geo_queries,
         graph_queries,
         pipeline_queries,
+        ranking_queries,
         relational,
         sampling_queries,
         scalar_queries,

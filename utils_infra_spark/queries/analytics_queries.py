@@ -1357,3 +1357,223 @@ def interval_coalesce_user_activity(spark: SparkSession, sf_dir: str) -> DataFra
         (em + F.expr("CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)")).alias("e"),
     )
     return interval_coalesce(iv, "user_id", "s", "e", "event_id")
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS v,
+             SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS wsum
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) > 0
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wsum) OVER (PARTITION BY l_returnflag) AS total
+      FROM d
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN v END) AS DOUBLE) / 1000000 AS wmedian_price
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="Exact LOWER weighted median of extended price per return flag, weighted by "
+    "quantity — the robust-stats companion to MAD (a weighted median resists the "
+    "same outliers an average amplifies). Prices quantized to integer micros "
+    "(hash-exact); quantities to integer units via the shared FLOOR(q+0.5) "
+    "expression (a raw CAST diverges: Spark truncates, DuckDB rounds half-even). "
+    "Scale shape (operators/aggregations.py:weighted_median): the corpus "
+    "collapses to the DISTINCT (flag, price) table map-side; one hash exchange "
+    "on the flag feeds both windows and the final aggregate; weights accumulate "
+    "in DECIMAL(38,0) past 2^63.",
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.where(F.col("l_extendedprice").isNotNull()).select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("wq"),
+    )
+    out = weighted_median(d, ["l_returnflag"], "vm", "wq", alias="wm")
+    return out.select("l_returnflag", F.expr("CAST(wm AS DOUBLE) / 1000000").alias("wmedian_price"))
+
+
+@register(
+    "equi_depth_price_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vm,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ), r AS (
+      SELECT l_returnflag, vm,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY vm, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    )
+    SELECT l_returnflag, ((rn - 1) * 8) // n AS tile, COUNT(*) AS n_rows,
+           CAST(MIN(vm) AS DOUBLE) / 1000000 AS lo,
+           CAST(MAX(vm) AS DOUBLE) / 1000000 AS hi
+    FROM r GROUP BY 1, 2
+    """,
+    doc="Equi-DEPTH histogram (8 buckets per return flag over extended price): "
+    "equal ROW counts per bucket, the complement of the fixed-WIDTH "
+    "histogram_quantile_brackets. Bucket rule is the explicit maximally-even "
+    "formula tile = (rank-1)*k DIV n on BOTH engines (SQL NTILE front-loads its "
+    "remainder — a different, engine-trap contract). The per-group rank comes "
+    "from global_rank(partition_cols=...): local windows hash on (flag, "
+    "value-bin), so a billion-row flag spreads over its bins instead of one "
+    "task — the plain PARTITION BY flag window the oracle uses would funnel "
+    "each group through a single reducer at 100 TB.",
+)
+def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.where(F.col("l_extendedprice").isNotNull() & F.col("l_returnflag").isNotNull()).select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(
+        v, ["vm", "l_orderkey", "l_linenumber"], partition_cols=["l_returnflag"], rank_col="rn"
+    )
+    totals = v.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(totals), "l_returnflag")
+        .withColumn("tile", F.expr("((rn - 1) * 8) DIV n"))
+        .groupBy("l_returnflag", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("CAST(MIN(vm) AS DOUBLE) / 1000000").alias("lo"),
+            F.expr("CAST(MAX(vm) AS DOUBLE) / 1000000").alias("hi"),
+        )
+    )
+
+
+@register(
+    "event_type_diversity_daily",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT day, CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+           CASE WHEN SUM(n) > 1 THEN
+             ROUND(1.0 - CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE)
+                       / CAST(CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1) AS DOUBLE), 6)
+           END AS simpson
+    FROM c GROUP BY day
+    """,
+    doc="Per-day Simpson diversity of the event-type mix: 1 - sum n_i(n_i-1) / "
+    "N(N-1), the probability two random same-day events differ in type — a "
+    "drift monitor for the event feed (a crawler/ETL mix collapse shows up as "
+    "a diversity drop before any single count alarms). Simpson is EXACT "
+    "RATIONAL arithmetic (unlike Shannon, whose log() ulps differ per libm): "
+    "both numerator and denominator are integer products — DECIMAL(38,0) in "
+    "Spark, HUGEINT in DuckDB — with one final correctly-rounded double "
+    "division. Two map-side-combined aggregates, shuffle carries (day, type) "
+    "partials then day partials; single-row days return NULL (undefined).",
+)
+def event_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    per_day = counts.groupBy("day").agg(
+        F.sum(nd).alias("N"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(nd * (F.col("n") - 1)).alias("num"),
+    )
+    simpson = F.when(
+        F.col("N") > 1,
+        F.round(
+            F.lit(1.0)
+            - F.col("num").cast("double") / (F.col("N") * (F.col("N") - 1)).cast("double"),
+            6,
+        ),
+    )
+    return per_day.select(
+        "day",
+        F.col("N").cast("bigint").alias("n_events"),
+        "n_types",
+        simpson.alias("simpson"),
+    )
+
+
+@register(
+    "ols_trend_by_segment",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), s AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM b GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_micros_per_day
+    FROM s
+    """,
+    doc="Grouped least-squares trend: OLS slope of order value (integer micros) "
+    "over order date (epoch days) per market segment, via the closed form "
+    "slope = (n sum xy - sum x sum y) / (n sum xx - (sum x)^2) — every term an "
+    "EXACT integer (DECIMAL(38,0) accumulators in Spark, HUGEINT in DuckDB), "
+    "one correctly-rounded double division at the end. The 100 TB shape is one "
+    "broadcast dim join + one map-side-combined aggregate — the shuffle carries "
+    "five partial sums per segment, nothing else; no window, no sort. Past "
+    "~1e12 rows rebase x to days-since-corpus-min (a scalar subquery) to keep "
+    "n*sxy inside 38 digits. Zero-variance groups (one distinct day) return "
+    "NULL slope.",
+)
+def ols_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    b = joined.where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+    ).select(
+        "c_mktsegment",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.expr("CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "c_mktsegment",
+        "n",
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "slope_micros_per_day"
+        ),
+    )

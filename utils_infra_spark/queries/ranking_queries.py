@@ -1,0 +1,112 @@
+"""Ranking-primitive queries: sorted-neighborhood dedup blocking and
+reciprocal-rank fusion — both on `operators/ranking.py:global_rank`,
+the distributed (no single-task window) ``row_number() OVER (ORDER
+BY ...)``.
+
+The oracles use DuckDB's plain window row_number — single-node, fine
+for an oracle — so the parity check proves the two-level binned rank
+IS the textbook rank, bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetimes import epoch_micros
+from ..operators.ranking import global_rank, sorted_neighborhood_pairs
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "sorted_neighborhood_part_pairs",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rnk
+      FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT a.p_partkey AS p_partkey_l, a.p_name AS p_name_l,
+           b.p_partkey AS p_partkey_r, b.p_name AS p_name_r,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    """,
+    doc="Sorted-neighborhood dedup blocking (Hernández–Stolfo): sort parts on the "
+    "folded name, compare each row only to its 5 rank-neighbors, keep near-miss "
+    "pairs (edit distance 1–4; 0 = exact dup, handled by dedup_exact). The rank "
+    "comes from the two-level value-binned global_rank (no single-task window) "
+    "and the w-neighborhood is an EQUI-join on rank DIV w buckets (left side "
+    "replicated to exactly 2 buckets — bounded 2x, no inequality-join BNLJ): "
+    "n*w candidates instead of the n^2 all-pairs, the third blocking family "
+    "next to prefix (jaccard_prefix_pairs) and bands (minhash).",
+)
+def sorted_neighborhood_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    # NULL names sort NULLS FIRST in Spark but NULLS LAST in DuckDB —
+    # they carry no comparable key, so both engines exclude them
+    base = part.where(F.col("p_name").isNotNull()).select(
+        "p_partkey", "p_name", F.lower("p_name").alias("nk")
+    )
+    pairs = sorted_neighborhood_pairs(
+        base, ["nk"], "p_partkey", window=5, carry_cols=["p_partkey", "p_name"]
+    )
+    dist = F.levenshtein("p_name_l", "p_name_r")
+    return pairs.where(dist.between(1, 4)).select(
+        "p_partkey_l", "p_name_l", "p_partkey_r", "p_name_r", dist.cast("bigint").alias("dist")
+    )
+
+
+@register(
+    "rrf_orders_value_recency",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    r1 AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY -o_totalprice, o_orderkey) AS rank_value
+      FROM base
+    ),
+    r2 AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY -epoch_us(o_orderdate), o_orderkey) AS rank_recency
+      FROM base
+    )
+    SELECT r1.o_orderkey, rank_value, rank_recency,
+           (1000000000 // (60 + rank_value)) + (1000000000 // (60 + rank_recency)) AS rrf_score
+    FROM r1 JOIN r2 USING (o_orderkey)
+    ORDER BY rrf_score DESC, o_orderkey LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al.) of two full orderings of orders — "
+    "by value (totalprice desc) and by recency (orderdate desc) — the standard "
+    "hybrid-retrieval combiner (BM25 x dense ranks fuse the same way). Scores are "
+    "INTEGER micro-units, floor(1e9/(60+rank)), so the fused ordering is "
+    "hash-exact across engines (a double 1/(k+r) sum is order-dependent in the "
+    "last ulp). Both ranks come from the two-level global_rank: at 100 TB each "
+    "ranking is one corpus pass + a <=4096-row offset table, never a one-reducer "
+    "sort; the fusion join hashes on the key and top-20 is a TakeOrdered, not a "
+    "global sort.",
+)
+def rrf_orders_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+    em = epoch_micros(base, "o_orderdate")
+    proj = base.select(
+        "o_orderkey",
+        (-F.col("o_totalprice")).alias("neg_price"),
+        (-em).alias("neg_ts"),
+    )
+    r1 = global_rank(proj.select("o_orderkey", "neg_price"), ["neg_price", "o_orderkey"], rank_col="rank_value")
+    r2 = global_rank(proj.select("o_orderkey", "neg_ts"), ["neg_ts", "o_orderkey"], rank_col="rank_recency")
+    fused = (
+        r1.select("o_orderkey", "rank_value")
+        .join(r2.select("o_orderkey", "rank_recency"), "o_orderkey")
+        .withColumn(
+            "rrf_score",
+            F.expr("1000000000 DIV (60 + rank_value) + 1000000000 DIV (60 + rank_recency)"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "o_orderkey").limit(20)
