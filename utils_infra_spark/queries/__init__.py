@@ -139,6 +139,9 @@ _SAMPLING_PRIORITY = [
     "equi_depth_price_histogram",
     "event_type_diversity_daily",
     "ols_trend_by_segment",
+    "entity_resolution_parts",
+    "token_keyness_chi2",
+    "frequent_item_pairs",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -179,11 +182,8 @@ _SAMPLING_PRIORITY = [
     "recent_activity_24h",
     "range_filter_events",
     "prefix_set_filter_orders",
-    "not_future_orders",
     "fresh_events",
     "param_filter_documents",
-    "prefix_filter_part",
-    "category_include_events",
     "orders_semi_building",
     "customers_without_orders",
     "user_rollup_events",
@@ -196,11 +196,13 @@ _SAMPLING_PRIORITY = [
     # would re-prove a fresh proof while r1-proven names rot. The six
     # mid-session r10 newcomers displaced the r5-proven tail block
     # (geojson_features_emit, zscore_by_segment, salted_user_rollup,
-    # dsl_contains_in_docs, dsl_negation_null_semantics) and the
-    # r1-stale wire_projection_customer (a plain projection — the
-    # lowest-information stale proof): never-proven beats
-    # stale-but-proven for a window slot. The window-size test in
-    # test_session.py pins len(head) == 50.)
+    # dsl_contains_in_docs, dsl_negation_null_semantics) and four
+    # r1-stale single-predicate filters (wire_projection_customer,
+    # not_future_orders, prefix_filter_part, category_include_events
+    # — the lowest-information stale proofs; the surviving stale
+    # block still re-proves every distinct filter/join/agg family):
+    # never-proven beats stale-but-proven for a window slot. The
+    # window-size test in test_session.py pins len(head) == 50.)
 ]
 
 # the driver's CORRECTNESS runner verifies this many registry entries,

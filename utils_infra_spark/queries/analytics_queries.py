@@ -1577,3 +1577,49 @@ def ols_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_micros_per_day"
         ),
     )
+
+
+@register(
+    "frequent_item_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    )
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS support
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+    doc="Market-basket frequent pairs (the A-priori L2 step): part pairs "
+    "co-ordered in >= 3 distinct orders. The ENGINE prunes with the A-priori "
+    "invariant first — only items whose own support >= 3 can appear in a "
+    "frequent pair, so the basket self-join runs on the semi-join-reduced "
+    "table; the ORACLE is the naive unpruned self-join, proving the pruning "
+    "lossless (the triangle_count proof shape). Scale: the self-join keys on "
+    "the order id, so per-reducer work is bounded by basket size squared "
+    "(TPC-H baskets <= ~20 items), never by item popularity — a hot ITEM never "
+    "funnels; the item-support aggregate is map-side combined.",
+)
+def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 3)
+    pruned = d.join(freq.select("l_partkey"), "l_partkey", "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"), F.col("b.l_partkey").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )

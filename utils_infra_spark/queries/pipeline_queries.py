@@ -2389,3 +2389,89 @@ def heavy_hitter_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
     return heavy_hitters_exact(toks, "tok", threshold_ppm=5000, group_col="lang")
+
+
+@register(
+    "token_keyness_chi2",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+    ),
+    c AS (
+      SELECT token,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+      FROM toks GROUP BY token
+    ),
+    t AS (SELECT SUM(a) AS sa, SUM(b) AS sb FROM c),
+    k AS (
+      SELECT token, a, b,
+             (CAST(a AS DOUBLE) * CAST(sb - b AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(sa - a AS DOUBLE)) AS delta,
+             CASE WHEN CAST(a AS HUGEINT) * sb > CAST(b AS HUGEINT) * sa
+                  THEN 'en' ELSE 'rest' END AS enriched_in,
+             sa, sb
+      FROM c, t WHERE a + b >= 20
+    )
+    SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, enriched_in,
+           ROUND((CAST(sa + sb AS DOUBLE) * delta * delta)
+                 / (CAST(a + b AS DOUBLE) * CAST(sa + sb - a - b AS DOUBLE)
+                    * CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6) AS chi2
+    FROM k ORDER BY chi2 DESC, token LIMIT 20
+    """,
+    doc="Corpus keyness (chi-square association): which tokens are most "
+    "DISTINCTIVE of the English slice vs the rest — the Dunning/Rayson corpus- "
+    "comparison primitive behind domain-drift monitors and contamination "
+    "triage. Chi2 over the 2x2 (token x slice) table from exact integer counts; "
+    "the float work is the SAME parenthesized expression on both engines "
+    "(identical exact-integer operands, correctly-rounded IEEE ops — no POWER(), "
+    "whose libm may not square exactly), and the enrichment DIRECTION is decided "
+    "in pure integer space (a*sb vs b*sa). Scale: one token aggregate (map-side "
+    "combined, same shuffle class as token_histogram), a one-row totals "
+    "broadcast, in-row math, TakeOrdered top-20. Support floor a+b >= 20 keeps "
+    "the long tail out of the ranking.",
+)
+def token_keyness_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.where(
+        F.col("text").isNotNull() & (F.trim("text") != "") & F.col("lang").isNotNull()
+    )
+    toks = base.select("lang", F.explode(T.tokens("text")).alias("token"))
+    c = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("b"),
+    )
+    t = c.agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+    k = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("a") + F.col("b") >= 20)
+        .withColumn(
+            "delta",
+            F.col("a").cast("double") * (F.col("sb") - F.col("b")).cast("double")
+            - F.col("b").cast("double") * (F.col("sa") - F.col("a")).cast("double"),
+        )
+        .withColumn(
+            "enriched_in",
+            F.when(
+                F.col("a").cast("decimal(38,0)") * F.col("sb")
+                > F.col("b").cast("decimal(38,0)") * F.col("sa"),
+                F.lit("en"),
+            ).otherwise(F.lit("rest")),
+        )
+    )
+    chi2 = F.round(
+        ((F.col("sa") + F.col("sb")).cast("double") * F.col("delta") * F.col("delta"))
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("sa") + F.col("sb") - F.col("a") - F.col("b")).cast("double")
+            * F.col("sa").cast("double")
+            * F.col("sb").cast("double")
+        ),
+        6,
+    )
+    return (
+        k.select("token", "a", "b", "enriched_in", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), "token")
+        .limit(20)
+    )

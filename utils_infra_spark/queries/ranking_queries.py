@@ -110,3 +110,56 @@ def rrf_orders_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "o_orderkey").limit(20)
+
+
+@register(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rnk
+      FROM part WHERE p_name IS NOT NULL
+    ),
+    edges AS (
+      SELECT a.p_partkey AS src, b.p_partkey AS dst
+      FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT p.p_partkey,
+           COALESCE(cc.comp, p.p_partkey) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(cc.comp, p.p_partkey)) AS cluster_size,
+           p.p_partkey = COALESCE(cc.comp, p.p_partkey) AS is_representative
+    FROM part p LEFT JOIN cc ON cc.node = p.p_partkey
+    """,
+    doc="Entity-resolution capstone: sorted-neighborhood blocking (folded name, "
+    "w=5) -> match predicate (edit distance <= 2: exact dups + singular/plural "
+    "near-misses) -> transitive closure -> one canonical record per entity "
+    "(min-id representative). The classic record-linkage pipeline, every stage "
+    "the scale-safe family member: blocking is n*w via the binned global_rank "
+    "(never all-pairs), closure is alternating large-star/small-star connected "
+    "components (O(log^2 n) rounds, shuffles 16-byte edges, never records). "
+    "The oracle recomputes the closure with a recursive CTE over the plain "
+    "window-rank pairs — proving blocking, matching, and clustering end to end. "
+    "NULL-name parts carry no blocking key: singleton clusters in both engines.",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.cluster import cluster_documents
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.where(F.col("p_name").isNotNull()).select(
+        "p_partkey", "p_name", F.lower("p_name").alias("nk")
+    )
+    pairs = sorted_neighborhood_pairs(
+        base, ["nk"], "p_partkey", window=5, carry_cols=["p_partkey", "p_name"]
+    )
+    edges = pairs.where(F.levenshtein("p_name_l", "p_name_r") <= 2).select(
+        F.col("p_partkey_l").alias("src"), F.col("p_partkey_r").alias("dst")
+    )
+    return cluster_documents(part.select("p_partkey"), edges, "p_partkey")
