@@ -27,10 +27,13 @@ def test_global_rank_equals_window_row_number_numeric(spark):
 
 
 def test_global_rank_equals_window_row_number_string_key(spark):
-    # 2-char-prefix surrogate: lots of shared prefixes and ties, plus
-    # empty and 1-char strings (ascii('') = 0 paths)
+    # 4-byte-prefix surrogate: shared prefixes and ties, empty and
+    # 1-char strings (padding paths), short-vs-extension ordering
+    # ("az" < "b"), and multibyte/non-BMP characters whose byte order
+    # must match Spark's UTF-8 collation
     rows = [(i, f"{'ab'[(i // 7) % 2]}{chr(97 + i % 5)}{'x' * (i % 4)}") for i in range(500)]
-    rows += [(1000, ""), (1001, "a"), (1002, "b")]
+    rows += [(1000, ""), (1001, "a"), (1002, "b"), (1003, "az"), (1004, "az~")]
+    rows += [(1005, "é"), (1006, "e"), (1007, "中文"), (1008, "😀emoji"), (1009, "ÿ"), (1010, "￿")]
     df = spark.createDataFrame(rows, "rid bigint, s string").repartition(7)
     got = sorted(map(tuple, global_rank(df, ["s", "rid"]).select("rid", "rank").collect()))
     want = sorted(map(tuple, _window_rank(df, ["s", "rid"]).select("rid", "rank").collect()))

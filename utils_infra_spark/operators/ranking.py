@@ -49,19 +49,20 @@ _INTERNAL = ("__srg", "__mn", "__mx", "__bin", "__lrk", "__cnt", "__off", "__rnk
 # first-order-column domains land ~n/4096 rows per bin
 _BINS = 4096
 
-# codepoints are < 2^21 (max U+10FFFF), so a two-codepoint pack stays
-# an exact double (< 2^42 << 2^53)
-_CP_BASE = 1 << 21
-
-
 def _surrogate(df: DataFrame, col: str) -> Column:
     """A monotone (non-strict) double surrogate of ``df[col]`` for
     value-binning. Numeric/boolean: plain double cast (non-strict for
     >2^53 bigints — collapses stay within one bin). Timestamp: double
     cast (epoch seconds). Date: days since epoch. String: the first
-    two codepoints packed — UTF-8 byte order equals codepoint order,
-    so the pack is monotone in Spark's (and DuckDB's) binary
-    collation; all strings sharing a 2-char prefix share a bin."""
+    FOUR UTF-8 BYTES as an integer (hex → right-zero-pad → conv) —
+    Spark compares strings as unsigned UTF-8 bytes, so the byte
+    prefix IS the collation and the surrogate is monotone for every
+    string, including non-BMP codepoints (a codepoint pack via
+    ``ascii()`` would hinge on surrogate-pair handling); right-padding
+    with 0x00 keeps short strings below their extensions ("az" <
+    "b" ⇒ 0x617A0000 < 0x62000000). Values < 2^32 — exact doubles.
+    All strings sharing a 4-byte prefix share a bin (ordered locally
+    by the true column)."""
     dtypes = {k.lower(): v for k, v in df.dtypes}
     dt = dtypes.get(col.lower())
     if dt is None:
@@ -70,9 +71,9 @@ def _surrogate(df: DataFrame, col: str) -> Column:
     if dt == "date":
         return F.datediff(c, F.lit("1970-01-01")).cast("double")
     if dt in ("string", "varchar"):
-        first = F.ascii(c)
-        second = F.ascii(F.substring(c, 2, 1))
-        return (first.cast("double") * F.lit(float(_CP_BASE)) + second.cast("double"))
+        return F.expr(
+            f"CAST(conv(rpad(substring(hex(encode(`{col}`, 'UTF-8')), 1, 8), 8, '0'), 16, 10) AS DOUBLE)"
+        )
     # numeric, boolean, timestamp, timestamp_ntz all cast monotonically
     return c.cast("double")
 
