@@ -859,3 +859,48 @@ def test_embedding_topk_cosine_is_all_jvm(spark, sf_dir):
         assert bad not in plan, f"{bad} in plan:\n{plan[:2000]}"
     assert "Generate explode" in plan or "Generate posexplode" in plan, plan[:1500]
     assert plan.count("Exchange") <= 3, plan[:2000]
+
+
+def test_rrf_top20_is_take_ordered(spark, sf_dir):
+    """The fused top-20 must be a TakeOrderedAndProject (bounded
+    per-partition heaps), never a global Sort over the ranked corpus."""
+    plan = plan_of(spark, sf_dir, "rrf_orders_value_recency")
+    assert "TakeOrderedAndProject" in plan
+    # the only Sorts allowed are the local window sorts (partitioned by
+    # __bin) — no global Exchange rangepartitioning for the final order
+    assert "rangepartitioning(rrf_score" not in plan
+
+
+def test_frequent_item_pairs_joins_on_order_not_item(spark, sf_dir):
+    """The basket self-join must key on the order id (work bounded by
+    basket size squared) — keying on the item would funnel hot items;
+    and the A-priori prune must stay a semi-join below it."""
+    import re
+
+    plan = (
+        REGISTRY["frequent_item_pairs"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    sj = [ln for ln in plan.splitlines() if re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", ln)]
+    inner = [ln for ln in sj if "LeftSemi" not in ln]
+    assert inner, "no basket self-join found"
+    assert any("l_orderkey" in ln for ln in inner), inner
+    assert any("LeftSemi" in ln for ln in sj), "A-priori semi-join prune missing"
+
+
+def test_entity_resolution_no_nested_loop(spark, sf_dir):
+    """Blocking must keep the pair generation an equi-join: no
+    BroadcastNestedLoopJoin (the all-pairs fallback) anywhere in the
+    capstone plan."""
+    plan = plan_of(spark, sf_dir, "entity_resolution_parts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equi_depth_no_unpartitioned_window_over_data(spark, sf_dir):
+    """The per-group rank must ride (flag, bin)-partitioned windows;
+    the only unpartitioned window sits over the aggregated bin table."""
+    import re
+
+    plan = REGISTRY["equi_depth_price_histogram"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__bin" in m.group(0), f"row_number window without bin partition:\n{m.group(0)}"
