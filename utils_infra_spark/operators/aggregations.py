@@ -108,24 +108,30 @@ def value_counts(df: DataFrame, col: str, *, count_alias: str = "n") -> DataFram
     return df.groupBy(col).agg(F.count(F.lit(1)).alias(count_alias)).orderBy(F.desc(count_alias), col)
 
 
-def weighted_median(
+def weighted_quantile(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     weight_col: str,
     *,
-    alias: str = "wmedian",
+    q_num: int = 1,
+    q_den: int = 2,
+    alias: str = "wquantile",
 ) -> DataFrame:
-    """Exact LOWER weighted median per group: the smallest value v
-    with cumulative weight(≤v) ≥ half the group's total weight.
+    """Exact LOWER weighted q-quantile per group (q = q_num/q_den,
+    integer rational so the pick condition stays in exact arithmetic):
+    the smallest value v with cumulative weight(≤v) · q_den ≥
+    q_num · total weight. ``q_num=1, q_den=2`` is the weighted
+    median — see :func:`weighted_median`.
 
     Contract: ``value_col`` must be integer-typed (quantize money to
     micros first — the fixed-point house rule, so the result is
     hash-identical across engines) and ``weight_col`` integral;
     NULL-value rows and NULL/≤0 weights are dropped (a zero weight
-    cannot move the median; negative weights have no median
-    semantics). The lower-median convention needs no interpolation,
-    so ties and even totals stay exact.
+    cannot move a quantile; negative weights have no quantile
+    semantics). The lower-quantile convention needs no interpolation,
+    so ties and even totals stay exact. ``0 < q_num ≤ q_den``
+    required (q in (0, 1]; q=1 is the weighted max).
 
     Scale shape: one keyed aggregate collapses the corpus to the
     DISTINCT (group, value) table (map-side combined — the shuffle
@@ -148,9 +154,11 @@ def weighted_median(
     """
     from pyspark.sql import Window
 
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"weighted_quantile: need 0 < q_num <= q_den, got {q_num}/{q_den}")
     for c in ("__wsum", "__cum", "__total"):
         if c in df.columns:
-            raise ValueError(f"weighted_median: input column {c} collides with an internal name")
+            raise ValueError(f"weighted_quantile: input column {c} collides with an internal name")
     w = F.col(weight_col)
     d = (
         df.where(F.col(value_col).isNotNull() & w.isNotNull() & (w > 0))
@@ -166,5 +174,20 @@ def weighted_median(
     c = d.withColumn("__cum", F.sum("__wsum").over(w_cum)).withColumn(
         "__total", F.sum("__wsum").over(w_all)
     )
-    pick = F.when(F.col("__cum") * 2 >= F.col("__total"), F.col(value_col))
+    pick = F.when(F.col("__cum") * q_den >= F.col("__total") * q_num, F.col(value_col))
     return c.groupBy(*group_cols).agg(F.min(pick).alias(alias))
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    alias: str = "wmedian",
+) -> DataFrame:
+    """Exact LOWER weighted median per group — the q = 1/2 case of
+    :func:`weighted_quantile` (see there for contract and scale
+    shape): the smallest value v with cumulative weight(≤v) ≥ half
+    the group's total weight."""
+    return weighted_quantile(df, group_cols, value_col, weight_col, q_num=1, q_den=2, alias=alias)

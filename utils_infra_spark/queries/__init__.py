@@ -142,6 +142,9 @@ _SAMPLING_PRIORITY = [
     "entity_resolution_parts",
     "token_keyness_chi2",
     "frequent_item_pairs",
+    "weighted_p90_price_by_flag",
+    "trimmed_mean_price_by_flag",
+    "mode_event_type_per_user",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -179,9 +182,6 @@ _SAMPLING_PRIORITY = [
     "category_counts_events",
     "value_counts_brand",
     "segment_rollup",
-    "recent_activity_24h",
-    "range_filter_events",
-    "prefix_set_filter_orders",
     "fresh_events",
     "param_filter_documents",
     "orders_semi_building",
@@ -196,11 +196,13 @@ _SAMPLING_PRIORITY = [
     # would re-prove a fresh proof while r1-proven names rot. The six
     # mid-session r10 newcomers displaced the r5-proven tail block
     # (geojson_features_emit, zscore_by_segment, salted_user_rollup,
-    # dsl_contains_in_docs, dsl_negation_null_semantics) and four
-    # r1-stale single-predicate filters (wire_projection_customer,
-    # not_future_orders, prefix_filter_part, category_include_events
-    # — the lowest-information stale proofs; the surviving stale
-    # block still re-proves every distinct filter/join/agg family):
+    # dsl_contains_in_docs, dsl_negation_null_semantics) and seven
+    # r1-stale single-predicate filters/projections
+    # (wire_projection_customer, not_future_orders, prefix_filter_part,
+    # category_include_events, recent_activity_24h, range_filter_events,
+    # prefix_set_filter_orders — the lowest-information stale proofs;
+    # the surviving stale block still re-proves every distinct
+    # filter/join/agg family):
     # never-proven beats stale-but-proven for a window slot. The
     # window-size test in test_session.py pins len(head) == 50.)
 ]

@@ -1623,3 +1623,137 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 3)
     )
+
+
+@register(
+    "weighted_p90_price_by_flag",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS v,
+             SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS wsum
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) > 0
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wsum) OVER (PARTITION BY l_returnflag) AS total
+      FROM d
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN v END) AS DOUBLE) / 1000000 AS wp90_price
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="Exact LOWER weighted p90 of extended price per return flag, quantity- "
+    "weighted — weighted_quantile(q=9/10), the general-q form of the weighted "
+    "median: the pick condition 10*cum >= 9*total stays in exact integer "
+    "arithmetic for ANY rational q, no interpolation, no float quantile "
+    "position. Same one-exchange distinct-(group, value) shape as the median.",
+)
+def weighted_p90_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.where(F.col("l_extendedprice").isNotNull()).select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("wq"),
+    )
+    out = weighted_quantile(d, ["l_returnflag"], "vm", "wq", q_num=9, q_den=10, alias="wq90")
+    return out.select("l_returnflag", F.expr("CAST(wq90 AS DOUBLE) / 1000000").alias("wp90_price"))
+
+
+@register(
+    "trimmed_mean_price_by_flag",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vm,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ), r AS (
+      SELECT l_returnflag, vm,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY vm, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    )
+    SELECT l_returnflag, COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(vm) AS DOUBLE) / 1000000 / COUNT(*), 6) AS trimmed_mean
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY 1
+    """,
+    doc="10% trimmed mean of extended price per return flag — the robust mean "
+    "(drop the bottom and top decile BY RANK, exactly, with the full (value, "
+    "orderkey, linenumber) tiebreak — not by percentile THRESHOLD, which double- "
+    "counts ties). Rank from grouped global_rank (value-binned — no per-flag "
+    "one-task window, the oracle's PARTITION BY funnel); trim bounds n DIV 10 "
+    "in integer arithmetic; mean over exact micro sums. Completes the robust "
+    "triple: MAD (spread), weighted median (center), trimmed mean (center "
+    "under contamination).",
+)
+def trimmed_mean_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.where(F.col("l_extendedprice").isNotNull() & F.col("l_returnflag").isNotNull()).select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(
+        v, ["vm", "l_orderkey", "l_linenumber"], partition_cols=["l_returnflag"], rank_col="rn"
+    )
+    totals = v.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    kept = ranked.join(F.broadcast(totals), "l_returnflag").where(
+        F.expr("rn > n DIV 10 AND rn <= n - n DIV 10")
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(F.col("vm").cast("decimal(38,0)")).cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_events
+    FROM r WHERE rk = 1
+    """,
+    doc="Exact MODE per group (most frequent event type per user; ties break to "
+    "the lexicographically smallest type — deterministic, partition-invariant). "
+    "Completes mean/median/mode. One map-side-combined (user, type) count; the "
+    "argmax window runs over the AGGREGATED table partitioned by user, so its "
+    "per-task work is the type-domain size, never the event count.",
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("n").alias("n_events"))
+    )
