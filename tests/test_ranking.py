@@ -174,3 +174,35 @@ def test_weighted_median_partition_invariant(spark):
     a = sorted(map(tuple, weighted_median(df.repartition(1), ["g"], "v", "w").collect()))
     b = sorted(map(tuple, weighted_median(df.repartition(19), ["g"], "v", "w").collect()))
     assert a == b
+
+
+def test_weighted_quantile_general_q_equals_brute_force(spark):
+    """q = q_num/q_den vs the expanded-multiset lower quantile:
+    element at ceil(q * total) in sorted order, 1-based."""
+    from utils_infra_spark.operators.aggregations import weighted_quantile
+
+    rows = [(f"g{i % 3}", (i * 17) % 23, 1 + (i * 7) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v int, w int").repartition(7)
+
+    def brute(g, qn, qd):
+        expanded = sorted(v for gg, v, w in rows if gg == g for _ in range(w))
+        total = len(expanded)
+        # smallest v with cum*qd >= qn*total  ==  element at
+        # ceil(qn*total/qd), 1-based
+        pos = -(-qn * total // qd)
+        return expanded[pos - 1]
+
+    for qn, qd in [(1, 2), (9, 10), (1, 4), (1, 1)]:
+        got = {
+            r["g"]: r["wq"]
+            for r in weighted_quantile(df, ["g"], "v", "w", q_num=qn, q_den=qd, alias="wq").collect()
+        }
+        want = {g: brute(g, qn, qd) for g in ("g0", "g1", "g2")}
+        assert got == want, (qn, qd, got, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q_num"):
+        weighted_quantile(df, ["g"], "v", "w", q_num=0, q_den=2)
+    with _pytest.raises(ValueError, match="q_num"):
+        weighted_quantile(df, ["g"], "v", "w", q_num=3, q_den=2)
