@@ -145,6 +145,8 @@ _SAMPLING_PRIORITY = [
     "weighted_p90_price_by_flag",
     "trimmed_mean_price_by_flag",
     "mode_event_type_per_user",
+    "gini_revenue_by_segment",
+    "doc_length_position_pct_by_lang",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -179,8 +181,6 @@ _SAMPLING_PRIORITY = [
     #     NULL ordering) settled — oldest-proven-first;
     "grouped_sum_orders",
     "affected_ratio_by_nation",
-    "category_counts_events",
-    "value_counts_brand",
     "segment_rollup",
     "fresh_events",
     "param_filter_documents",
@@ -200,7 +200,8 @@ _SAMPLING_PRIORITY = [
     # r1-stale single-predicate filters/projections
     # (wire_projection_customer, not_future_orders, prefix_filter_part,
     # category_include_events, recent_activity_24h, range_filter_events,
-    # prefix_set_filter_orders — the lowest-information stale proofs;
+    # prefix_set_filter_orders, category_counts_events,
+    # value_counts_brand — the lowest-information stale proofs;
     # the surviving stale block still re-proves every distinct
     # filter/join/agg family):
     # never-proven beats stale-but-proven for a window slot. The

@@ -163,3 +163,116 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey_l").alias("src"), F.col("p_partkey_r").alias("dst")
     )
     return cluster_documents(part.select("p_partkey"), edges, "p_partkey")
+
+
+@register(
+    "gini_revenue_by_segment",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment, CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS v,
+             o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), r AS (
+      SELECT c_mktsegment, v,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY v, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM b
+    ), s AS (
+      SELECT c_mktsegment, MAX(n) AS n,
+             SUM(CAST(v AS HUGEINT)) AS sv,
+             SUM(CAST(rn AS HUGEINT) * v) AS srv
+      FROM r GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CASE WHEN sv > 0 AND n > 1 THEN
+             ROUND((2.0 * CAST(srv AS DOUBLE) - CAST((n + 1) * sv AS DOUBLE))
+                   / CAST(n * sv AS DOUBLE), 6)
+           END AS gini
+    FROM s
+    """,
+    doc="Gini concentration of order revenue per market segment — the standard "
+    "inequality statistic (is revenue spread across orders or concentrated in "
+    "a few?), via the sorted-rank identity G = (2*sum(i*v_i) - (n+1)*sum(v)) / "
+    "(n*sum(v)) with v ascending. Ranks from grouped global_rank (no per-group "
+    "one-task window, full (value, orderkey) tiebreak — ties with distinct "
+    "ranks leave the identity exact); every sum an exact integer (DECIMAL(38,0) "
+    "/ HUGEINT), one correctly-rounded double division. NULL for degenerate "
+    "groups (n=1 or zero total).",
+)
+def gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    b = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .where(F.col("o_totalprice").isNotNull() & F.col("c_mktsegment").isNotNull())
+        .select(
+            "c_mktsegment",
+            F.expr("CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)").alias("v"),
+            "o_orderkey",
+        )
+    )
+    ranked = global_rank(b, ["v", "o_orderkey"], partition_cols=["c_mktsegment"], rank_col="rn")
+    dec = "decimal(38,0)"
+    s = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+        # cast rn to the wide type BEFORE the product (at 1e12-row
+        # groups rank*value overflows BIGINT; the oracle's HUGEINT
+        # cast sits in the same place)
+        F.sum(F.col("rn").cast(dec) * F.col("v")).alias("srv"),
+    )
+    gini = F.when(
+        (F.col("sv") > 0) & (F.col("n") > 1),
+        F.round(
+            (F.lit(2.0) * F.col("srv").cast("double")
+             - ((F.col("n") + 1) * F.col("sv")).cast("double"))
+            / (F.col("n") * F.col("sv")).cast("double"),
+            6,
+        ),
+    )
+    return s.select("c_mktsegment", F.col("n").cast("bigint").alias("n"), gini.alias("gini"))
+
+
+@register(
+    "doc_length_position_pct_by_lang",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1) END AS pos_pct_micro
+    FROM r
+    """,
+    doc="Rank-based score normalization: each document's position in its "
+    "language's length distribution as INTEGER MICRO-UNITS of percent-rank, "
+    "(rank-1)*1e6 DIV (n-1) — the quantile-normalization step sampling "
+    "strategies (DSIR-style importance buckets, curriculum mixing) apply to "
+    "heterogeneous quality scores before comparing across slices. Row-number "
+    "ranks with the doc_id tiebreak (deterministic; SQL percent_rank's "
+    "tie-sharing RANK would be a different, float-valued contract). Grouped "
+    "global_rank: a billion-doc language spreads over its length bins, never "
+    "one task; single-doc languages get NULL (undefined position).",
+)
+def doc_length_position_pct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("lang").isNotNull() & F.col("n_chars").isNotNull()).select(
+        "doc_id", "lang", "n_chars"
+    )
+    ranked = global_rank(base, ["n_chars", "doc_id"], partition_cols=["lang"], rank_col="rn")
+    totals = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("CASE WHEN n > 1 THEN ((rn - 1) * 1000000) DIV (n - 1) END").alias("pos_pct_micro"),
+        )
+    )
