@@ -206,3 +206,23 @@ def test_weighted_quantile_general_q_equals_brute_force(spark):
         weighted_quantile(df, ["g"], "v", "w", q_num=0, q_den=2)
     with _pytest.raises(ValueError, match="q_num"):
         weighted_quantile(df, ["g"], "v", "w", q_num=3, q_den=2)
+
+
+def test_global_rank_inf_and_nan_edges_stay_correct(spark):
+    """±Inf saturates into the end bins (monotone); NaN poisons the
+    span so everything degrades to ONE bin — slower, never wrong.
+    Spark sorts NaN greater than +Inf; ranks must match the plain
+    window either way."""
+    rows = [
+        (1, float("-inf")), (2, -5.0), (3, 0.0), (4, 7.0),
+        (5, float("inf")), (6, float("nan")), (7, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, v double").repartition(3)
+    got = sorted(map(tuple, global_rank(df, ["v", "rid"]).select("rid", "rank").collect()))
+    want = sorted(map(tuple, _window_rank(df, ["v", "rid"]).select("rid", "rank").collect()))
+    assert got == want
+    # and without the NaN, infinities alone must still agree
+    df2 = df.where(~F.isnan("v"))
+    got2 = sorted(map(tuple, global_rank(df2, ["v", "rid"]).select("rid", "rank").collect()))
+    want2 = sorted(map(tuple, _window_rank(df2, ["v", "rid"]).select("rid", "rank").collect()))
+    assert got2 == want2

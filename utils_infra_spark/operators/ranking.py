@@ -100,6 +100,13 @@ def global_rank(
     all its bins instead of one task (the plain per-group window's
     funnel). Output = input columns + ``rank_col`` (1-based bigint,
     dense in [1, n] per group).
+
+    Degenerate numeric edges stay CORRECT, only slower: ±Infinity
+    saturates into the end bins (CAST clamps, monotone); any NaN in
+    the first order column poisons the (min, max) span so EVERY row
+    lands in bin 0 — one local sort, exactly the single-task window
+    this function exists to avoid — filter NaNs first (the skyline
+    rule) when the domain can contain them.
     """
     pc = list(partition_cols) if partition_cols else []
     reserved = set(_INTERNAL).intersection(df.columns)
