@@ -147,6 +147,7 @@ _SAMPLING_PRIORITY = [
     "mode_event_type_per_user",
     "gini_revenue_by_segment",
     "doc_length_position_pct_by_lang",
+    "event_trigram_motifs",
     # (2) queries whose CODE or ORACLE contract changed in r10 and so
     #     need fresh hash proof: the all-JVM integer-cosine rewrite,
     #     the range-partitioned skyline, the NULL-endpoint interval
@@ -174,7 +175,6 @@ _SAMPLING_PRIORITY = [
     "minhash_band_keys_md5",
     "simhash_documents_md5",
     "token_counts_cms",
-    "boilerplate_gram_ratio",
     # (3) the stalest proofs in the registry (r9 verdict item 6): the
     #     relational/scalar core was last driver-proven in r1-r3,
     #     before several cross-engine contract conventions (rounding,

@@ -1757,3 +1757,54 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("n").alias("n_events"))
     )
+
+
+@register(
+    "event_trigram_motifs",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS motif, COUNT(*) AS n
+    FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, motif LIMIT 25
+    """,
+    doc="Sequential pattern mining (L3 of the GSP/PrefixSpan ladder): the 25 "
+    "most frequent consecutive event-type TRIGRAMS across per-user streams — "
+    "the behavioral-motif extension of the pairwise event_transitions Markov "
+    "counts (click>view>purchase vs click>error>click separate funnels a pair "
+    "table conflates). Two lead() taps over ONE per-user window sort (ts, "
+    "event_id total order — NULL endpoints excluded on both engines: Spark "
+    "sorts NULLS FIRST, DuckDB NULLS LAST), then a map-side-combined motif "
+    "count; per-task work bounded by a user's stream length, the sessionize "
+    "shape. Deterministic top-25 (count desc, motif asc).",
+)
+def event_trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = base.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "t2", "t3").alias("motif"))
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "motif")
+        .limit(25)
+    )
