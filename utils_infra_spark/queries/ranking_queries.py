@@ -45,7 +45,12 @@ from . import register
 def sorted_neighborhood_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     # NULL names sort NULLS FIRST in Spark but NULLS LAST in DuckDB —
-    # they carry no comparable key, so both engines exclude them
+    # they carry no comparable key, so both engines exclude them.
+    # Cross-engine contract note: levenshtein and lower() agree
+    # per-codepoint on ASCII (p_name's domain); non-ASCII case folding
+    # (İ/ß) and grapheme-vs-codepoint edit counts are engine-defined —
+    # fold with fold_diacritics (functions/strings.py) first if the
+    # key domain ever widens.
     base = part.where(F.col("p_name").isNotNull()).select(
         "p_partkey", "p_name", F.lower("p_name").alias("nk")
     )
@@ -152,6 +157,8 @@ def rrf_orders_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.cluster import cluster_documents
 
+    # same ASCII levenshtein/lower contract note as
+    # sorted_neighborhood_part_pairs (the blocking stage above)
     part = load_table(spark, sf_dir, "part")
     base = part.where(F.col("p_name").isNotNull()).select(
         "p_partkey", "p_name", F.lower("p_name").alias("nk")
