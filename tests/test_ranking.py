@@ -83,6 +83,17 @@ def test_global_rank_validation(spark):
         global_rank(df.withColumnRenamed("rid", "__bin"), ["v"])
     with pytest.raises(ValueError, match="unknown order column"):
         global_rank(df, ["nope"])
+    with pytest.raises(ValueError, match="bins"):
+        global_rank(df, ["v", "rid"], bins=0)
+    with pytest.raises(ValueError, match="bins"):
+        global_rank(df, ["v", "rid"], bins=-5)
+    # bins=1 degenerates to one local sort — slower, never wrong
+    one = global_rank(
+        spark.createDataFrame([(3, 9.0), (1, 1.0), (2, 5.0)], "rid bigint, v double"),
+        ["v", "rid"],
+        bins=1,
+    )
+    assert [(r["rid"], r["rank"]) for r in one.orderBy("rank").collect()] == [(1, 1), (2, 2), (3, 3)]
 
 
 def test_global_rank_no_unpartitioned_window_over_data(spark):
@@ -138,6 +149,18 @@ def test_sorted_neighborhood_validation(spark):
     df = spark.createDataFrame([(1, 2.0)], "rid bigint, v double")
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, ["v"], "rid", window=0)
+    # suffixed output-name collisions must raise, not silently emit
+    # duplicate columns: a carry col named 'rank' with rank_cols=True
+    # collides with the appended rank_l/rank_r; a carry col '__rnk'
+    # aliases to '__rnk_l', shadowing the internal rank column
+    rk = spark.createDataFrame([(1, 2.0)], "rid bigint, rank double")
+    with pytest.raises(ValueError, match="collide"):
+        sorted_neighborhood_pairs(rk, ["rank"], "rid", window=1, rank_cols=True)
+    # without rank_cols the 'rank' carry name is fine
+    assert sorted_neighborhood_pairs(rk, ["rank"], "rid", window=1).count() == 0
+    internal = spark.createDataFrame([(1, 2.0)], "rid bigint, __rnk double")
+    with pytest.raises(ValueError, match="collide"):
+        sorted_neighborhood_pairs(internal, ["__rnk"], "rid", window=1)
 
 
 def test_weighted_median_equals_brute_force(spark):

@@ -63,8 +63,16 @@ def _surrogate(df: DataFrame, col: str) -> Column:
     "b" ⇒ 0x617A0000 < 0x62000000). Values < 2^32 — exact doubles.
     All strings sharing a 4-byte prefix share a bin (ordered locally
     by the true column)."""
-    dtypes = {k.lower(): v for k, v in df.dtypes}
-    dt = dtypes.get(col.lower())
+    pairs = df.dtypes
+    dtypes = {k.lower(): v for k, v in pairs}
+    if len(dtypes) != len(pairs):
+        # columns differing only by case (possible under
+        # spark.sql.caseSensitive=true): the folded map resolves
+        # last-one-wins against the wrong column — use exact match
+        # (the epoch_micros guard, functions/datetimes.py)
+        dt = dict(pairs).get(col)
+    else:
+        dt = dtypes.get(col.lower())
     if dt is None:
         raise ValueError(f"global_rank: unknown order column {col!r}")
     c = F.col(col)
@@ -118,6 +126,10 @@ def global_rank(
         raise ValueError(f"global_rank: rank_col {rank_col!r} already exists in the input")
     if not order_cols:
         raise ValueError("global_rank: order_cols must be non-empty")
+    if bins < 1:
+        # bins=0 → divide-by-zero bin width; negative bins corrupt the
+        # LEAST()/CASE expression built below by f-string interpolation
+        raise ValueError(f"global_rank: bins must be >= 1, got {bins}")
 
     base = df.withColumn("__srg", _surrogate(df, order_cols[0]))
     bounds = base.agg(F.min("__srg").alias("__mn"), F.max("__srg").alias("__mx"))
@@ -207,6 +219,24 @@ def sorted_neighborhood_pairs(
     carry = list(carry_cols) if carry_cols is not None else list(df.columns)
     if id_col not in carry:
         carry = [id_col] + carry
+    # suffixed names must be pairwise distinct (global_rank's
+    # reserved-name discipline). Distinct carry names can't collide
+    # with EACH OTHER under _l/_r suffixing (a_l == b_l ⇒ a == b; no
+    # name ends in both), but they CAN collide with the appended
+    # rank_l/rank_r (a carry col named 'rank' with rank_cols=True
+    # emits two 'rank_l' columns) and with the internal rank/bucket
+    # columns carried through the join (a carry col '__rnk' aliases to
+    # '__rnk_l', shadowing the rank used in the neighborhood WHERE)
+    out_names = [f"{c}_l" for c in carry] + [f"{c}_r" for c in carry]
+    if rank_cols:
+        out_names += ["rank_l", "rank_r"]
+    join_time = out_names + ["__rnk_l", "__rnk_r", "__bkt"]
+    dupes = sorted({n for n in join_time if join_time.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: suffixed output names collide: {dupes}; "
+            "rename the carry columns first"
+        )
     ranked = global_rank(df, [*order_cols, id_col], rank_col="__rnk_l")
     # bucket of width w over the 0-based rank: distance <= w crosses at
     # most one bucket boundary
