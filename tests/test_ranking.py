@@ -199,6 +199,89 @@ def test_weighted_median_partition_invariant(spark):
     assert a == b
 
 
+def test_weighted_quantile_bracketed_contains_exact(spark):
+    """The bracket [lo_micro, hi_micro) from the bracketed variant must
+    contain the exact lower weighted quantile (micro-quantized), for
+    several q's and bin widths, on a CONTINUOUS double value domain."""
+    from utils_infra_spark.operators.aggregations import (
+        weighted_quantile,
+        weighted_quantile_bracketed,
+    )
+
+    rows = [
+        (f"g{i % 3}", ((i * 37) % 101) / 7.0 - 3.0, 1 + (i * 11) % 6)  # negatives included
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int").repartition(9)
+    dm = df.selectExpr("g", "CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vm", "w")
+    for qn, qd in [(1, 2), (9, 10), (1, 4)]:
+        for bin_micro in [1_000_000, 250_000, 7_777]:
+            exact = {
+                r["g"]: r["wq"]
+                for r in weighted_quantile(dm, ["g"], "vm", "w", q_num=qn, q_den=qd, alias="wq").collect()
+            }
+            br = {
+                r["g"]: (r["lo_micro"], r["hi_micro"])
+                for r in weighted_quantile_bracketed(
+                    df, ["g"], "v", "w", bin_micro=bin_micro, q_num=qn, q_den=qd
+                ).collect()
+            }
+            assert set(exact) == set(br)
+            for g, vq in exact.items():
+                lo, hi = br[g]
+                assert lo <= vq < hi, (g, qn, qd, bin_micro, vq, lo, hi)
+                assert hi - lo == bin_micro
+
+
+def test_weighted_quantile_bracketed_no_distinct_value_window(spark):
+    """Continuous-domain plan pin: every Window in the bracketed plan
+    runs over the AGGREGATED bin table (its sort key is the bin id),
+    never over a per-group distinct-VALUE table — the funnel the
+    bracketed variant exists to avoid."""
+    from utils_infra_spark.operators.aggregations import weighted_quantile_bracketed
+
+    df = spark.range(100_000).selectExpr(
+        "CAST(id % 5 AS STRING) AS g",
+        "CAST(id AS DOUBLE) / 997.0 AS v",  # distinct ~= rows: continuous
+        "1 + CAST(id % 7 AS INT) AS w",
+    )
+    plan = (
+        weighted_quantile_bracketed(df, ["g"], "v", "w", bin_micro=1_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    wins = re.findall(r"Window \[[^\n]*", plan)
+    assert wins, plan[:2000]
+    for wspec in wins:
+        # every window aggregates the bin table's weight column
+        # (sum(__w#...)) — a window over raw rows would reference the
+        # input weight column instead
+        assert "sum(__w#" in wspec, f"window not over the bin table:\n{wspec}"
+    # and the corpus-side aggregate is map-side combined: a partial
+    # aggregate appears in the plan (shuffle carries (g, bin) partials)
+    assert "partial" in plan.lower()
+
+
+def test_weighted_quantile_bracketed_validation(spark):
+    from utils_infra_spark.operators.aggregations import weighted_quantile_bracketed
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q_num"):
+        weighted_quantile_bracketed(df, ["g"], "v", "w", bin_micro=1, q_num=0)
+    with _pytest.raises(ValueError, match="bin_micro"):
+        weighted_quantile_bracketed(df, ["g"], "v", "w", bin_micro=0)
+    with _pytest.raises(ValueError, match="collides"):
+        weighted_quantile_bracketed(
+            df.withColumnRenamed("v", "__bin").withColumn("v", F.lit(1.0)),
+            ["g"], "v", "w", bin_micro=1,
+        )
+
+
 def test_weighted_quantile_general_q_equals_brute_force(spark):
     """q = q_num/q_den vs the expanded-multiset lower quantile:
     element at ceil(q * total) in sorted order, 1-based."""

@@ -140,6 +140,11 @@ def weighted_quantile(
     key, so one exchange feeds everything. Weights accumulate in
     DECIMAL(38,0) (compact-long fast path, graceful past 2^63 — the
     100 TB token-count case a raw BIGINT sum would silently wrap).
+    The distinct-(group, value) window assumes a BOUNDED value domain
+    (quantized money, counts): when distinct ≈ rows (an unbounded
+    continuous domain), a group funnels through one window task —
+    swap in :func:`weighted_quantile_bracketed`, which bins values
+    first and windows over the bounded bin table instead.
 
     Oracle fragment (same shape in SQL)::
 
@@ -191,3 +196,113 @@ def weighted_median(
     shape): the smallest value v with cumulative weight(≤v) ≥ half
     the group's total weight."""
     return weighted_quantile(df, group_cols, value_col, weight_col, q_num=1, q_den=2, alias=alias)
+
+
+def weighted_quantile_bracketed(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    bin_micro: int,
+    q_num: int = 1,
+    q_den: int = 2,
+    micro: bool = False,
+) -> DataFrame:
+    """Bracketed weighted q-quantile — the 100 TB swap-in for
+    :func:`weighted_quantile` on CONTINUOUS value domains (the
+    mad_outliers_bracketed treatment applied to weighted quantiles).
+
+    The exact operator windows over the per-group DISTINCT-value
+    table; a group whose value domain is unbounded-continuous
+    (distinct ≈ rows) funnels that window through one task. This
+    variant bins values into fixed-width ``bin_micro`` buckets first,
+    so the windows only ever see the aggregated (group, bin) table —
+    bounded by the value RANGE over the bin width, never the row
+    count — and returns the half-open bracket ``[lo_micro, hi_micro)``
+    that PROVABLY contains the exact lower weighted quantile:
+
+    * the exact answer v* is the smallest value whose cumulative
+      weight reaches ``q_num/q_den`` of the total; bins are ordered
+      intervals, so the first bin whose END-cumulative weight reaches
+      the threshold is exactly the bin containing v* (an earlier bin
+      reaching it would contain a smaller qualifying value,
+      contradicting minimality) — the bracket is exact, its width is
+      the caller-chosen ``bin_micro``, independent of data order and
+      partitioning.
+
+    Contract shared with :func:`weighted_quantile`: NULL values and
+    NULL/≤0 weights are dropped; weights accumulate in DECIMAL(38,0)
+    (compact-long fast path, graceful past 2^63). Values quantize to
+    integer micros ``floor(v*1e6 + 0.5)`` unless ``micro=True`` (the
+    column already IS an integer micro quantity). Negative values bin
+    by true floor division (the histogram_quantile_brackets pmod
+    spell — both engines' DIV truncates toward zero).
+
+    Output: one row per group — ``*group_cols, bin, lo_micro,
+    hi_micro, cum_w, total_w`` (cum_w/total_w as DECIMAL(38,0)).
+
+    100 TB shape: ONE corpus aggregate with map-side combine onto the
+    bounded (group, bin) key domain; the cumulative + total windows
+    and the argmin ride the tiny bin table. No per-group
+    distinct-value window anywhere — plan-pinned by test.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < q_num <= q_den):
+        raise ValueError(
+            f"weighted_quantile_bracketed: need 0 < q_num <= q_den, got {q_num}/{q_den}"
+        )
+    if bin_micro < 1:
+        raise ValueError(f"weighted_quantile_bracketed: bin_micro must be >= 1, got {bin_micro}")
+    for c in ("__vm", "__bin", "__w", "__cum", "__total"):
+        if c in df.columns:
+            raise ValueError(
+                f"weighted_quantile_bracketed: input column {c} collides with an internal name"
+            )
+    w = F.col(weight_col)
+    if micro:
+        vm = F.expr(f"CAST(({value_col}) AS BIGINT)")
+    else:
+        vm = F.expr(f"CAST(FLOOR(({value_col}) * 1000000 + 0.5) AS BIGINT)")
+    wlit = F.lit(int(bin_micro))
+    pmod = ((vm % wlit) + wlit) % wlit
+    bins = (
+        df.where(F.col(value_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(*group_cols, (vm - pmod).alias("__vm"), w.alias("__w0"))
+        .select(
+            *group_cols,
+            F.expr(f"__vm DIV {int(bin_micro)}").alias("__bin"),
+            "__w0",
+        )
+        .groupBy(*group_cols, "__bin")
+        .agg(F.sum(F.col("__w0").cast(_ACC)).alias("__w"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = bins.withColumn("__cum", F.sum("__w").over(w_cum)).withColumn(
+        "__total", F.sum("__w").over(w_all)
+    )
+    hit = c.where(F.col("__cum") * q_den >= F.col("__total") * q_num)
+    # MIN(total), not FIRST: every row of a group carries the same
+    # total, but MIN is deterministic by type where FIRST is
+    # merge-order-dependent by contract
+    first = hit.groupBy(*group_cols).agg(
+        F.min("__bin").alias("bin"), F.min("__total").alias("total_w")
+    )
+    out = first.join(
+        c.select(*group_cols, F.col("__bin").alias("bin"), F.col("__cum").alias("cum_w")),
+        [*group_cols, "bin"],
+    )
+    return out.select(
+        *group_cols,
+        "bin",
+        (F.col("bin") * int(bin_micro)).alias("lo_micro"),
+        ((F.col("bin") + 1) * int(bin_micro)).alias("hi_micro"),
+        "cum_w",
+        "total_w",
+    )

@@ -1404,6 +1404,77 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "weighted_median_bracket_price_by_flag",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vm,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS wq
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) > 0
+    ), b AS (
+      -- floor-multiple bin id: subtract the POSITIVE remainder, then
+      -- divide (exact — the dividend is a multiple of the width, so
+      -- truncating and flooring division agree even for negatives)
+      SELECT l_returnflag,
+             (vm - ((vm % 1000000000) + 1000000000) % 1000000000) // 1000000000 AS bin,
+             SUM(wq) AS w
+      FROM d GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bin,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM b
+    ), f AS (
+      SELECT l_returnflag, MIN(bin) AS bin, MIN(total) AS total
+      FROM c WHERE 2 * cum >= total GROUP BY l_returnflag
+    )
+    SELECT f.l_returnflag, f.bin,
+           CAST(f.bin * 1000000000 AS DOUBLE) / 1000000 AS lo_price,
+           CAST((f.bin + 1) * 1000000000 AS DOUBLE) / 1000000 AS hi_price,
+           CAST(c.cum AS BIGINT) AS cum_w,
+           CAST(f.total AS BIGINT) AS total_w
+    FROM f JOIN c ON f.l_returnflag = c.l_returnflag AND f.bin = c.bin
+    """,
+    doc="Bracketed weighted median of extended price per return flag — the "
+    "100 TB CONTINUOUS-domain swap-in for weighted_median_price_by_flag "
+    "(operators/aggregations.py:weighted_quantile_bracketed). The exact "
+    "operator windows over the per-group DISTINCT-price table (fine for "
+    "bounded money domains, a one-task funnel when distinct ≈ rows); here "
+    "values bin into fixed $1000 brackets FIRST, so the cumulative/total "
+    "windows ride the tiny (flag, bin) table — bounded by the price RANGE "
+    "over the bin width, never the row count — and the answer is the exact "
+    "half-open bracket containing the true lower weighted median (the first "
+    "bin whose end-cumulative weight reaches half the total IS the median's "
+    "bin — an earlier qualifying bin would contradict minimality). Weights "
+    "share the FLOOR(q+0.5) integer contract; the bracket-contains-exact "
+    "bound is asserted against weighted_median in tests.",
+)
+def weighted_median_bracket_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import weighted_quantile_bracketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("wq"),
+    )
+    out = weighted_quantile_bracketed(
+        d, ["l_returnflag"], "l_extendedprice", "wq", bin_micro=1_000_000_000
+    )
+    return out.select(
+        "l_returnflag",
+        "bin",
+        F.expr("CAST(lo_micro AS DOUBLE) / 1000000").alias("lo_price"),
+        F.expr("CAST(hi_micro AS DOUBLE) / 1000000").alias("hi_price"),
+        F.col("cum_w").cast("bigint").alias("cum_w"),
+        F.col("total_w").cast("bigint").alias("total_w"),
+    )
+
+
+@register(
     "equi_depth_price_histogram",
     oracle="""
     WITH v AS (
