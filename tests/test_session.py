@@ -66,30 +66,27 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r10 goal: the two never-proven newcomers, every query whose code
-    # or oracle contract changed in r10 (all-JVM cosine, skyline
-    # prefix scan, NULL-endpoint interval guard, the whitespace-class
-    # oracle sweep), and the stalest r1-r3-proven relational core must
-    # all sit INSIDE the window
+    # r11 goal: the r11 newcomer, the one query whose code changed in
+    # r11 (char-LM index-explode + collect fit), and the 9 r1-stale
+    # proofs (the last names never re-proven since r1) must all sit
+    # INSIDE the window — after this round no oracle-backed query's
+    # latest proof predates r5
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
-        # new in r10
-        "mad_outliers_bracketed_events",
-        "pagerank_redistribute_user_type",
-        # r10 contract changes
-        "embedding_topk_cosine",
-        "pareto_frontier_parts",
-        "interval_coalesce_user_activity",
-        "heavy_hitter_tokens_documents",
-        "heavy_hitter_tokens_by_lang",
-        "token_histogram",
-        "text_stats_documents",
-        # stalest proofs (last driver-proven r1-r3)
-        "grouped_sum_orders",
-        "segment_rollup",
-        "region_outage_join",
-        "label_centroids",
-        "lang_distribution",
+        # new in r11
+        "weighted_median_bracket_price_by_flag",
+        # r11 code change
+        "char_lm_quality_documents",
+        # the 9 r1-stale proofs (r10 verdict Missing #3)
+        "category_counts_events",
+        "category_include_events",
+        "not_future_orders",
+        "prefix_filter_part",
+        "prefix_set_filter_orders",
+        "range_filter_events",
+        "recent_activity_24h",
+        "value_counts_brand",
+        "wire_projection_customer",
     } <= window
     # everything in the window is drawable hash evidence this round:
     # oracle-backed only (ccnet_buckets_approx — rows-only by design —

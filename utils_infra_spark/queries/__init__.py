@@ -122,91 +122,79 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- r10 rotation. Window goals, in order:
-    # (1) never-proven r10 newcomers (first driver evidence the round
-    #     they ship): the bracketed 100 TB MAD composition, the
-    #     mass-conserving PageRank variant, and the Bloom-pruned join;
-    "mad_outliers_bracketed_events",
-    "pagerank_redistribute_user_type",
-    "bloom_pruned_urgent_revenue",
-    #     ... and the six r10 ranking/robust-stats newcomers: the
-    #     distributed-rank pair (sorted-neighborhood blocking, RRF
-    #     fusion), the weighted median, the equi-depth histogram on
-    #     grouped global_rank, Simpson diversity, and the OLS trend;
-    "sorted_neighborhood_part_pairs",
-    "rrf_orders_value_recency",
-    "weighted_median_price_by_flag",
-    "equi_depth_price_histogram",
-    "event_type_diversity_daily",
-    "ols_trend_by_segment",
-    "entity_resolution_parts",
-    "token_keyness_chi2",
-    "frequent_item_pairs",
-    "weighted_p90_price_by_flag",
-    "trimmed_mean_price_by_flag",
-    "mode_event_type_per_user",
-    "gini_revenue_by_segment",
-    "doc_length_position_pct_by_lang",
-    "event_trigram_motifs",
-    # (2) queries whose CODE or ORACLE contract changed in r10 and so
-    #     need fresh hash proof: the all-JVM integer-cosine rewrite,
-    #     the range-partitioned skyline, the NULL-endpoint interval
-    #     guard, and every oracle swept from RE2 '\s+' to the explicit
-    #     whitespace class (values unchanged on VT-free data — the
-    #     sweep is exactly what the hash re-proof should confirm);
-    "embedding_topk_cosine",
-    "pareto_frontier_parts",
-    "interval_coalesce_user_activity",
-    "heavy_hitter_tokens_documents",
-    "heavy_hitter_tokens_by_lang",
-    "token_histogram",
-    "text_stats_documents",
-    "bm25_search",
-    "top_terms_tfidf",
-    "inverted_index_postings",
-    "doc_token_chunks",
-    "benchmark_contamination",
-    "jaccard_prefix_pairs",
-    "near_dup_clusters",
-    "ngram_jaccard_bucketed",
-    "quality_decile_stats",
-    "quality_filter_documents",
-    "embedded_json_extract",
-    "minhash_band_keys_md5",
-    "simhash_documents_md5",
-    "token_counts_cms",
-    # (3) the stalest proofs in the registry (r9 verdict item 6): the
-    #     relational/scalar core was last driver-proven in r1-r3,
-    #     before several cross-engine contract conventions (rounding,
-    #     NULL ordering) settled — oldest-proven-first;
-    "grouped_sum_orders",
-    "affected_ratio_by_nation",
-    "segment_rollup",
-    "fresh_events",
-    "param_filter_documents",
-    "orders_semi_building",
-    "customers_without_orders",
-    "user_rollup_events",
-    "region_outage_join",
-    "label_centroids",
-    "lang_distribution",
-    # (Everything trimmed from the r9 head — the 9 r9 newcomers, the
-    # scd2/cdc/ivm trio, the bench headliner block — is hash-green in
-    # CORRECTNESS_r09 and unchanged in r10, so a slot spent there
-    # would re-prove a fresh proof while r1-proven names rot. The six
-    # mid-session r10 newcomers displaced the r5-proven tail block
-    # (geojson_features_emit, zscore_by_segment, salted_user_rollup,
-    # dsl_contains_in_docs, dsl_negation_null_semantics) and seven
-    # r1-stale single-predicate filters/projections
-    # (wire_projection_customer, not_future_orders, prefix_filter_part,
-    # category_include_events, recent_activity_24h, range_filter_events,
-    # prefix_set_filter_orders, category_counts_events,
-    # value_counts_brand — the lowest-information stale proofs;
-    # the surviving stale block still re-proves every distinct
-    # filter/join/agg family):
-    # never-proven beats stale-but-proven for a window slot. The
-    # window-size test in test_session.py pins len(head) == 50.)
+    # --- r11 rotation. Window goals, in order:
+    # (1) r11 newcomers (first driver evidence the round they ship):
+    #     the bracketed weighted quantile — the continuous-domain
+    #     swap-in the r10 verdict asked to compose in code;
+    "weighted_median_bracket_price_by_flag",
+    # (2) queries whose CODE changed in r11 and so need fresh hash
+    #     proof: the char-LM trigram stream switched to the
+    #     index-explode shape and the fit result to collect();
+    "char_lm_quality_documents",
+    # (3) the 9 r1-stale proofs (r10 verdict Missing #3 — the last
+    #     names never driver-re-proven since r1, before the rounding /
+    #     NULL-ordering contract conventions settled): re-proving them
+    #     finishes the rotation — after this window no oracle-backed
+    #     query's latest proof predates r5;
+    "category_counts_events",
+    "category_include_events",
+    "not_future_orders",
+    "prefix_filter_part",
+    "prefix_set_filter_orders",
+    "range_filter_events",
+    "recent_activity_24h",
+    "value_counts_brand",
+    "wire_projection_customer",
+    # (4) the r5-proven block — the stalest surviving proofs (34
+    #     names, displaced from the r10 window by the r10 newcomers);
+    #     oldest-first keeps the registry's proof floor moving;
+    "geojson_features_emit",
+    "zscore_by_segment",
+    "salted_user_rollup",
+    "salted_join_segment_revenue",
+    "asof_click_purchase",
+    "events_in_user_window",
+    "percentile_quantities",
+    "rollup_segment_priority",
+    "cube_event_type_hour",
+    "grouping_sets_segment_priority",
+    "urgent_fulfilled_setops",
+    "order_count_distribution",
+    "promo_revenue_ratio",
+    "large_orders",
+    "high_balance_inactive",
+    "distinct_users_by_type",
+    "event_value_pivot",
+    "corr_price_quantity",
+    "bitmap_distinct_rollup",
+    "small_quantity_part_revenue",
+    "top_supplier_by_revenue",
+    "sole_late_supplier_orders",
+    "running_customer_revenue",
+    "event_value_histogram",
+    "purchase_funnel",
+    "event_transitions",
+    "weekly_retention",
+    "sessionize_events",
+    "dsl_contains_in_docs",
+    "dsl_negation_null_semantics",
+    "style_rules_orders",
+    "haversine_nearest",
+    "nztm_projection",
+    "zorder_customer_grid",
+    # (5) the head of the r6-proven block fills the window to 50.
+    "ivf_topk_probes",
+    "boilerplate_gram_ratio",
+    "fuzzy_part_name_pairs",
+    "top_customers_by_balance",
+    "daily_event_counts",
+    # (Everything from the r10 head — the 18 r10 newcomers, the
+    # contract-swept token/text names, and the r1-r3 relational core —
+    # is hash-green in CORRECTNESS_r10 and unchanged in r11; a slot
+    # spent there would re-prove a fresh proof while r5 proofs rot.
+    # The window-size test in test_session.py pins len(head) == 50.)
 ]
+
 
 # the driver's CORRECTNESS runner verifies this many registry entries,
 # head-first in insertion order (observed every round: positions 0..49)
