@@ -93,12 +93,61 @@ SWEEPS = 2  # full passes over the headline list, minutes apart
 # itself came in 35% over its stable band (proof of real
 # contention). Still OUTCOME-BLIND: the decision reads only load,
 # never the ratio.
-LOAD_GATE = 2.0
+# r11: tightened 2.0 → 1.0. The r10 bank was ACCEPTED at load_signal
+# 1.95 — inside the old gate yet visibly contended (its paired DuckDB
+# total ran ~20% over the idle band, floor 0.039 vs 0.023 idle). The
+# retry machinery should hold out for a genuinely idle window; when
+# none appears within the bounded waits, selection still keeps the
+# lowest-load attempt, so a busy box degrades gracefully instead of
+# banking a near-gate run as if it were clean.
+LOAD_GATE = 1.0
+
+# r11, second hole closed the same day the first was: an attempt that
+# STARTS on a quiet box can be hit by a co-tenant storm MID-SWEEP —
+# observed live: pre-attempt signal 0.83 (gate-clean, accepted, no
+# retry) but post-sweep 1-minute load 6.6 and the no-op floor at
+# 0.092 s vs 0.030 s idle. The pre-load-only rule is blind to that.
+# So the retry condition also reads the POST-sweep 1-MINUTE loadavg
+# (the 1m only — the max(1m,5m) signal is useless here because the
+# 5-min component always contains the sweep's own ~3 minutes of
+# 32-thread work): bench self-heat alone leaves the 1m-after at
+# ~1.2-4.7 across observed clean runs, a real storm at 6.6-9.1. An
+# attempt whose 1m-after exceeds this line is weather-suspect and
+# retried; selection prefers attempts clean on BOTH ends, then lowest
+# pre-load. Still OUTCOME-BLIND: every input to the decision is a
+# load reading, never a ratio or a runtime.
+LOAD_AFTER_SUSPECT = 5.5
+
+# r11, third hole: loadavg is a TRAILING indicator — a storm that
+# started seconds before an attempt reads ~0.3 on the 1-minute
+# average and sails through both load gates (observed: attempts
+# accepted at pre-signal 0.96 with the no-op floor at 0.199 s vs
+# 0.022-0.033 s idle). A 1-task no-op Spark job reads scheduler
+# health DIRECTLY and instantly: probe it immediately before and
+# after each sweep; either probe past this line marks the attempt
+# weather-suspect (retry + deprioritize in selection). The probe is
+# a constant no-op — it reads the platform, never the benchmark —
+# so the decision stays outcome-blind. Idle floors observed
+# 0.022-0.034 s; stormed 0.09-0.20 s.
+FLOOR_SUSPECT = 0.06
 
 
 def _load_signal() -> float:
     l1, l5, _ = os.getloadavg()
     return max(l1, l5)
+
+
+def _probe_floor(spark) -> float:
+    """Min of 3 fresh-QueryExecution 1-task no-op jobs — the same
+    per-query scheduling constant `floor_sec` reports, used as a
+    live scheduler-health probe around each attempt."""
+    df = spark.range(1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.select("*").toArrow()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _time_interleaved(
@@ -271,15 +320,26 @@ def main() -> None:
     # BENCH_result.json for re-adjudication.
     MAX_ATTEMPTS = 3
     attempts = []
+    _probe_floor(spark)  # warmup: first toArrow pays Arrow init once
     for attempt in range(MAX_ATTEMPTS):
         # two distinct load fields, never conflated: loadavg_1m keeps
         # its r1-r6 meaning (actual 1-minute average, comparable
         # across rounds' artifacts); load_signal is the max(1m, 5m)
-        # the gate/selection reads
+        # the gate/selection reads; floor_probe reads scheduler health
+        # directly (loadavg trails a fresh storm by up to a minute)
+        # don't START an attempt inside a storm loadavg hasn't caught
+        # yet: poll the scheduler-health probe (bounded — a genuinely
+        # busy box proceeds and lets the retry/selection machinery
+        # judge the result)
+        start_deadline = time.time() + 120
+        while time.time() < start_deadline and _probe_floor(spark) > FLOOR_SUSPECT:
+            time.sleep(10)
         l1_before, load_before = os.getloadavg()[0], _load_signal()
+        probe_before = _probe_floor(spark)
         warm, cold, duck, spark_runs, duck_runs = _time_interleaved(
             spark, sf_dir, cached_input
         )
+        probe_after = _probe_floor(spark)
         l1_after, load_after = os.getloadavg()[0], _load_signal()
         # ratio_warm keeps the r1-r5 definition: the FROZEN legacy
         # subset, so the number is comparable across every round's
@@ -306,9 +366,15 @@ def main() -> None:
                 "ratio_warm_full": ratio_full,
                 "loadavg_1m": [round(l1_before, 2), round(l1_after, 2)],
                 "load_signal": [round(load_before, 2), round(load_after, 2)],
+                "floor_probe": [probe_before, probe_after],
             }
         )
-        if load_before <= LOAD_GATE:
+        if (
+            load_before <= LOAD_GATE
+            and l1_after <= LOAD_AFTER_SUSPECT
+            and probe_before <= FLOOR_SUSPECT
+            and probe_after <= FLOOR_SUSPECT
+        ):
             break
         if attempt < MAX_ATTEMPTS - 1:
             # cool down before the retry: bench's own 32 threads leave
@@ -323,7 +389,24 @@ def main() -> None:
             deadline = time.time() + 600
             while time.time() < deadline and _load_signal() > LOAD_GATE:
                 time.sleep(15)
-    best = min(enumerate(attempts), key=lambda ia: (ia[1]["load_signal"][0], ia[0]))[1]
+    best = min(
+        enumerate(attempts),
+        key=lambda ia: (
+            # attempts hit by a storm — post-sweep 1m loadavg past the
+            # suspect line, or either surrounding floor probe past the
+            # scheduler-health line — rank after every storm-free
+            # attempt, whatever their pre-load; then lowest pre-load,
+            # first on ties
+            ia[1]["loadavg_1m"][1] > LOAD_AFTER_SUSPECT
+            or max(ia[1]["floor_probe"]) > FLOOR_SUSPECT,
+            ia[1]["load_signal"][0],
+            # among equally-loaded attempts, prefer the healthier
+            # scheduler (lower worst probe) — still a platform
+            # reading, never a benchmark number
+            max(ia[1]["floor_probe"]),
+            ia[0],
+        ),
+    )[1]
     warm, duck = best["warm"], best["duck"]
     # cold numbers come from attempt 1 ONLY: later attempts re-read
     # parquet that attempt 1 already pulled through the OS page cache,
@@ -370,7 +453,7 @@ def main() -> None:
         "cold_loadavg_1m": attempts[0]["loadavg_1m"],
         "attempts": len(attempts),
         "attempt_summaries": [
-            {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal")}
+            {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal", "floor_probe")}
             for a in attempts
         ],
         "methodology": "prepared-plan; fresh QueryExecution per run (full re-exec, "
@@ -378,11 +461,21 @@ def main() -> None:
         "per-run alternating "
         f"spark/duck pairing; {SWEEPS} time-separated sweeps x {RUNS} runs; "
         f"warm=min of the {SWEEPS * RUNS - 1} non-cold runs; outcome-blind retry: paired "
-        f"sweep re-run (max {MAX_ATTEMPTS}x) only while pre-attempt load_signal="
-        "max(1m,5m) loadavg>2 (r7: 5-min added after a 1-min dip admitted a contended "
-        "run; loadavg_1m keeps its r1-r6 1-minute meaning, the gate signal ships "
-        "separately as load_signal — decision still reads load only, never the ratio), "
-        "lowest pre-attempt-load_signal attempt kept, cold "
+        f"sweep re-run (max {MAX_ATTEMPTS}x) while pre-attempt load_signal="
+        f"max(1m,5m) loadavg>{LOAD_GATE} (r7: 5-min added after a 1-min dip admitted a "
+        f"contended run; r11: gate tightened 2.0->1.0 after the r10 bank rode in at 1.95) "
+        f"OR post-sweep 1-minute loadavg>{LOAD_AFTER_SUSPECT} (r11: a mid-sweep "
+        "co-tenant storm is invisible to the pre-load gate — observed pre 0.83/post-1m "
+        "6.6 with the no-op floor tripled; bench self-heat alone leaves the 1m-after "
+        "at ~1.2-4.7, storms at 6.6-9.1; the 1m only, because the 5-min component "
+        "always contains the sweep's own work) "
+        f"OR either surrounding no-op floor probe>{FLOOR_SUSPECT}s (r11: loadavg "
+        "TRAILS a fresh storm by up to a minute — attempts were accepted at "
+        "pre-signal 0.96 with the no-op floor at 0.199 s vs 0.022-0.034 s idle; a "
+        "1-task no-op probe immediately before/after each sweep reads scheduler "
+        "health directly; it is a constant no-op, so the decision stays "
+        "outcome-blind — reads the platform, never the benchmark); selection "
+        "prefers storm-free attempts, then lowest pre-attempt load_signal; cold "
         "from attempt 1 only, all attempts recorded in BENCH_result.json; retries wait "
         "(<=600s) for the load signal to decay under the gate so they don't start on "
         "bench's own self-heat; headline set = r1-r5 "

@@ -60,6 +60,33 @@ def test_fold_diacritics(spark):
     assert one(spark, fold_diacritics(F.lit("Ōtāhuhu"))) == "Otahuhu"
 
 
+def test_ascii_guarded_passes_ascii_raises_accented(spark):
+    """The ASCII-contract guard for cross-engine levenshtein/lower
+    blocking keys: ASCII (and NULL) pass through unchanged; an
+    accented name raises AT EXECUTION with the call-site context,
+    converting a silent cross-engine divergence into a loud failure.
+    The entity-resolution pipeline's nk key goes through this guard."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from utils_infra_spark.functions.strings import ascii_guarded
+
+    ok = spark.createDataFrame(
+        [("forest blue",), ("MIDNIGHT rose",), (None,)], "p_name string"
+    )
+    got = [r[0] for r in ok.select(ascii_guarded("p_name", "t").alias("k")).collect()]
+    assert got == ["forest blue", "MIDNIGHT rose", None]
+
+    accented = spark.createDataFrame([("café royale",)], "p_name string")
+    with pytest.raises(SparkRuntimeException, match="non-ASCII blocking key"):
+        accented.select(ascii_guarded("p_name", "entity_resolution_parts").alias("k")).collect()
+
+    # the guard composes under lower() exactly as the queries use it
+    with pytest.raises(SparkRuntimeException, match="entity_resolution_parts"):
+        accented.select(
+            F.lower(ascii_guarded("p_name", "entity_resolution_parts")).alias("nk")
+        ).collect()
+
+
 def test_zero_pad(spark):
     assert one(spark, zero_pad(F.lit(7), 2)) == "07"
 

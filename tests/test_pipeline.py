@@ -91,6 +91,62 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert out[0].rnk == 1 and out[0].cos_sim > 0.99
 
 
+def test_brute_force_topk_auto_selects_by_query_count(spark):
+    """|Q| auto-select (removes the documented manual foot-gun): a
+    small query set routes to the all-JVM codegen twin (Python-free
+    plan), a large one to the Arrow matmul kernel, bucket_col forces
+    the Arrow kernel — and BOTH regimes return correct top-k."""
+    import math
+
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_auto
+
+    dim = 8
+    rows = [
+        (i, [math.cos(0.013 * i * (j + 1)) for j in range(dim)])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def plan_str(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    # |Q|=8 → codegen twin: Python-free plan
+    small = brute_force_topk_auto(df.where("vec_id < 8"), df, k=3, in_dim=dim)
+    p = plan_str(small)
+    for bad in ("ArrowEval", "MapInArrow", "BatchEval", "PythonUDF", "MapInPandas"):
+        assert bad not in p, p[:1500]
+    got_small = small.collect()
+
+    # |Q|=500 → Arrow kernel: the codegen plan would carry 500 literal
+    # arrays; the auto entry must route to the matmul twin
+    big = brute_force_topk_auto(df.where("vec_id < 500"), df, k=3, in_dim=dim)
+    assert "MapInArrow" in plan_str(big)
+    got_big = big.collect()
+
+    # correctness in both regimes: rnk 1..k per query, and the |Q|=8
+    # queries' neighbor SETS agree across the two kernels (contracts
+    # differ only in last-digit quantization, not in ranking here)
+    by_q_small = {}
+    for r in got_small:
+        by_q_small.setdefault(r.query_id, []).append((r.rnk, r.cand_id))
+    big_by_q = {}
+    for r in got_big:
+        big_by_q.setdefault(r.query_id, []).append((r.rnk, r.cand_id))
+    assert set(by_q_small) == set(range(8))
+    assert len(big_by_q) == 500
+    for q, pairs in by_q_small.items():
+        assert sorted(rk for rk, _ in pairs) == [1, 2, 3]
+        assert {c for _, c in pairs} == {c for _, c in big_by_q[q]}, q
+
+    # bucket_col forces the Arrow kernel even at tiny |Q|
+    bdf = df.selectExpr("vec_id", "embedding", "CAST(vec_id % 4 AS INT) AS b")
+    bucketed = brute_force_topk_auto(
+        bdf.where("vec_id < 4"), bdf, k=2, bucket_col="b", in_dim=dim
+    )
+    assert "MapInArrow" in plan_str(bucketed)
+    assert bucketed.count() > 0
+
+
 def test_cosine_identity(spark):
     df = spark.createDataFrame([(1,)], "id int").select(
         cosine(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(1.0), F.lit(2.0))).alias("c")

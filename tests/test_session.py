@@ -75,6 +75,7 @@ def test_registry_surfaces_unproven_names_first():
     assert {
         # new in r11
         "weighted_median_bracket_price_by_flag",
+        "resample_ffill_hourly_user_value",
         # r11 code change
         "char_lm_quality_documents",
         # the 9 r1-stale proofs (r10 verdict Missing #3)

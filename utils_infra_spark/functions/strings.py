@@ -26,6 +26,34 @@ def fold_diacritics(col: Column | str) -> Column:
     return F.translate(col, _DIACRITICS, _FOLDED)
 
 
+def ascii_guarded(col: Column | str, context: str) -> Column:
+    """Pass ``col`` through unchanged, raising at EXECUTION time if any
+    value contains a non-ASCII character.
+
+    Guard for cross-engine contracts that are only codepoint-exact on
+    ASCII: ``levenshtein`` counts codepoints vs graphemes differently
+    per engine outside ASCII, and ``lower()`` case-folding is
+    engine-defined for İ/ß-class letters — a non-ASCII blocking key in
+    a name-matching pipeline would silently produce different pairs in
+    Spark and an oracle. Raising converts that silent divergence into
+    a loud, attributable failure naming the call site; callers whose
+    key domain legitimately widens past ASCII should fold first
+    (:func:`fold_diacritics`) or adopt an explicit cross-engine
+    collation instead of this guard. Cost: one anchored character-class
+    regexp per row — noise next to the edit-distance it protects.
+    NULLs pass through (they carry no key and are filtered upstream).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    msg = (
+        f"{context}: non-ASCII blocking key (levenshtein/lower are only "
+        "codepoint-exact on ASCII cross-engine); fold_diacritics or widen "
+        "the contract first"
+    ).replace("'", "")
+    return F.when(col.isNull() | col.rlike("^[\\x00-\\x7F]*$"), col).otherwise(
+        F.expr(f"raise_error('{msg}')")
+    )
+
+
 def ci_fold_eq(a: Column | str, b: Column | str) -> Column:
     """Case- AND diacritic-insensitive equality."""
     a = F.col(a) if isinstance(a, str) else a

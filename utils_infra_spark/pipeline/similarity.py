@@ -351,6 +351,78 @@ def brute_force_topk_codegen(
     )
 
 
+# Measured crossover between the all-JVM codegen top-k and the Arrow
+# matmul twin (tools/scale_curve_topk_auto.py, sf0.1 embeddings): the
+# codegen plan carries |Q| literal arrays + |Q| aggregate columns, so
+# both its plan-construction and execution cost grow with |Q| while
+# the Arrow kernel's matmul is flat in |Q| — it decisively crosses by
+# |Q|≈32-64 in every measured regime, and codegen's only proven win
+# is the small-|Q| cached-input bench regime (see the two measured
+# tables in the script docstring before moving this).
+TOPK_CODEGEN_MAX_QUERIES = 32
+
+
+def brute_force_topk_auto(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_dp: int = 6,
+    bucket_col: str | None = None,
+    in_dim: int = 64,
+    codegen_max_queries: int = TOPK_CODEGEN_MAX_QUERIES,
+) -> DataFrame:
+    """One entry point for brute-force cosine top-k: picks
+    :func:`brute_force_topk_codegen` (all-JVM, zero Python crossings —
+    wins while the query set is small enough that |Q| literal arrays
+    stay planning-cheap) or :func:`brute_force_topk` (Arrow matmul —
+    wins once the batched BLAS amortizes its two fixed crossings, and
+    the only path that honors ``bucket_col``) by a MEASURED |Q|
+    threshold, removing the documented manual foot-gun.
+
+    Selection inputs (decided at plan-build time, both O(small)):
+    ``bucket_col`` forces the Arrow kernel (the codegen twin has no
+    bucket constraint); otherwise |Q| is counted with a bounded
+    ``limit(threshold+1)`` probe — never a full count of a large
+    query side — and compared against ``codegen_max_queries``.
+
+    Contract note (why the twins may differ in the last quantized
+    digit): the codegen path scores the INTEGER-quantized cosine
+    (every element floor(v·1e6+0.5) first — exact integer dots, one
+    IEEE division); the Arrow path matmuls raw doubles and quantizes
+    only the final cosine. Both are deterministic and partition-
+    invariant under their own contract; a caller pinning hash-exact
+    parity against an integer oracle must call the codegen twin
+    directly (the headliner query does).
+    """
+    if bucket_col is not None:
+        return brute_force_topk(
+            queries,
+            candidates,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            round_dp=round_dp,
+            bucket_col=bucket_col,
+        )
+    probe = queries.select(id_col).limit(codegen_max_queries + 1).count()
+    if probe <= codegen_max_queries:
+        return brute_force_topk_codegen(
+            queries,
+            candidates,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            round_dp=round_dp,
+            in_dim=in_dim,
+        )
+    return brute_force_topk(
+        queries, candidates, vec_col=vec_col, id_col=id_col, k=k, round_dp=round_dp
+    )
+
+
 def bucketed_pairs(
     df: DataFrame,
     *,

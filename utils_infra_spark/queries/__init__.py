@@ -125,8 +125,10 @@ _SAMPLING_PRIORITY = [
     # --- r11 rotation. Window goals, in order:
     # (1) r11 newcomers (first driver evidence the round they ship):
     #     the bracketed weighted quantile — the continuous-domain
-    #     swap-in the r10 verdict asked to compose in code;
+    #     swap-in the r10 verdict asked to compose in code — and the
+    #     time-series resample + forward-fill;
     "weighted_median_bracket_price_by_flag",
+    "resample_ffill_hourly_user_value",
     # (2) queries whose CODE changed in r11 and so need fresh hash
     #     proof: the char-LM trigram stream switched to the
     #     index-explode shape and the fit result to collect();
@@ -187,7 +189,6 @@ _SAMPLING_PRIORITY = [
     "boilerplate_gram_ratio",
     "fuzzy_part_name_pairs",
     "top_customers_by_balance",
-    "daily_event_counts",
     # (Everything from the r10 head — the 18 r10 newcomers, the
     # contract-swept token/text names, and the r1-r3 relational core —
     # is hash-green in CORRECTNESS_r10 and unchanged in r11; a slot

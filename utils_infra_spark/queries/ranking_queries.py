@@ -46,13 +46,17 @@ def sorted_neighborhood_part_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     part = load_table(spark, sf_dir, "part")
     # NULL names sort NULLS FIRST in Spark but NULLS LAST in DuckDB —
     # they carry no comparable key, so both engines exclude them.
-    # Cross-engine contract note: levenshtein and lower() agree
+    # Cross-engine contract: levenshtein and lower() agree
     # per-codepoint on ASCII (p_name's domain); non-ASCII case folding
     # (İ/ß) and grapheme-vs-codepoint edit counts are engine-defined —
-    # fold with fold_diacritics (functions/strings.py) first if the
-    # key domain ever widens.
+    # ascii_guarded RAISES on a non-ASCII key instead of silently
+    # diverging (fold with fold_diacritics first if the domain widens).
+    from ..functions.strings import ascii_guarded
+
     base = part.where(F.col("p_name").isNotNull()).select(
-        "p_partkey", "p_name", F.lower("p_name").alias("nk")
+        "p_partkey",
+        "p_name",
+        F.lower(ascii_guarded("p_name", "sorted_neighborhood_part_pairs")).alias("nk"),
     )
     pairs = sorted_neighborhood_pairs(
         base, ["nk"], "p_partkey", window=5, carry_cols=["p_partkey", "p_name"]
@@ -157,11 +161,16 @@ def rrf_orders_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.cluster import cluster_documents
 
-    # same ASCII levenshtein/lower contract note as
-    # sorted_neighborhood_part_pairs (the blocking stage above)
+    # same ASCII levenshtein/lower contract as
+    # sorted_neighborhood_part_pairs (the blocking stage above):
+    # ascii_guarded raises on a non-ASCII key, never silently diverges
+    from ..functions.strings import ascii_guarded
+
     part = load_table(spark, sf_dir, "part")
     base = part.where(F.col("p_name").isNotNull()).select(
-        "p_partkey", "p_name", F.lower("p_name").alias("nk")
+        "p_partkey",
+        "p_name",
+        F.lower(ascii_guarded("p_name", "entity_resolution_parts")).alias("nk"),
     )
     pairs = sorted_neighborhood_pairs(
         base, ["nk"], "p_partkey", window=5, carry_cols=["p_partkey", "p_name"]

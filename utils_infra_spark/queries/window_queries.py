@@ -241,3 +241,97 @@ def template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     label = compile_template("{{name|upper}} [{{segment}}] bal={{bal|fixed:2}}")
     return cust.select("c_custkey", label.alias("label"))
+
+
+@register(
+    "resample_ffill_hourly_user_value",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h, ts, event_id, value
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+    ), latest AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, h, value,
+               row_number() OVER (PARTITION BY user_id, h
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_idx FROM span
+    )
+    SELECT g.user_id, g.hour_idx,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_idx
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           (l.h IS NOT NULL) AS is_observed
+    FROM grid g LEFT JOIN latest l
+      ON g.user_id = l.user_id AND g.hour_idx = l.h
+    """,
+    doc="Time-series resample + forward-fill — the feature-pipeline "
+    "regularization op: per user, a dense HOURLY grid spanning their first to "
+    "last event, carrying the latest observed value forward through silent "
+    "hours (is_observed marks real samples). Hours are integer epoch-hour "
+    "indices (epoch_us DIV 3600e6 — exact integer arithmetic, NTZ-safe via "
+    "epoch_micros on the Spark side, no timezone anywhere). Within an hour the "
+    "LATEST event wins with the full (ts, event_id) tiebreak; the first grid "
+    "row of every user is an observed hour by construction, so value_ffill is "
+    "never NULL; the value itself is a parquet double passed through untouched "
+    "(identical bits both engines). Scale shape: the per-(user, hour) dedup "
+    "window is hour-bounded; grid generation is a Generate inside the span "
+    "row's task (no exchange); the forward-fill window partitions by user and "
+    "its row count is bounded by CALENDAR TIME (span-hours), not event count — "
+    "a billion-event user still windows over <= hours-of-history rows. The "
+    "output is grid-sized: emit to partitioned storage downstream, never "
+    "collect.",
+)
+def resample_ffill_hourly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetimes import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    # true integer DIV on the microsecond epoch (NOT a double divide —
+    # exactness is float-free by construction; epochs here are
+    # positive, so truncating DIV and floor agree, same as DuckDB's //)
+    e = (
+        ev.where(
+            F.col("ts").isNotNull() & F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .select("user_id", epoch_micros(ev, "ts").alias("__ep"), "ts", "event_id", "value")
+        .selectExpr("user_id", "__ep DIV 3600000000 AS h", "ts", "event_id", "value")
+    )
+    w_hour = Window.partitionBy("user_id", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w_hour))
+        .where("rn = 1")
+        .select("user_id", "h", "value")
+    )
+    span = e.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    # grid and latest share lineage (both derive from e): alias both
+    # sides so column references resolve unambiguously
+    g, l = grid.alias("__g"), latest.alias("__l")
+    joined = g.join(
+        l,
+        (F.col("__g.user_id") == F.col("__l.user_id"))
+        & (F.col("__g.hour_idx") == F.col("__l.h")),
+        "left",
+    ).select(
+        F.col("__g.user_id").alias("user_id"),
+        F.col("__g.hour_idx").alias("hour_idx"),
+        F.col("__l.value").alias("value"),
+        F.col("__l.h").alias("obs_h"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        F.col("obs_h").isNotNull().alias("is_observed"),
+    )
