@@ -86,6 +86,13 @@ def test_ascii_guarded_passes_ascii_raises_accented(spark):
             F.lower(ascii_guarded("p_name", "entity_resolution_parts")).alias("nk")
         ).collect()
 
+    # the context string is carried as a LITERAL, never through the
+    # SQL parser: quotes and backslashes survive into the message
+    # instead of breaking parsing or mangling escapes
+    hostile = r"call 'site' C:\path\x41"
+    with pytest.raises(SparkRuntimeException, match=r"C:\\path\\x41"):
+        accented.select(ascii_guarded("p_name", hostile).alias("k")).collect()
+
 
 def test_zero_pad(spark):
     assert one(spark, zero_pad(F.lit(7), 2)) == "07"

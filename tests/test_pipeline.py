@@ -147,6 +147,34 @@ def test_brute_force_topk_auto_selects_by_query_count(spark):
     assert bucketed.count() > 0
 
 
+def test_brute_force_topk_auto_infers_in_dim(spark):
+    """With in_dim unspecified, the auto entry point infers the
+    dimension from the probed query vectors — a non-64-dim caller at
+    small |Q| must NOT get a silently empty result (the old default
+    in_dim=64 made the codegen row-domain gate drop every row)."""
+    import math
+
+    from utils_infra_spark.pipeline.similarity import brute_force_topk_auto
+
+    dim = 8  # != the codegen twin's historical default of 64
+    rows = [(i, [math.cos(0.013 * i * (j + 1)) for j in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    inferred = brute_force_topk_auto(df.where("vec_id < 6"), df, k=3).collect()
+    explicit = brute_force_topk_auto(df.where("vec_id < 6"), df, k=3, in_dim=dim).collect()
+    assert len(inferred) == 18  # 6 queries x k=3 — NOT empty
+    assert {(r.query_id, r.rnk, r.cand_id) for r in inferred} == {
+        (r.query_id, r.rnk, r.cand_id) for r in explicit
+    }
+
+    # mixed query-vector lengths: raise, never silently drop a dim
+    mixed = df.where("vec_id < 3").union(
+        spark.createDataFrame([(99, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    )
+    with pytest.raises(ValueError, match="mixed lengths"):
+        brute_force_topk_auto(mixed, df, k=3)
+
+
 def test_cosine_identity(spark):
     df = spark.createDataFrame([(1,)], "id int").select(
         cosine(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(1.0), F.lit(2.0))).alias("c")

@@ -265,6 +265,35 @@ def test_weighted_quantile_bracketed_no_distinct_value_window(spark):
     assert "partial" in plan.lower()
 
 
+def test_weighted_quantile_bracketed_keeps_null_group(spark):
+    """A NULL group key must survive to the output with the same
+    bracket it would get as a non-null group — the exact operator
+    keeps NULL groups (pure aggregation), so the bracketed twin must
+    too (regression: the old finish joined back on the group columns
+    with a plain equi-join, which silently dropped the NULL group)."""
+    from utils_infra_spark.operators.aggregations import (
+        weighted_median,
+        weighted_quantile_bracketed,
+    )
+
+    rows = [(None if i % 3 == 0 else f"g{i % 3}", ((i * 37) % 101) / 7.0, 1 + i % 4) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double, w int").repartition(7)
+    out = {
+        r["g"]: (r["lo_micro"], r["hi_micro"])
+        for r in weighted_quantile_bracketed(df, ["g"], "v", "w", bin_micro=500_000).collect()
+    }
+    assert set(out) == {None, "g1", "g2"}
+    exact = {
+        r["g"]: r["wmedian"]
+        for r in weighted_median(
+            df.selectExpr("g", "CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vm", "w"),
+            ["g"], "vm", "w",
+        ).collect()
+    }
+    for g, (lo, hi) in out.items():
+        assert lo <= exact[g] < hi, (g, exact[g], lo, hi)
+
+
 def test_weighted_quantile_bracketed_validation(spark):
     from utils_infra_spark.operators.aggregations import weighted_quantile_bracketed
 
@@ -279,6 +308,12 @@ def test_weighted_quantile_bracketed_validation(spark):
         weighted_quantile_bracketed(
             df.withColumnRenamed("v", "__bin").withColumn("v", F.lit(1.0)),
             ["g"], "v", "w", bin_micro=1,
+        )
+    # __w0 is also internal (the pre-bin weight alias): a clear
+    # ValueError, not a downstream ambiguous-reference AnalysisException
+    with _pytest.raises(ValueError, match="collides"):
+        weighted_quantile_bracketed(
+            df.withColumnRenamed("g", "__w0"), ["__w0"], "v", "w", bin_micro=1
         )
 
 

@@ -48,9 +48,12 @@ def ascii_guarded(col: Column | str, context: str) -> Column:
         f"{context}: non-ASCII blocking key (levenshtein/lower are only "
         "codepoint-exact on ASCII cross-engine); fold_diacritics or widen "
         "the contract first"
-    ).replace("'", "")
+    )
+    # raise_error over a LITERAL Column — the message never passes
+    # through the SQL parser, so quotes/backslashes in `context` can't
+    # break parsing or mangle escapes.
     return F.when(col.isNull() | col.rlike("^[\\x00-\\x7F]*$"), col).otherwise(
-        F.expr(f"raise_error('{msg}')")
+        F.raise_error(F.lit(msg))
     )
 
 

@@ -255,7 +255,7 @@ def weighted_quantile_bracketed(
         )
     if bin_micro < 1:
         raise ValueError(f"weighted_quantile_bracketed: bin_micro must be >= 1, got {bin_micro}")
-    for c in ("__vm", "__bin", "__w", "__cum", "__total"):
+    for c in ("__vm", "__bin", "__w", "__w0", "__cum", "__total"):
         if c in df.columns:
             raise ValueError(
                 f"weighted_quantile_bracketed: input column {c} collides with an internal name"
@@ -288,15 +288,22 @@ def weighted_quantile_bracketed(
         "__total", F.sum("__w").over(w_all)
     )
     hit = c.where(F.col("__cum") * q_den >= F.col("__total") * q_num)
-    # MIN(total), not FIRST: every row of a group carries the same
-    # total, but MIN is deterministic by type where FIRST is
-    # merge-order-dependent by contract
+    # Aggregation pick, not a join back onto the bin table: bins are
+    # unique per group, so MIN over the (bin, cum) struct selects the
+    # first qualifying bin AND its cumulative weight in one pass —
+    # and, unlike an equi-join on the group columns, keeps NULL group
+    # keys (a NULL key never matches a plain join condition). MIN,
+    # not FIRST: deterministic by type where FIRST is merge-order-
+    # dependent by contract.
     first = hit.groupBy(*group_cols).agg(
-        F.min("__bin").alias("bin"), F.min("__total").alias("total_w")
+        F.min(F.struct(F.col("__bin"), F.col("__cum"))).alias("__pick"),
+        F.min("__total").alias("total_w"),
     )
-    out = first.join(
-        c.select(*group_cols, F.col("__bin").alias("bin"), F.col("__cum").alias("cum_w")),
-        [*group_cols, "bin"],
+    out = first.select(
+        *group_cols,
+        F.col("__pick.__bin").alias("bin"),
+        F.col("__pick.__cum").alias("cum_w"),
+        "total_w",
     )
     return out.select(
         *group_cols,

@@ -371,7 +371,7 @@ def brute_force_topk_auto(
     k: int = 5,
     round_dp: int = 6,
     bucket_col: str | None = None,
-    in_dim: int = 64,
+    in_dim: int | None = None,
     codegen_max_queries: int = TOPK_CODEGEN_MAX_QUERIES,
 ) -> DataFrame:
     """One entry point for brute-force cosine top-k: picks
@@ -386,7 +386,10 @@ def brute_force_topk_auto(
     ``bucket_col`` forces the Arrow kernel (the codegen twin has no
     bucket constraint); otherwise |Q| is counted with a bounded
     ``limit(threshold+1)`` probe — never a full count of a large
-    query side — and compared against ``codegen_max_queries``.
+    query side — and compared against ``codegen_max_queries``. The
+    same probe infers ``in_dim`` for the codegen path when the caller
+    leaves it ``None`` (mixed query-vector lengths raise rather than
+    silently dropping the minority dimension).
 
     Contract note (why the twins may differ in the last quantized
     digit): the codegen path scores the INTEGER-quantized cosine
@@ -407,8 +410,28 @@ def brute_force_topk_auto(
             round_dp=round_dp,
             bucket_col=bucket_col,
         )
-    probe = queries.select(id_col).limit(codegen_max_queries + 1).count()
-    if probe <= codegen_max_queries:
+    # The bounded probe doubles as the dimensionality sniff: the
+    # codegen twin gates rows on an explicit in_dim (documented
+    # contract), so an unspecified in_dim is INFERRED from the probed
+    # query vectors rather than defaulted — a 128-dim caller must not
+    # silently lose every query only at |Q| <= threshold.
+    probe = (
+        queries.select(F.size(F.col(vec_col)).alias("d"))
+        .limit(codegen_max_queries + 1)
+        .collect()
+    )
+    if len(probe) <= codegen_max_queries:
+        if in_dim is None:
+            dims = sorted({r["d"] for r in probe if r["d"] is not None and r["d"] > 0})
+            if len(dims) > 1:
+                raise ValueError(
+                    "brute_force_topk_auto: query vectors have mixed lengths "
+                    f"{dims}; pass in_dim explicitly to choose the codegen "
+                    "row-domain (other lengths are excluded by contract)"
+                )
+            # No non-empty query vector: the result is empty for any
+            # in_dim (output schema does not depend on it).
+            in_dim = dims[0] if dims else 1
         return brute_force_topk_codegen(
             queries,
             candidates,
@@ -639,7 +662,10 @@ def ivf_topk(
     eq = spark.createDataFrame(
         expanded, f"{id_col} {dict(candidates.dtypes)[id_col]}, {vec_col} array<double>, list_id bigint"
     )
-    return brute_force_topk(
+    # Routed through the auto entry point so kernel selection lives in
+    # ONE place; bucket_col forces the Arrow kernel there (the codegen
+    # twin has no bucket constraint), with zero probe cost.
+    return brute_force_topk_auto(
         eq, assigned, vec_col=vec_col, id_col=id_col, k=k, round_dp=round_dp, bucket_col="list_id"
     )
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import text as T
 from ..pipeline.dedup import dedup_exact, minhash_near_duplicates, simhash64
-from ..pipeline.similarity import brute_force_topk, brute_force_topk_codegen, bucketed_pairs
+from ..pipeline.similarity import brute_force_topk_codegen, bucketed_pairs
 from ..sources import load_table
 from ..sources.tables import spread
 from . import REGISTRY, register
@@ -425,7 +425,7 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import random
 
-    from ..pipeline.similarity import brute_force_topk, sign_lsh_bucket
+    from ..pipeline.similarity import brute_force_topk_auto, sign_lsh_bucket
 
     rng = random.Random(42)
     planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
@@ -442,7 +442,9 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") == F.col("qb"),
         "semi",
     )
-    return brute_force_topk(
+    # auto entry point: bucket_col forces the Arrow kernel (single
+    # call site for kernel selection — see brute_force_topk_auto)
+    return brute_force_topk_auto(
         queries.select("vec_id", "embedding", "bucket"), pruned, k=5, bucket_col="bucket"
     )
 
