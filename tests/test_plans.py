@@ -765,6 +765,10 @@ def test_bench_stdout_line_fits_driver_capture():
         "ratio_warm_full": 12.34,
         "floor_sec": 0.1234,
         "loadavg_1m": [12.34, 12.34],
+        "load_signal": [12.34, 12.34],
+        "floor_probe": [0.1234, 0.1234],
+        "banked_candidates": 12,
+        "banked_live": False,
         "cold_from_attempt": 1,
         "cold_loadavg_1m": [12.34, 12.34],
         "attempts": 3,
@@ -785,6 +789,41 @@ def test_bench_stdout_line_fits_driver_capture():
     for k in ("cold_queries", "duck_queries", "attempt_summaries", "methodology",
               "input_cache_partitions"):
         assert k not in parsed, k
+
+
+def test_bench_candidate_selection_is_outcome_blind():
+    """Cross-invocation banking must pick the weather-cleanest
+    candidate — storm-free first, then lowest pre-attempt load, then
+    lowest worst floor probe, earliest on ties — and must NEVER read
+    a ratio: the best-looking number on a stormy window loses to a
+    worse-looking number on a clean one."""
+    from bench import candidate_weather_key
+
+    def cand(ts, load_pre, post_1m, probes, ratio):
+        return {
+            "ts": ts,
+            "payload": {
+                "load_signal": [load_pre, 9.9],
+                "loadavg_1m": [load_pre, post_1m],
+                "floor_probe": probes,
+                "ratio_warm_full": ratio,
+            },
+        }
+
+    stormy_fast = cand(1.0, 0.3, 8.2, [0.03, 0.03], 1.2)   # storm: post-1m
+    probed_fast = cand(2.0, 0.3, 2.0, [0.03, 0.19], 1.3)   # storm: probe
+    clean_slow = cand(3.0, 0.9, 3.1, [0.034, 0.04], 2.4)
+    cleaner_slow = cand(4.0, 0.5, 3.1, [0.05, 0.04], 2.6)
+    pool = [stormy_fast, probed_fast, clean_slow, cleaner_slow]
+    assert min(pool, key=candidate_weather_key) is cleaner_slow
+    # ties on load break by worst probe, then earliest ts
+    a = cand(5.0, 0.5, 3.0, [0.03, 0.03], 9.9)
+    b = cand(6.0, 0.5, 3.0, [0.03, 0.03], 0.1)
+    assert min([b, a, cleaner_slow], key=candidate_weather_key) is a
+    # a candidate missing floor_probe (pre-r12 artifact) ranks stormy
+    legacy = cand(0.5, 0.1, 1.0, None, 0.5)
+    del legacy["payload"]["floor_probe"]
+    assert min([legacy, clean_slow], key=candidate_weather_key) is clean_slow
 
 
 def test_char_lm_rebuild_never_reuses_previous_cache(spark, sf_dir):

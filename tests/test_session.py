@@ -66,28 +66,30 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r11 goal: the r11 newcomer, the one query whose code changed in
-    # r11 (char-LM index-explode + collect fit), and the 9 r1-stale
-    # proofs (the last names never re-proven since r1) must all sit
-    # INSIDE the window — after this round no oracle-backed query's
-    # latest proof predates r5
+    # r12 goal: every query whose CODE changed in r12 (bracketed
+    # quantile finish, IVF rerank rerouted through the auto kernel
+    # selector, both ascii_guarded name-matching queries) and the
+    # entire r6+r7 cohorts — the oldest surviving proofs — must sit
+    # INSIDE the window, so after this round no oracle-backed query's
+    # latest proof predates r8
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
-        # new in r11
+        # r12 code changes
         "weighted_median_bracket_price_by_flag",
-        "resample_ffill_hourly_user_value",
-        # r11 code change
-        "char_lm_quality_documents",
-        # the 9 r1-stale proofs (r10 verdict Missing #3)
-        "category_counts_events",
-        "category_include_events",
-        "not_future_orders",
-        "prefix_filter_part",
-        "prefix_set_filter_orders",
-        "range_filter_events",
-        "recent_activity_24h",
-        "value_counts_brand",
-        "wire_projection_customer",
+        "ivf_topk_probes",
+        "sorted_neighborhood_part_pairs",
+        "entity_resolution_parts",
+        # r6 cohort (oldest proofs) — spot names; the full 27 are in
+        # _SAMPLING_PRIORITY section (2)
+        "array_funcs_documents",
+        "enrich_coalesce_fill",
+        "train_val_test_split",
+        "weighted_sample_docs",
+        # r7 cohort, complete
+        "column_profile_events",
+        "ivf_assign_lists",
+        "pii_redact_documents",
+        "snapshot_diff_documents",
     } <= window
     # everything in the window is drawable hash evidence this round:
     # oracle-backed only (ccnet_buckets_approx — rows-only by design —

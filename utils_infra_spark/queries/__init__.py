@@ -122,78 +122,76 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- r11 rotation. Window goals, in order:
-    # (1) r11 newcomers (first driver evidence the round they ship):
-    #     the bracketed weighted quantile — the continuous-domain
-    #     swap-in the r10 verdict asked to compose in code — and the
-    #     time-series resample + forward-fill;
+    # --- r12 rotation. Window goals, in order:
+    # (1) queries whose CODE changed in r12 and so need fresh hash
+    #     proof: the bracketed weighted quantile's finish switched
+    #     from a group-key equi-join to a struct-MIN aggregation pick
+    #     (NULL-group fix), the IVF rerank now routes through
+    #     brute_force_topk_auto, and both name-matching queries carry
+    #     the literal-Column ascii_guarded raise (the rerouted
+    #     sign-LSH ANN is rows-only by design — outside the window,
+    #     covered by the recall test in tests/test_pipeline.py);
     "weighted_median_bracket_price_by_flag",
-    "resample_ffill_hourly_user_value",
-    # (2) queries whose CODE changed in r11 and so need fresh hash
-    #     proof: the char-LM trigram stream switched to the
-    #     index-explode shape and the fit result to collect();
-    "char_lm_quality_documents",
-    # (3) the 9 r1-stale proofs (r10 verdict Missing #3 — the last
-    #     names never driver-re-proven since r1, before the rounding /
-    #     NULL-ordering contract conventions settled): re-proving them
-    #     finishes the rotation — after this window no oracle-backed
-    #     query's latest proof predates r5;
-    "category_counts_events",
-    "category_include_events",
-    "not_future_orders",
-    "prefix_filter_part",
-    "prefix_set_filter_orders",
-    "range_filter_events",
-    "recent_activity_24h",
-    "value_counts_brand",
-    "wire_projection_customer",
-    # (4) the r5-proven block — the stalest surviving proofs (34
-    #     names, displaced from the r10 window by the r10 newcomers);
-    #     oldest-first keeps the registry's proof floor moving;
-    "geojson_features_emit",
-    "zscore_by_segment",
-    "salted_user_rollup",
-    "salted_join_segment_revenue",
-    "asof_click_purchase",
-    "events_in_user_window",
-    "percentile_quantities",
-    "rollup_segment_priority",
-    "cube_event_type_hour",
-    "grouping_sets_segment_priority",
-    "urgent_fulfilled_setops",
-    "order_count_distribution",
-    "promo_revenue_ratio",
-    "large_orders",
-    "high_balance_inactive",
-    "distinct_users_by_type",
-    "event_value_pivot",
-    "corr_price_quantity",
-    "bitmap_distinct_rollup",
-    "small_quantity_part_revenue",
-    "top_supplier_by_revenue",
-    "sole_late_supplier_orders",
-    "running_customer_revenue",
-    "event_value_histogram",
-    "purchase_funnel",
-    "event_transitions",
-    "weekly_retention",
-    "sessionize_events",
-    "dsl_contains_in_docs",
-    "dsl_negation_null_semantics",
-    "style_rules_orders",
-    "haversine_nearest",
-    "nztm_projection",
-    "zorder_customer_grid",
-    # (5) the head of the r6-proven block fills the window to 50.
     "ivf_topk_probes",
-    "boilerplate_gram_ratio",
-    "fuzzy_part_name_pairs",
-    "top_customers_by_balance",
-    # (Everything from the r10 head — the 18 r10 newcomers, the
-    # contract-swept token/text names, and the r1-r3 relational core —
-    # is hash-green in CORRECTNESS_r10 and unchanged in r11; a slot
-    # spent there would re-prove a fresh proof while r5 proofs rot.
-    # The window-size test in test_session.py pins len(head) == 50.)
+    "sorted_neighborhood_part_pairs",
+    "entity_resolution_parts",
+    # (2) the r6-proven cohort — the oldest surviving proofs in the
+    #     registry (27 names; r11 closed everything older): after this
+    #     window no oracle-backed query's latest proof predates r8;
+    "array_funcs_documents",
+    "brand_revenue_share",
+    "coordinate_validity",
+    "daily_event_counts",
+    "date_funcs_orders",
+    "derived_key_self_join",
+    "deterministic_sample_docs",
+    "distinct_segments",
+    "embedding_int8_quantize",
+    "enrich_coalesce_fill",
+    "forecast_revenue_filter",
+    "json_props_events",
+    "last_nonnull_state_events",
+    "math_funcs_lineitem",
+    "mixture_resample_documents",
+    "nation_pair_volume",
+    "nested_struct_features",
+    "pack_documents_shards",
+    "priority_order_check",
+    "product_profit_by_nation",
+    "returned_items_customers",
+    "rolling_1h_user_value",
+    "status_bucket_counts",
+    "stratified_sample_by_lang",
+    "string_funcs_part",
+    "train_val_test_split",
+    "weighted_sample_docs",
+    # (3) the r7-proven cohort (4 names);
+    "column_profile_events",
+    "ivf_assign_lists",
+    "pii_redact_documents",
+    "snapshot_diff_documents",
+    # (4) the r8-proven cohort (8 names);
+    "c4_line_filters_documents",
+    "control_char_profile_documents",
+    "doc_fingerprint_md5",
+    "dup_span_coverage_documents",
+    "gopher_quality_documents",
+    "gopher_repetition_documents",
+    "kmeans_refine_assignments",
+    "semdedup_embeddings",
+    # (5) the head of the r9-proven block fills the window to 50.
+    "bloom_novelty_documents",
+    "boilerplate_line_removal_documents",
+    "ccnet_perplexity_buckets",
+    "cdc_apply_events",
+    "composite_agg_orders",
+    "dedup_exact_documents",
+    "dsir_importance_documents",
+    # (Everything proven r10/r11 and unchanged in r12 — the r10/r11
+    # newcomers, the window/funnel family, the r1-stale names r11
+    # closed — stays out of the head; a slot spent there would
+    # re-prove a fresh proof while the r6 cohort rots. The
+    # window-size test in test_session.py pins len(head) == 50.)
 ]
 
 
