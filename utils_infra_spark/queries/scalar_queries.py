@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregations import dsum
 from ..operators.joins import literal_lookup_maps
-from ..session import is_tiny_input
+
 from ..sources import load_table
 from . import register
 
@@ -228,16 +228,15 @@ def order_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     of = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # tiny measured input: shuffled-hash instead of letting Catalyst
-    # broadcast the filtered orders side — the broadcast BUILD is its
-    # own scheduling job plus a hash of every surviving order row,
-    # which at KB scale costs more than the two 8-partition exchanges
-    # it avoids (A/B at sf0.1: 0.245 s broadcast vs 0.180 s SHJ warm).
-    # Untuned / at-scale sessions take Catalyst's stats-based choice
-    # (broadcast only while orders fits the threshold, else spill-safe
-    # sort-merge) — the same call AQE would make where it's enabled.
-    if is_tiny_input(spark):
-        of = of.hint("SHUFFLE_HASH")
+    # No join hint: Catalyst's stats-based choice (broadcast while the
+    # filtered orders side fits the threshold, spill-safe sort-merge
+    # at TB scale). An r10 A/B had favored a tiny-input SHUFFLE_HASH
+    # hint here (0.180 s vs 0.245 s warm at sf0.1); the r12 re-A/B on
+    # the current session tuning could not reproduce any SHJ advantage
+    # (mins 0.2405 SHJ vs 0.2394 broadcast, medians favoring
+    # broadcast in both interleaved pairs), so the special-case was
+    # dropped per the r11 verdict's rule — fewer hand-tuned branches,
+    # and the at-scale path was always Catalyst's anyway.
     return (
         li.join(of, li["l_orderkey"] == of["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")

@@ -105,6 +105,10 @@ def get_spark(app_name: str = "utils-infra-spark", cpus: int | None = None) -> S
         # 32 concurrent tasks + accumulated broadcasts (GC thrash at
         # 8g showed up as 10x query-time variance in long sessions)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves ~50 MB + a jetty thread per
+        # session); SPARK_GRAFT_UI=true flips it on for the stage-
+        # timeline profilers (tools/profile_topk_timeline.py), which
+        # read the /api/v1 REST endpoint
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
