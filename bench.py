@@ -160,15 +160,29 @@ def _code_fingerprint() -> str:
 
 
 def candidate_weather_key(c: dict) -> tuple:
-    """Cross-invocation banking order — PLATFORM readings only (storm
-    flag from the post-sweep 1m loadavg and the surrounding no-op
-    floor probes, then pre-attempt load, then worst probe, then
-    earliest timestamp). Never a ratio or a runtime: the key picks
-    the cleanest measurement window, not the best-looking number."""
+    """Cross-invocation banking order — PLATFORM readings only: storm
+    flag (post-sweep 1m loadavg, edge floor probes, mid-sweep suspect
+    fraction), then the MEAN of the mid-sweep no-op probes (r12 — the
+    direct scheduler-health reading of the window the benchmark ran
+    in; edge probes and loadavg both missed storms that started and
+    ended inside a sweep), then pre-attempt load, worst edge probe,
+    earliest timestamp. Never a ratio or a runtime: the key picks the
+    cleanest measurement window, not the best-looking number."""
     p = c["payload"]
     probes = p.get("floor_probe", [float("inf")])
-    storm = p["loadavg_1m"][1] > LOAD_AFTER_SUSPECT or max(probes) > FLOOR_SUSPECT
-    return (storm, p["load_signal"][0], max(probes), c["ts"])
+    storm = (
+        p["loadavg_1m"][1] > LOAD_AFTER_SUSPECT
+        or max(probes) > FLOOR_SUSPECT
+        or (p.get("probe_frac_suspect") or 0) > 0.25
+    )
+    probe_mean = p.get("probe_mean")
+    return (
+        storm,
+        probe_mean if probe_mean is not None else 9.9,
+        p["load_signal"][0],
+        max(probes),
+        c["ts"],
+    )
 
 
 def _probe_floor(spark) -> float:
@@ -186,7 +200,7 @@ def _probe_floor(spark) -> float:
 
 def _time_interleaved(
     spark, sf_dir: str, cached_input: bool
-) -> tuple[dict[str, float], dict[str, float], dict[str, float], dict[str, list], dict[str, list]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, float], dict[str, list], dict[str, list], list]:
     """Per query, per sweep: RUNS alternating (Spark, DuckDB) pairs —
     each Spark execution immediately followed by one DuckDB execution
     of the oracle SQL, fractions of a second apart, so any host
@@ -223,6 +237,17 @@ def _time_interleaved(
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     spark_runs: dict[str, list] = {name: [] for name in HEADLINE}
     duck_runs: dict[str, list] = {name: [] for name in HEADLINE}
+    # per-query scheduler-health sampling (r12): a co-tenant storm that
+    # starts and ends INSIDE the sweep is invisible to the edge probes
+    # and to loadavg (observed: an attempt with clean edge probes
+    # 0.033/0.028 and post-1m 5.39 whose DuckDB times matched the idle
+    # band exactly while the Spark side ran 2x its idle constants —
+    # CPU steal hits the 32-thread engine asymmetrically). One no-op
+    # floor probe after each query's run block = 2·|HEADLINE| platform
+    # readings spread across the whole attempt window; their MEAN is
+    # the scheduler-health number selection ranks on. Constant no-ops:
+    # outcome-blind by construction.
+    mid_probes: list[float] = []
     for sweep in range(SWEEPS):
         for name in HEADLINE:
             q = REGISTRY[name]
@@ -245,11 +270,12 @@ def _time_interleaved(
                     con.execute(q.oracle).arrow()
                     duck_runs[name].append(round(time.perf_counter() - t0, 4))
             set_input_mode("parquet")
+            mid_probes.append(_probe_floor(spark))
     con.close()
     warm = {name: round(min(runs[1:]), 3) for name, runs in spark_runs.items()}
     cold = {name: round(runs[0], 3) for name, runs in spark_runs.items()}
     duck = {name: round(min(runs[1:]), 4) for name, runs in duck_runs.items() if runs}
-    return warm, cold, duck, spark_runs, {k: v for k, v in duck_runs.items() if v}
+    return warm, cold, duck, spark_runs, {k: v for k, v in duck_runs.items() if v}, mid_probes
 
 
 # keys that make up the driver-facing stdout line. The driver captures
@@ -278,6 +304,8 @@ _LINE_KEYS = (
     "loadavg_1m",
     "load_signal",
     "floor_probe",
+    "probe_mean",
+    "probe_frac_suspect",
     "banked_candidates",
     "banked_live",
     "cold_from_attempt",
@@ -378,11 +406,22 @@ def main() -> None:
             time.sleep(10)
         l1_before, load_before = os.getloadavg()[0], _load_signal()
         probe_before = _probe_floor(spark)
-        warm, cold, duck, spark_runs, duck_runs = _time_interleaved(
+        warm, cold, duck, spark_runs, duck_runs, mid_probes = _time_interleaved(
             spark, sf_dir, cached_input
         )
         probe_after = _probe_floor(spark)
         l1_after, load_after = os.getloadavg()[0], _load_signal()
+        # r12 mid-sweep scheduler health: one no-op probe after every
+        # query's run block (2·|HEADLINE| samples). probe_mean is the
+        # scalar selection ranks on; probe_frac_suspect > 0.25 marks
+        # the attempt storm-suspect (a couple of GC-inflated samples
+        # must not kill an otherwise clean attempt).
+        probe_mean = round(sum(mid_probes) / len(mid_probes), 4) if mid_probes else None
+        probe_frac_suspect = (
+            round(sum(1 for p in mid_probes if p > FLOOR_SUSPECT) / len(mid_probes), 3)
+            if mid_probes
+            else None
+        )
         # ratio_warm keeps the r1-r5 definition: the FROZEN legacy
         # subset, so the number is comparable across every round's
         # artifact. The full current paired set ships as
@@ -409,6 +448,9 @@ def main() -> None:
                 "loadavg_1m": [round(l1_before, 2), round(l1_after, 2)],
                 "load_signal": [round(load_before, 2), round(load_after, 2)],
                 "floor_probe": [probe_before, probe_after],
+                "mid_probes": mid_probes,
+                "probe_mean": probe_mean,
+                "probe_frac_suspect": probe_frac_suspect,
             }
         )
         if (
@@ -416,6 +458,7 @@ def main() -> None:
             and l1_after <= LOAD_AFTER_SUSPECT
             and probe_before <= FLOOR_SUSPECT
             and probe_after <= FLOOR_SUSPECT
+            and (probe_frac_suspect is None or probe_frac_suspect <= 0.25)
         ):
             break
         if attempt < MAX_ATTEMPTS - 1:
@@ -435,16 +478,18 @@ def main() -> None:
         enumerate(attempts),
         key=lambda ia: (
             # attempts hit by a storm — post-sweep 1m loadavg past the
-            # suspect line, or either surrounding floor probe past the
-            # scheduler-health line — rank after every storm-free
-            # attempt, whatever their pre-load; then lowest pre-load,
-            # first on ties
+            # suspect line, either surrounding floor probe past the
+            # scheduler-health line, or >25% of the mid-sweep probes
+            # suspect — rank after every storm-free attempt, whatever
+            # their pre-load; then healthiest mid-sweep scheduler
+            # (lowest probe mean — r12: the direct reading of the
+            # window Spark actually ran in), then lowest pre-load,
+            # first on ties. Every input is a platform reading.
             ia[1]["loadavg_1m"][1] > LOAD_AFTER_SUSPECT
-            or max(ia[1]["floor_probe"]) > FLOOR_SUSPECT,
+            or max(ia[1]["floor_probe"]) > FLOOR_SUSPECT
+            or (ia[1].get("probe_frac_suspect") or 0) > 0.25,
+            ia[1].get("probe_mean") if ia[1].get("probe_mean") is not None else 9.9,
             ia[1]["load_signal"][0],
-            # among equally-loaded attempts, prefer the healthier
-            # scheduler (lower worst probe) — still a platform
-            # reading, never a benchmark number
             max(ia[1]["floor_probe"]),
             ia[0],
         ),
@@ -487,6 +532,9 @@ def main() -> None:
         "loadavg_1m": best["loadavg_1m"],
         "load_signal": best["load_signal"],
         "floor_probe": best["floor_probe"],
+        "probe_mean": best.get("probe_mean"),
+        "probe_frac_suspect": best.get("probe_frac_suspect"),
+        "mid_probes": best.get("mid_probes"),
         "cold_from_attempt": 1,
         # cold numbers always come from attempt 1 (the only
         # genuinely-cold pass); when a retry was selected, attempt 1
@@ -496,7 +544,7 @@ def main() -> None:
         "cold_loadavg_1m": attempts[0]["loadavg_1m"],
         "attempts": len(attempts),
         "attempt_summaries": [
-            {k: a[k] for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal", "floor_probe")}
+            {k: a.get(k) for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal", "floor_probe", "probe_mean", "probe_frac_suspect")}
             for a in attempts
         ],
         "methodology": "prepared-plan; fresh QueryExecution per run (full re-exec, "
@@ -518,7 +566,12 @@ def main() -> None:
         "1-task no-op probe immediately before/after each sweep reads scheduler "
         "health directly; it is a constant no-op, so the decision stays "
         "outcome-blind — reads the platform, never the benchmark); selection "
-        "prefers storm-free attempts, then lowest pre-attempt load_signal; cold "
+        "prefers storm-free attempts, then lowest MID-SWEEP probe mean (r12: one "
+        "no-op floor probe after every query's run block — 2x|HEADLINE| platform "
+        "readings across the attempt window; a storm that starts and ends inside a "
+        "sweep is invisible to edge probes and loadavg, observed as a duck-clean/"
+        "spark-inflated attempt; >25% suspect mid-probes marks the attempt stormy), "
+        "then lowest pre-attempt load_signal; cold "
         "from attempt 1 only, all attempts recorded in BENCH_result.json; retries wait "
         "(<=600s) for the load signal to decay under the gate so they don't start on "
         "bench's own self-heat; r12 cross-invocation banking: every invocation "

@@ -775,6 +775,9 @@ def test_bench_stdout_line_fits_driver_capture():
         "loadavg_1m": [12.34, 12.34],
         "load_signal": [12.34, 12.34],
         "floor_probe": [0.1234, 0.1234],
+        "probe_mean": 0.1234,
+        "probe_frac_suspect": 0.123,
+        "mid_probes": [0.1234] * 42,  # must be dropped (42 floats)
         "banked_candidates": 12,
         "banked_live": False,
         "cold_from_attempt": 1,
@@ -795,43 +798,56 @@ def test_bench_stdout_line_fits_driver_capture():
     for k in ("metric", "value", "unit", "queries", "sf", "ratio_warm", "ratio_warm_full"):
         assert k in parsed, k
     for k in ("cold_queries", "duck_queries", "attempt_summaries", "methodology",
-              "input_cache_partitions"):
+              "input_cache_partitions", "mid_probes"):
         assert k not in parsed, k
 
 
 def test_bench_candidate_selection_is_outcome_blind():
     """Cross-invocation banking must pick the weather-cleanest
-    candidate — storm-free first, then lowest pre-attempt load, then
-    lowest worst floor probe, earliest on ties — and must NEVER read
-    a ratio: the best-looking number on a stormy window loses to a
-    worse-looking number on a clean one."""
+    candidate — storm-free first, then lowest MID-SWEEP probe mean,
+    then lowest pre-attempt load, then lowest worst edge probe,
+    earliest on ties — and must NEVER read a ratio: the best-looking
+    number on a stormy window loses to a worse-looking number on a
+    clean one."""
     from bench import candidate_weather_key
 
-    def cand(ts, load_pre, post_1m, probes, ratio):
+    def cand(ts, load_pre, post_1m, probes, ratio, pmean=0.03, pfrac=0.0):
         return {
             "ts": ts,
             "payload": {
                 "load_signal": [load_pre, 9.9],
                 "loadavg_1m": [load_pre, post_1m],
                 "floor_probe": probes,
+                "probe_mean": pmean,
+                "probe_frac_suspect": pfrac,
                 "ratio_warm_full": ratio,
             },
         }
 
     stormy_fast = cand(1.0, 0.3, 8.2, [0.03, 0.03], 1.2)   # storm: post-1m
-    probed_fast = cand(2.0, 0.3, 2.0, [0.03, 0.19], 1.3)   # storm: probe
-    clean_slow = cand(3.0, 0.9, 3.1, [0.034, 0.04], 2.4)
-    cleaner_slow = cand(4.0, 0.5, 3.1, [0.05, 0.04], 2.6)
-    pool = [stormy_fast, probed_fast, clean_slow, cleaner_slow]
+    probed_fast = cand(2.0, 0.3, 2.0, [0.03, 0.19], 1.3)   # storm: edge probe
+    midstorm_fast = cand(2.5, 0.2, 2.0, [0.03, 0.03], 1.1, pmean=0.08, pfrac=0.5)  # storm: mid-sweep
+    clean_slow = cand(3.0, 0.9, 3.1, [0.034, 0.04], 2.4, pmean=0.031)
+    cleaner_slow = cand(4.0, 0.5, 3.1, [0.05, 0.04], 2.6, pmean=0.028)
+    pool = [stormy_fast, probed_fast, midstorm_fast, clean_slow, cleaner_slow]
+    # lowest probe_mean wins among the storm-free, whatever the ratio
     assert min(pool, key=candidate_weather_key) is cleaner_slow
-    # ties on load break by worst probe, then earliest ts
-    a = cand(5.0, 0.5, 3.0, [0.03, 0.03], 9.9)
-    b = cand(6.0, 0.5, 3.0, [0.03, 0.03], 0.1)
+    # probe-mean ties break by pre-load, then earliest ts
+    a = cand(5.0, 0.5, 3.0, [0.03, 0.03], 9.9, pmean=0.025)
+    b = cand(6.0, 0.5, 3.0, [0.03, 0.03], 0.1, pmean=0.025)
     assert min([b, a, cleaner_slow], key=candidate_weather_key) is a
+    # a mid-sweep-suspect candidate loses to a clean one even with a
+    # better mean on every other axis
+    assert min([midstorm_fast, clean_slow], key=candidate_weather_key) is clean_slow
     # a candidate missing floor_probe (pre-r12 artifact) ranks stormy
     legacy = cand(0.5, 0.1, 1.0, None, 0.5)
     del legacy["payload"]["floor_probe"]
     assert min([legacy, clean_slow], key=candidate_weather_key) is clean_slow
+    # a candidate missing probe_mean (early-r12 artifact) ranks after
+    # any candidate that has one
+    early = cand(0.7, 0.1, 1.0, [0.03, 0.03], 0.5)
+    del early["payload"]["probe_mean"]
+    assert min([early, clean_slow], key=candidate_weather_key) is clean_slow
 
 
 def test_char_lm_rebuild_never_reuses_previous_cache(spark, sf_dir):
