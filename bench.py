@@ -138,11 +138,16 @@ def _load_signal() -> float:
 
 
 def _code_fingerprint() -> str:
-    """Content hash of everything that can change a bench number
-    (engine package + bench.py + driver entry). Cross-invocation
-    banking only ever selects among candidates recorded at the SAME
-    fingerprint — a banked artifact always describes the code it
-    ships with, never a faster-or-slower predecessor."""
+    """Content hash of everything that can change a bench number:
+    engine package + bench.py + driver entry, PLUS the measurement
+    environment (r13, on advice: cpu count, driver memory, and the
+    pyspark/duckdb versions — candidates recorded under different
+    cores/heap/engine builds are NOT comparable windows onto the same
+    measurement and must never bank against each other). The sf-dir
+    identity is already part of the banking filter (payload sf).
+    Cross-invocation banking only ever selects among candidates
+    recorded at the SAME fingerprint — a banked artifact always
+    describes the code AND environment it ships with."""
     import hashlib
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -156,6 +161,18 @@ def _code_fingerprint() -> str:
         h.update(os.path.relpath(p, here).encode())
         with open(p, "rb") as f:
             h.update(f.read())
+    import duckdb
+    import pyspark
+
+    env = "|".join(
+        [
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),  # session.py default
+            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            pyspark.__version__,
+            duckdb.__version__,
+        ]
+    )
+    h.update(env.encode())
     return h.hexdigest()[:16]
 
 
@@ -167,11 +184,17 @@ def candidate_weather_key(c: dict) -> tuple:
     in; edge probes and loadavg both missed storms that started and
     ended inside a sweep), then pre-attempt load, worst edge probe,
     earliest timestamp. Never a ratio or a runtime: the key picks the
-    cleanest measurement window, not the best-looking number."""
-    p = c["payload"]
-    probes = p.get("floor_probe", [float("inf")])
+    cleanest measurement window, not the best-looking number.
+
+    Defensive on payload shape (r13, on advice): a malformed banked
+    line must rank LAST, not crash the emit after the sweeps already
+    ran — missing weather fields read as worst-case values."""
+    p = c.get("payload") or {}
+    probes = p.get("floor_probe") or [float("inf")]
+    load_1m_after = (p.get("loadavg_1m") or [float("inf"), float("inf")])[-1]
+    load_sig_before = (p.get("load_signal") or [float("inf")])[0]
     storm = (
-        p["loadavg_1m"][1] > LOAD_AFTER_SUSPECT
+        load_1m_after > LOAD_AFTER_SUSPECT
         or max(probes) > FLOOR_SUSPECT
         or (p.get("probe_frac_suspect") or 0) > 0.25
     )
@@ -179,9 +202,9 @@ def candidate_weather_key(c: dict) -> tuple:
     return (
         storm,
         probe_mean if probe_mean is not None else 9.9,
-        p["load_signal"][0],
+        load_sig_before,
         max(probes),
-        c["ts"],
+        c.get("ts") or float("inf"),
     )
 
 
@@ -315,6 +338,7 @@ _LINE_KEYS = (
     "input_cached",
     "input_cache_build_sec",
     "tuned_confs",
+    "ratio_spread",
     "detail",
 )
 # hard budget with headroom for the driver's 2000-byte tail capture
@@ -623,8 +647,14 @@ def main() -> None:
     fp = _code_fingerprint()
     cand_path = os.path.join(here, "BENCH_candidates.jsonl")
     now_ts = round(time.time(), 1)
+    # banked lines carry the payload WITHOUT attempt_raw_runs (r13,
+    # on advice: the raw per-run samples are preserved in this
+    # invocation's BENCH_result.json / the committed per-round copy;
+    # re-banking them grew the re-read-every-invocation file by ~17 KB
+    # a line for no adjudication value)
+    banked_payload = {k: v for k, v in full.items() if k != "attempt_raw_runs"}
     with open(cand_path, "a") as f:
-        f.write(json.dumps({"ts": now_ts, "fingerprint": fp, "payload": full}) + "\n")
+        f.write(json.dumps({"ts": now_ts, "fingerprint": fp, "payload": banked_payload}) + "\n")
     cands = []
     with open(cand_path) as f:
         for ln in f:
@@ -636,10 +666,33 @@ def main() -> None:
                 cands.append(c)
 
     winner = min(cands, key=candidate_weather_key)
-    full = dict(winner["payload"])
+    banked_live = winner["ts"] == now_ts
+    # the live invocation keeps its raw runs in the full artifact; a
+    # banked (non-live) winner's raw runs live in the round that
+    # recorded it
+    full = dict(full) if banked_live else dict(winner["payload"])
     full["banked_candidates"] = len(cands)
-    full["banked_live"] = winner["ts"] == now_ts
+    full["banked_live"] = banked_live
     full["banked_ts"] = winner["ts"]
+    # candidate SPREAD at this fingerprint+sf (r12 verdict): the
+    # banked number is the cleanest window — publish the min/median/
+    # max ratio across ALL same-fingerprint candidates alongside it so
+    # a reader sees the typical-weather band, not just the best window
+    ratios = sorted(
+        r
+        for c in cands
+        for r in [c.get("payload", {}).get("ratio_warm_full")]
+        if r is not None
+    )
+    if ratios:
+        full["ratio_spread"] = {
+            "min": ratios[0],
+            "median": ratios[len(ratios) // 2]
+            if len(ratios) % 2
+            else round((ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2, 2),
+            "max": ratios[-1],
+            "n": len(ratios),
+        }
     payload = {k: v for k, v in full.items() if k != "attempt_raw_runs"}
 
     with open(os.path.join(here, "BENCH_result.json"), "w") as f:

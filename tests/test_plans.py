@@ -790,6 +790,7 @@ def test_bench_stdout_line_fits_driver_capture():
         "input_cache_build_sec": 12.345,
         "input_cache_partitions": {name: 20 for name in HEADLINE},  # must be dropped
         "tuned_confs": {"spark.sql.shuffle.partitions": "8", "spark.sql.adaptive.enabled": "false"},
+        "ratio_spread": {"min": 12.34, "median": 12.34, "max": 12.34, "n": 12},
         "detail": "BENCH_result.json",
     }
     line = compact_line(payload)
@@ -848,6 +849,13 @@ def test_bench_candidate_selection_is_outcome_blind():
     early = cand(0.7, 0.1, 1.0, [0.03, 0.03], 0.5)
     del early["payload"]["probe_mean"]
     assert min([early, clean_slow], key=candidate_weather_key) is clean_slow
+    # r13 (advice): a parseable-but-malformed banked line — payload
+    # missing load fields entirely, or no payload at all — must rank
+    # LAST instead of raising KeyError at emit time
+    malformed = {"ts": 0.1, "payload": {"ratio_warm_full": 0.5}}
+    assert min([malformed, clean_slow], key=candidate_weather_key) is clean_slow
+    no_payload = {"ts": 0.1}
+    assert min([no_payload, clean_slow], key=candidate_weather_key) is clean_slow
 
 
 def test_char_lm_rebuild_never_reuses_previous_cache(spark, sf_dir):

@@ -80,7 +80,6 @@ def profile(name: str) -> None:
         q.plan(spark, SF_DIR).select("*").toArrow()
         walls.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-    best_i = min(range(1, RUNS), key=lambda i: walls[i])
     print(f"== {name} @ {SF_DIR} ==")
     print("walls:", [round(w, 4) for w in walls], "min-warm:", round(min(walls[1:]), 4))
 
@@ -106,7 +105,12 @@ def profile(name: str) -> None:
         cursor = jend
         for sid in sorted(j["stageIds"]):
             try:
-                st = _rest(spark, f"/stages/{sid}")[0]
+                # /stages/{sid} returns ALL attempts, unordered —
+                # take the completed one (fall back to the highest
+                # attemptId), not blindly [0]
+                atts = _rest(spark, f"/stages/{sid}")
+                done = [a for a in atts if a.get("status") == "COMPLETE"]
+                st = (done or sorted(atts, key=lambda a: a.get("attemptId", 0)))[-1]
             except Exception:
                 continue
             ssub = _ms(st["submissionTime"])
