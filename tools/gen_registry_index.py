@@ -24,9 +24,42 @@ sys.path.insert(0, REPO)
 
 # query name -> SURVEY.md §2 operator ids (+ pipeline-op tags) it
 # evidences. Kept here — next to the artifact generator — rather than
-# in the decorators so the frozen registry modules stay untouched;
-# names absent from this map get ops: [] (evidence still counted via
-# module + oracle flags).
+# in the decorators so the frozen registry modules stay untouched.
+# r13: every registered query must carry >= 1 tag (the generator
+# fails if one doesn't), so the operator<->query map is fully
+# machine-readable — COVERAGE.md prose is commentary, this is the
+# index.
+#
+# Tag vocabulary:
+#   S*/K*/F*/J*/A*/W*/O*/R*/T* — SURVEY.md §2 operator ids.
+#   scalar-<family>   — §2.8 scalar-function families.
+#   geo / multimodal-<kind> / udf-<name> — §2.8 geo, §2.9/2.11 UDF surface.
+#   dedup-<method>    — LLM-pipeline dedup (exact, line, paragraph,
+#                       minhash-lsh, simhash, ngram-jaccard,
+#                       allpairs-ppjoin, clustering, semantic,
+#                       span-coverage, incremental).
+#   ann-<method>      — similarity search (brute-force, ivf, lsh,
+#                       bucketed, quantize, jl-projection).
+#   text-<aspect>     — text analysis (stats, tokens, lang, quality,
+#                       quality-c4/gopher/ccnet/charlm, boilerplate,
+#                       fingerprint, pii, tfidf, bm25, inverted-index).
+#   sketch-<kind>     — approximate structures (bloom, hll, cms,
+#                       bitmap, heavy-hitters).
+#   sampling-<kind>   — splits/sampling (split, deterministic,
+#                       stratified, weighted, mixture, dsir).
+#   temporal-<kind>   — CDC/SCD2/IVM/as-of/interval/resample.
+#   graph-<kind>      — pagerank, triangles, motifs.
+#   robust-<stat>     — robust/exact statistics (mad, gini, ols, chi2,
+#                       rrf, trimmed-mean, mode).
+#   agg-<kind>        — aggregate machinery beyond §2.5 (rollup, cube,
+#                       grouping-sets, percentile, corr, entropy,
+#                       weighted-quantile).
+#   analytics-<kind>  — product-analytics shapes (funnel, retention,
+#                       sessions, histogram, pareto, assoc, …).
+#   er-<stage>        — entity resolution (blocking-snm, resolution).
+#   join-bloom-pruned / skew / chunking / packing / profiling /
+#   clustering-kmeans / contamination / dataset-diff /
+#   pipeline-pretrain-capstone — singleton families, self-describing.
 OPERATOR_IDS: dict[str, list[str]] = {
     "embedded_json_extract": ["S6", "geo"],
     "segment_rollup": ["S11", "A7"],
@@ -162,6 +195,59 @@ OPERATOR_IDS: dict[str, list[str]] = {
     "cube_event_type_hour": ["agg-cube"],
     "grouping_sets_segment_priority": ["agg-grouping-sets"],
     "percentile_quantities": ["agg-percentile"],
+    # --- r13: the 52 names the r12 verdict flagged as ops: [] ---
+    "weighted_median_bracket_price_by_flag": ["agg-weighted-quantile"],
+    "sorted_neighborhood_part_pairs": ["er-blocking-snm"],
+    "entity_resolution_parts": ["er-resolution"],
+    "c4_line_filters_documents": ["text-quality-c4"],
+    "control_char_profile_documents": ["text-quality"],
+    "doc_fingerprint_md5": ["text-fingerprint"],
+    "dup_span_coverage_documents": ["dedup-span-coverage"],
+    "gopher_quality_documents": ["text-quality-gopher"],
+    "gopher_repetition_documents": ["text-quality-gopher"],
+    "kmeans_refine_assignments": ["clustering-kmeans"],
+    "semdedup_embeddings": ["dedup-semantic", "ann-ivf"],
+    "bloom_novelty_documents": ["sketch-bloom", "dedup-incremental"],
+    "boilerplate_line_removal_documents": ["text-boilerplate"],
+    "ccnet_perplexity_buckets": ["text-quality-ccnet"],
+    "cdc_apply_events": ["temporal-cdc"],
+    "dsir_importance_documents": ["sampling-dsir"],
+    "scd2_user_state_history": ["temporal-scd2"],
+    "ivm_user_totals_events": ["temporal-ivm"],
+    "histogram_quantiles_lineitem": ["analytics-histogram", "agg-percentile"],
+    "pareto_frontier_parts": ["analytics-pareto"],
+    "mad_outliers_events": ["robust-mad"],
+    "mad_outliers_bracketed_events": ["robust-mad"],
+    "interval_coalesce_user_activity": ["temporal-interval"],
+    "weighted_median_price_by_flag": ["agg-weighted-quantile"],
+    "equi_depth_price_histogram": ["analytics-histogram", "agg-percentile"],
+    "event_type_diversity_daily": ["agg-entropy"],
+    "ols_trend_by_segment": ["robust-ols"],
+    "frequent_item_pairs": ["analytics-assoc"],
+    "weighted_p90_price_by_flag": ["agg-weighted-quantile"],
+    "trimmed_mean_price_by_flag": ["robust-trimmed-mean"],
+    "mode_event_type_per_user": ["robust-mode"],
+    "event_trigram_motifs": ["graph-motifs"],
+    "pagerank_user_type_graph": ["graph-pagerank"],
+    "pagerank_redistribute_user_type": ["graph-pagerank"],
+    "triangle_count_copurchase": ["graph-triangles"],
+    "line_dedup_documents": ["dedup-line"],
+    "paragraph_dedup_documents": ["dedup-paragraph"],
+    "char_lm_quality_documents": ["text-quality-charlm"],
+    "hll_distinct_users_by_type": ["sketch-hll"],
+    "embedding_jl_projection": ["ann-jl-projection"],
+    "ccnet_buckets_approx": ["text-quality-ccnet", "sketch-cms"],
+    "pretrain_pipeline_documents": ["pipeline-pretrain-capstone"],
+    "heavy_hitter_tokens_documents": ["sketch-heavy-hitters"],
+    "langid_trigram_documents": ["text-lang"],
+    "heavy_hitter_tokens_by_lang": ["sketch-heavy-hitters"],
+    "token_keyness_chi2": ["robust-chi2"],
+    "rrf_orders_value_recency": ["robust-rrf"],
+    "gini_revenue_by_segment": ["robust-gini"],
+    "doc_length_position_pct_by_lang": ["analytics-percent-rank"],
+    "bloom_pruned_urgent_revenue": ["join-bloom-pruned", "sketch-bloom"],
+    "weighted_topk_sample_documents": ["sampling-weighted", "W2"],
+    "resample_ffill_hourly_user_value": ["temporal-resample"],
 }
 
 
@@ -211,13 +297,18 @@ def main() -> None:
     _load()
     proven = proven_rounds()
     index = {}
+    untagged = [n for n in REGISTRY if not OPERATOR_IDS.get(n)]
+    if untagged:
+        raise SystemExit(
+            f"every registered query needs >= 1 op tag in OPERATOR_IDS; missing: {untagged}"
+        )
     for pos, (name, q) in enumerate(REGISTRY.items()):
         index[name] = {
             "position": pos,
             "in_driver_sample_window": pos < DRIVER_SAMPLE_WINDOW,
             "module": q.fn.__module__.rsplit(".", 1)[-1],
             "oracle_backed": q.oracle is not None,
-            "ops": OPERATOR_IDS.get(name, []),
+            "ops": OPERATOR_IDS[name],
             "proven_rounds": proven.get(name, []),
             "doc": (q.doc or "").strip().splitlines()[0] if (q.doc or "").strip() else "",
         }

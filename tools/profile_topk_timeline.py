@@ -108,7 +108,7 @@ def profile(name: str) -> None:
                 # /stages/{sid} returns ALL attempts, unordered —
                 # take the completed one (fall back to the highest
                 # attemptId), not blindly [0]
-                atts = _rest(spark, f"/stages/{sid}")
+                atts = [a for a in _rest(spark, f"/stages/{sid}") if "submissionTime" in a]
                 done = [a for a in atts if a.get("status") == "COMPLETE"]
                 st = (done or sorted(atts, key=lambda a: a.get("attemptId", 0)))[-1]
             except Exception:

@@ -412,17 +412,25 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     from ..sources.tables import prune_stopped_sessions, spread
 
     # CPU-heavy per-row work (len(t) trigram substrings per doc) on a
-    # small-but-hot input: round-robin the narrow rows across cores
-    # first, or a single-partition cached scan serializes the whole
-    # explode (the exact starvation mode spread() exists for)
-    norm = spread(
-        df.where(f"{text_col} IS NOT NULL")
-        .selectExpr(
-            f"{id_col} AS doc_id",
-            rf"trim(regexp_replace(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+', ' ')) AS t",
+    # small-but-hot input: round-robin the NARROW RAW rows across
+    # cores FIRST, then normalize — the regexp+lower must run in the
+    # 32-way post-exchange stage. r13 stage-timeline caught the
+    # original order (normalize inside the pre-spread projection)
+    # executing the regexp in the 1-task cached-scan stage: 0.127 s
+    # serialized per fit while 31 cores idled — the exact starvation
+    # mode spread() exists for, one projection boundary too early.
+    norm = (
+        spread(
+            df.where(f"{text_col} IS NOT NULL").selectExpr(
+                f"{id_col} AS doc_id", f"{text_col} AS __raw"
+            ),
+            min_bytes=0,
         )
-        .where("char_length(t) >= 3"),
-        min_bytes=0,
+        .selectExpr(
+            "doc_id",
+            r"trim(regexp_replace(lower(__raw), '[ \\t\\n\\x0B\\f\\r]+', ' ')) AS t",
+        )
+        .where("char_length(t) >= 3")
     )
     # fit and score both consume the normalized docs — persist the
     # NARROW normalized form (one short row per doc) rather than the
@@ -447,7 +455,11 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     prev = _TRIS_CACHE.pop(sess, None)
     if prev is not None:
         try:
-            prev.unpersist(blocking=True)
+            # blocking=False: CacheManager dematch happens
+            # synchronously on the driver either way (the rebuild can
+            # never be served the old entry); blocking only waits for
+            # executor block removal, dead time on the fit path
+            prev.unpersist(blocking=False)
         except Exception:
             pass
     norm = norm.persist(StorageLevel.MEMORY_AND_DISK)
@@ -476,25 +488,33 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # collect(), not toPandas(): on a ≤ charset³-row result the Arrow
     # collect path's fixed serving cost dominates (measured ~500 ms
     # slower per fit at sf0.1, same 377-row model) — plain collect is
-    # one Py4J round-trip for a model-sized list
-    import pandas as _pd
-
+    # one Py4J round-trip for a model-sized list. The enrichment is
+    # plain-dict Python (r13; pandas groupby/transform machinery on a
+    # ~400-row model was pure overhead on the per-fit path)
     _rows = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3")).collect()
-    tc_pdf = _pd.DataFrame({"tri": [r[0] for r in _rows], "c3": [r[1] for r in _rows]})
-    tc_pdf["ctx"] = tc_pdf["tri"].str.slice(0, 2)
-    tc_pdf["c2"] = tc_pdf.groupby("ctx")["c3"].transform("sum")
-    vsz = int(tc_pdf["tri"].str.slice(2, 3).nunique())
+    ctx_tot: dict[str, int] = {}
+    third: set[str] = set()
+    for tri, c3 in _rows:
+        ctx_tot[tri[:2]] = ctx_tot.get(tri[:2], 0) + c3
+        third.add(tri[2:3])
+    vsz = len(third)
     # integer-nanonat quantization of each distinct trigram's term;
     # operation order mirrors the oracle SQL exactly:
     # (CAST(c3 AS DOUBLE)+k) / (CAST(c2 AS DOUBLE)+k*V), -ln, *1e9,
     # +0.5, floor — every step an IEEE double op or libm ln
     denom_k = add_k * float(vsz)
-    tc_pdf["q"] = [
-        math.floor(-math.log((float(c3) + add_k) / (float(c2) + denom_k)) * 1000000000.0 + 0.5)
-        for c3, c2 in zip(tc_pdf["c3"].tolist(), tc_pdf["c2"].tolist())
+    model_rows = [
+        (
+            tri,
+            math.floor(
+                -math.log((float(c3) + add_k) / (float(ctx_tot[tri[:2]]) + denom_k)) * 1000000000.0
+                + 0.5
+            ),
+        )
+        for tri, c3 in _rows
     ]
     model = F.broadcast(
-        tris.sparkSession.createDataFrame(tc_pdf[["tri", "q"]], "tri string, q bigint")
+        tris.sparkSession.createDataFrame(model_rows, "tri string, q bigint")
     )
     # SCORE: the second corpus pass hash-joins the broadcast model and
     # reduces per document — the shuffle carries partial (sum, count)
