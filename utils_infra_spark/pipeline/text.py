@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 # see char_trigram_lm_scores)
 _TRIS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
+
+def _sql_escape(s: str) -> str:
+    """Escape a Python string for a single-quoted Spark SQL literal:
+    backslash and quote are backslash-escaped; control chars go out
+    as \\uXXXX (Spark's unescapeSQLString decodes them), so arbitrary
+    document-derived trigrams round-trip through SQL text exactly."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
 # session -> the DSIR build's persisted (doc, target, bucket) token
 # stream; same per-build unpersist discipline as _TRIS_CACHE
 _DSIR_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
@@ -419,18 +437,23 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # executing the regexp in the 1-task cached-scan stage: 0.127 s
     # serialized per fit while 31 cores idled — the exact starvation
     # mode spread() exists for, one projection boundary too early.
-    norm = (
-        spread(
-            df.where(f"{text_col} IS NOT NULL").selectExpr(
-                f"{id_col} AS doc_id", f"{text_col} AS __raw"
-            ),
-            min_bytes=0,
-        )
-        .selectExpr(
-            "doc_id",
-            r"trim(regexp_replace(lower(__raw), '[ \\t\\n\\x0B\\f\\r]+', ' ')) AS t",
-        )
-        .where("char_length(t) >= 3")
+    # NO .where() on t: a `char_length(t) >= 3` filter gets pushed
+    # through the Project AND the Repartition (plan-verified), which
+    # re-plants the regexp below the exchange — the 1-task stage then
+    # pays the full normalize serialized just to evaluate the filter.
+    # The length guard lives inside the explode's CASE instead (plain
+    # explode of NULL emits no rows — short docs vanish exactly as
+    # the filter form dropped them, and InferFiltersFromGenerate does
+    # not infer filters from non-attribute generator children, so
+    # nothing pushable exists).
+    norm = spread(
+        df.where(f"{text_col} IS NOT NULL").selectExpr(
+            f"{id_col} AS doc_id", f"{text_col} AS __raw"
+        ),
+        min_bytes=0,
+    ).selectExpr(
+        "doc_id",
+        r"trim(regexp_replace(lower(__raw), '[ \\t\\n\\x0B\\f\\r]+', ' ')) AS t",
     )
     # fit and score both consume the normalized docs — persist the
     # NARROW normalized form (one short row per doc) rather than the
@@ -471,8 +494,13 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
     # keeps the whole stage one codegen pass over (t, i) with no
     # intermediate array allocation — measured 2.1x faster on the fit
     # pass at sf0.1 (559 ms -> 261 ms)
+    # CASE guard replaces the old `>= 3` filter: sequence(1, n) with
+    # n < 1 would generate DESCENDING (start > stop defaults step -1),
+    # so short docs must yield NULL, which plain explode drops
     tris = norm.selectExpr(
-        "doc_id", "t", "explode(sequence(1, char_length(t) - 2)) AS i"
+        "doc_id",
+        "t",
+        "explode(CASE WHEN char_length(t) >= 3 THEN sequence(1, char_length(t) - 2) END) AS i",
     ).selectExpr("doc_id", "substring(t, i, 3) AS tri")
     # FIT: one corpus pass aggregates trigram counts, then the model
     # comes to the driver — it is bounded by charset^3 (tens of KBs)
@@ -513,9 +541,26 @@ def char_trigram_lm_scores(df, text_col: str, id_col: str, *, add_k: float = 0.5
         )
         for tri, c3 in _rows
     ]
-    model = F.broadcast(
-        tris.sparkSession.createDataFrame(model_rows, "tri string, q bigint")
-    )
+    # model upload as a SQL VALUES literal, NOT createDataFrame: the
+    # Python-RDD-backed relation createDataFrame builds makes the
+    # broadcast build a real cluster job that forks one Python worker
+    # PER CORE to serve ~400 rows (r13 stage timeline: a 32-task job
+    # with ~10 s of task-time, every run). A VALUES literal parses to
+    # a LocalRelation, so the broadcast materializes driver-side with
+    # no job and no Python workers. Guarded by the same bound as the
+    # collect: the model is ≤ charset³ rows by construction — the
+    # fallback createDataFrame path covers a pathological charset
+    # where the SQL text would get silly.
+    sess2 = tris.sparkSession
+    if not model_rows:
+        model = F.broadcast(sess2.createDataFrame([], "tri string, q bigint"))
+    elif len(model_rows) <= 20000:
+        vals = ", ".join(f"('{_sql_escape(tri)}', {q})" for tri, q in model_rows)
+        model = F.broadcast(
+            sess2.sql(f"SELECT tri, CAST(q AS BIGINT) AS q FROM (VALUES {vals}) AS m(tri, q)")
+        )
+    else:
+        model = F.broadcast(sess2.createDataFrame(model_rows, "tri string, q bigint"))
     # SCORE: the second corpus pass hash-joins the broadcast model and
     # reduces per document — the shuffle carries partial (sum, count)
     # INTEGER pairs per doc only; the half-up micro-nat mean stays in
