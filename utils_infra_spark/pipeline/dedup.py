@@ -315,12 +315,22 @@ def minhash_near_duplicates(
          way (inherent to LSH banding); collect_list additionally
          bounds a single bucket's ids to executor memory — ids only,
          ~8 B each.
-      3. verify with ONE join against the shingled corpus: explode
-         each pair into (pair, role) rows, join on doc_id, regroup to
-         (sh_a, sh_b), exact Jaccard. One scan + one shuffle of the
-         shingle arrays, vs two of each for the naive two-join shape;
-         AQE broadcasts the (small) pair side at runtime when stats
-         allow — forcing it would gamble at 100 TB.
+      3. verify with ONE join against the NARROW RAW corpus: explode
+         each pair into (pair, role) rows, join on doc_id, shingle
+         ONLY the matched rows, regroup to (sh_a, sh_b), exact
+         Jaccard. r13 (stage timeline): the previous shape joined a
+         fully-shingled corpus — a second corpus-wide shingle pass
+         (~40% of the query's task-time) and a shuffle of k×-wider
+         shingle arrays for every document, candidate or not. Joining
+         raw text instead moves ~3× fewer bytes and computes shingles
+         only for pair-role rows. A doc in p pairs re-shingles p
+         times — bounded by the O(pairs) row count LSH banding already
+         commits to, and candidate multiplicity is small by
+         construction (banding exists to keep pairs ≪ corpus); the
+         corpus-wide pass it replaces was O(n) always. `cand` stays
+         single-consumption, so nothing needs persist. AQE broadcasts
+         the (small) pair side at runtime when stats allow — forcing
+         it would gamble at 100 TB.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     from ..sources.tables import spread
@@ -332,18 +342,6 @@ def minhash_near_duplicates(
     # Catalyst's CollapseProject keeps these boundaries because the
     # aliases are expensive and multi-referenced; inlining them (one
     # mega-expression) would re-evaluate shingles 16× per row.
-    def shingled(frame):
-        # spread FIRST (the scan side is narrow), tokenize into an
-        # aliased attribute, then shingle from the attribute — so the
-        # heavy compute runs after the exchange, once per row, on
-        # every core. Built from the SQL-text twin: ~6 Py4J
-        # round-trips instead of ~60.
-        return (
-            spread(frame.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
-            .selectExpr("doc_id", r"split(trim(__text), '[ \\t\\n\\x0B\\f\\r]+') AS __toks")
-            .selectExpr("doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh")
-        )
-
     # sketch stage (shingle → k minhashes → band keys) is SHARED with
     # minhash_band_keys — one implementation, so the oracle-backed md5
     # twin and this production path can never drift apart silently.
@@ -374,12 +372,22 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh = shingled(df)
+    # narrow raw text, spread for the post-join shingle compute;
+    # tokenize into an aliased attribute AFTER the join so only
+    # matched (candidate) rows pay it. Built from the SQL-text twin:
+    # ~6 Py4J round-trips instead of ~60.
+    raw = spread(df.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
     roles = cand.select(
         "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("doc_id")
     )
     paired = (
-        roles.join(sh, "doc_id")
+        roles.join(raw, "doc_id")
+        .selectExpr(
+            "id_a", "id_b", "doc_id", r"split(trim(__text), '[ \\t\\n\\x0B\\f\\r]+') AS __toks"
+        )
+        .selectExpr(
+            "id_a", "id_b", "doc_id", f"{shingles_from_tokens_sql('__toks', k_shingle)} AS sh"
+        )
         .groupBy("id_a", "id_b")
         .agg(
             F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
