@@ -66,30 +66,26 @@ def test_registry_surfaces_unproven_names_first():
     assert len(names) == len(set(names))
     # every callable still resolves (no dangling priority names)
     assert all(REGISTRY[n].fn is not None for n in expected_head)
-    # r12 goal: every query whose CODE changed in r12 (bracketed
-    # quantile finish, IVF rerank rerouted through the auto kernel
-    # selector, both ascii_guarded name-matching queries) and the
-    # entire r6+r7 cohorts — the oldest surviving proofs — must sit
+    # r13 goal: every query whose CODE changed in r13 (char_lm fit
+    # restructure, union_distinct single-scan plan) and the entire
+    # r9-proven cohort — the oldest surviving proofs — must sit
     # INSIDE the window, so after this round no oracle-backed query's
-    # latest proof predates r8
+    # latest proof predates r10
     window = set(names[:DRIVER_SAMPLE_WINDOW])
     assert {
-        # r12 code changes
-        "weighted_median_bracket_price_by_flag",
-        "ivf_topk_probes",
-        "sorted_neighborhood_part_pairs",
-        "entity_resolution_parts",
-        # r6 cohort (oldest proofs) — spot names; the full 27 are in
+        # r13 code changes
+        "char_lm_quality_documents",
+        "union_distinct_orders",
+        # r9 cohort (oldest proofs) — spot names; the full 29 are in
         # _SAMPLING_PRIORITY section (2)
-        "array_funcs_documents",
-        "enrich_coalesce_fill",
-        "train_val_test_split",
-        "weighted_sample_docs",
-        # r7 cohort, complete
-        "column_profile_events",
-        "ivf_assign_lists",
-        "pii_redact_documents",
-        "snapshot_diff_documents",
+        "event_interarrival",
+        "pagerank_user_type_graph",
+        "triangle_count_copurchase",
+        "langid_trigram_documents",
+        "mad_outliers_events",
+        "interval_coalesce_user_activity",
+        "template_render",
+        "pricing_summary",
     } <= window
     # everything in the window is drawable hash evidence this round:
     # oracle-backed only (ccnet_buckets_approx — rows-only by design —

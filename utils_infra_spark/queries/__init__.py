@@ -122,76 +122,71 @@ _loaded = False
 # changes. Names absent from the registry are ignored (the list never
 # breaks registration).
 _SAMPLING_PRIORITY = [
-    # --- r12 rotation. Window goals, in order:
-    # (1) queries whose CODE changed in r12 and so need fresh hash
-    #     proof: the bracketed weighted quantile's finish switched
-    #     from a group-key equi-join to a struct-MIN aggregation pick
-    #     (NULL-group fix), the IVF rerank now routes through
-    #     brute_force_topk_auto, and both name-matching queries carry
-    #     the literal-Column ascii_guarded raise (the rerouted
-    #     sign-LSH ANN is rows-only by design — outside the window,
-    #     covered by the recall test in tests/test_pipeline.py);
-    "weighted_median_bracket_price_by_flag",
-    "ivf_topk_probes",
-    "sorted_neighborhood_part_pairs",
-    "entity_resolution_parts",
-    # (2) the r6-proven cohort — the oldest surviving proofs in the
-    #     registry (27 names; r11 closed everything older): after this
-    #     window no oracle-backed query's latest proof predates r8;
-    "array_funcs_documents",
-    "brand_revenue_share",
-    "coordinate_validity",
-    "daily_event_counts",
-    "date_funcs_orders",
-    "derived_key_self_join",
-    "deterministic_sample_docs",
-    "distinct_segments",
-    "embedding_int8_quantize",
-    "enrich_coalesce_fill",
-    "forecast_revenue_filter",
-    "json_props_events",
-    "last_nonnull_state_events",
-    "math_funcs_lineitem",
-    "mixture_resample_documents",
-    "nation_pair_volume",
-    "nested_struct_features",
-    "pack_documents_shards",
-    "priority_order_check",
-    "product_profit_by_nation",
-    "returned_items_customers",
-    "rolling_1h_user_value",
-    "status_bucket_counts",
-    "stratified_sample_by_lang",
-    "string_funcs_part",
-    "train_val_test_split",
-    "weighted_sample_docs",
-    # (3) the r7-proven cohort (4 names);
-    "column_profile_events",
-    "ivf_assign_lists",
-    "pii_redact_documents",
-    "snapshot_diff_documents",
-    # (4) the r8-proven cohort (8 names);
-    "c4_line_filters_documents",
-    "control_char_profile_documents",
-    "doc_fingerprint_md5",
-    "dup_span_coverage_documents",
-    "gopher_quality_documents",
-    "gopher_repetition_documents",
-    "kmeans_refine_assignments",
-    "semdedup_embeddings",
-    # (5) the head of the r9-proven block fills the window to 50.
-    "bloom_novelty_documents",
-    "boilerplate_line_removal_documents",
-    "ccnet_perplexity_buckets",
-    "cdc_apply_events",
-    "composite_agg_orders",
-    "dedup_exact_documents",
-    "dsir_importance_documents",
-    # (Everything proven r10/r11 and unchanged in r12 — the r10/r11
-    # newcomers, the window/funnel family, the r1-stale names r11
-    # closed — stays out of the head; a slot spent there would
-    # re-prove a fresh proof while the r6 cohort rots. The
-    # window-size test in test_session.py pins len(head) == 50.)
+    # --- r13 rotation. Window goals, in order:
+    # (1) queries whose CODE changed in r13 and so need fresh hash
+    #     proof: char_lm's fit restructure (post-exchange normalize,
+    #     CASE-guarded explode, VALUES-literal model upload) and
+    #     union_distinct_orders' single-scan OR plan (the latter is
+    #     also in the r9 cohort below). The restructured minhash
+    #     verify is rows-only by design — outside the window, covered
+    #     by the LSH-vs-brute-force exactness tests;
+    "char_lm_quality_documents",
+    # (2) the full r9-proven cohort — the oldest surviving proofs
+    #     (29 names, the r12 verdict's prescribed block): after this
+    #     window no oracle-backed query's latest proof predates r10;
+    "event_interarrival",
+    "scd2_user_state_history",
+    "ivm_user_totals_events",
+    "histogram_quantiles_lineitem",
+    "mad_outliers_events",
+    "dsl_filter_events",
+    "mercator_tile_cover",
+    "point_in_polygon_regions",
+    "pagerank_user_type_graph",
+    "triangle_count_copurchase",
+    "embedding_bucketed_pairs",
+    "line_dedup_documents",
+    "paragraph_dedup_documents",
+    "hll_distinct_users_by_type",
+    "embedding_jl_projection",
+    "pretrain_pipeline_documents",
+    "langid_trigram_documents",
+    "pricing_summary",
+    "enrich_customer_nation",
+    "latest_event_per_user",
+    "top3_orders_per_customer",
+    "union_distinct_orders",
+    "weighted_topk_sample_documents",
+    "order_revenue_top10",
+    "nation_revenue",
+    "sliding_window_counts",
+    "user_sessions",
+    "rate_limit_violations",
+    "template_render",
+    # (3) the head of the r10-proven cohort fills the window to 50.
+    "quality_decile_stats",
+    "pareto_frontier_parts",
+    "mad_outliers_bracketed_events",
+    "interval_coalesce_user_activity",
+    "weighted_median_price_by_flag",
+    "equi_depth_price_histogram",
+    "event_type_diversity_daily",
+    "ols_trend_by_segment",
+    "frequent_item_pairs",
+    "weighted_p90_price_by_flag",
+    "trimmed_mean_price_by_flag",
+    "mode_event_type_per_user",
+    "event_trigram_motifs",
+    "embedded_json_extract",
+    "pagerank_redistribute_user_type",
+    "simhash_documents_md5",
+    "minhash_band_keys_md5",
+    "ngram_jaccard_bucketed",
+    "embedding_topk_cosine",
+    "label_centroids",
+    # (Everything proven r11/r12 stays out of the head; a slot spent
+    # there would re-prove a fresh proof while the r9 cohort rots.
+    # The window-size test in test_session.py pins len(head) == 50.)
 ]
 
 
