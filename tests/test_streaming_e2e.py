@@ -13,6 +13,67 @@ import pytest
 
 from utils_infra_spark.streaming.upsert import keyed_upsert_batch, keyed_upsert_stream
 
+
+def _await(q, timeout: int = 300) -> None:
+    """Wait for an availableNow query to finish, loudly and leak-free.
+
+    The old bare ``q.awaitTermination(120)`` had a cascade failure
+    mode (observed in the r13 full-suite run): when co-tenant weather
+    pushed one query past the timeout, awaitTermination returned
+    False WITHOUT raising, the test then read an empty memory sink
+    ("assert [] == [...]"), and the still-running query kept
+    competing for scheduler slots under every later streaming test in
+    the shared session (teardown showed two live MicroBatchWrites).
+    Assert the query actually terminated, and stop it if it did not,
+    so a single slow window can neither pass silently nor starve its
+    neighbors."""
+    try:
+        assert q.awaitTermination(timeout), f"streaming query still running after {timeout}s"
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def _drain_and_stop(q, timeout: int = 240) -> None:
+    """For a query that BY DESIGN never terminates under availableNow:
+    a stateful query with ProcessingTimeTimeout state (the TTL path)
+    keeps `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` true
+    until its timers fire, so Spark spins 'No new data but cleaning
+    up state' empty batches until the TTL horizon (diagnosed r13:
+    6 h TTL -> the query never stops; the old bare
+    ``awaitTermination(120)`` read the sink under a live query and
+    leaked it into the shared session). ``processAllAvailable()``
+    blocks forever too: the timer-kept batch loop never signals
+    noNewData. So poll recentProgress for a COMPLETED zero-input-rows
+    batch after at least one data batch — with availableNow that
+    means the planned offsets are fully consumed and committed, and
+    every later batch is pure timer upkeep — then stop the query."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    drained = False
+    try:
+        while _time.time() < deadline:
+            if not q.isActive:
+                # whether a timer-holding query self-terminates varies
+                # with plan shape (observed: watermarked dedup stops on
+                # its own, the watermark-free TTL upsert spins) — a
+                # query that stopped by itself has by definition
+                # consumed its availableNow offsets
+                drained = True
+                break
+            prog = q.recentProgress
+            if any(p["numInputRows"] > 0 for p in prog) and prog and prog[-1]["numInputRows"] == 0:
+                drained = True
+                break
+            _time.sleep(0.5)
+        assert drained, f"streaming query did not drain its input within {timeout}s"
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+
+
 SCHEMA = "mmsi int, ts timestamp, lat double, lon double, name string, ship_type double"
 VALUE_COLS = ["lat", "lon", "name", "ship_type"]
 
@@ -62,7 +123,7 @@ def test_stream_upsert_matches_batch_replay(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
 
     # final state = latest update row per key emitted by the stream
     updates = spark.sql("SELECT * FROM upsert_states").toPandas()
@@ -107,7 +168,7 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = {str(r.win_start): r.n for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert got == {
         "2024-01-01 08:00:00": 1,
@@ -142,7 +203,7 @@ def test_checkpoint_restart_resumes_state(spark, tmp_path):
             .outputMode("update")
             .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        _await(q)
 
     run1: list = []
     run_once(run1)
@@ -179,7 +240,7 @@ def test_stream_upsert_with_ttl_smoke(spark, tmp_path):
         upserts.writeStream.format("memory").queryName("ttl_states").outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ttl_ckpt")).trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)  # TTL query never self-terminates (see helper)
     rows = spark.sql("SELECT DISTINCT mmsi FROM ttl_states").collect()
     assert {r.mmsi for r in rows} == {1, 2, 3}
 
@@ -220,7 +281,7 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)  # ProcessingTimeTimeout state: never self-terminates
     out = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text").collect()
     counts = {r.text: r.n for r in out}
     assert counts == {"alpha beta gamma": 1, "delta epsilon": 1, "zeta eta": 1}
@@ -257,7 +318,7 @@ def test_stream_session_windows_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = {(r.mmsi, str(r.sess_start)): r.n for r in spark.sql("SELECT * FROM sess_counts").collect()}
     # key 1: 10:00/10:02/10:05/10:06 all within 15-min gaps -> ONE
     # session of 4 (the late 10:02 merged in); key 2: 09:00 and 11:00
@@ -314,7 +375,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = {(r.click_id, r.order_id) for r in spark.sql("SELECT * FROM attributed").collect()}
 
     bc = spark.read.schema(CSCHEMA).json(cdir).alias("c")
@@ -359,7 +420,7 @@ def test_stream_cms_foreachbatch_merge_equals_batch(spark, tmp_path):
     q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).option(
         "checkpointLocation", str(tmp_path / "cms_ckpt")
     ).start()
-    q.awaitTermination(120)
+    _await(q)
 
     batch_all = spark.createDataFrame([(t,) for t in tokens], "t string")
     expected = {
@@ -397,7 +458,7 @@ def test_stream_upsert_accepts_structtype_state_schema(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     updates = spark.sql("SELECT * FROM upsert_states_structtype").toPandas()
     final = updates.sort_values("ts", kind="stable").drop_duplicates("mmsi", keep="last").set_index("mmsi")
     batch_df = spark.read.schema(SCHEMA).json(src)
@@ -494,7 +555,7 @@ def test_stream_near_dup_suppression(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(q)  # ProcessingTimeTimeout state: never self-terminates
     # doc 3 (near-dup of doc 1 from the earlier micro-batch) is
     # suppressed; everything else passes
     assert sorted(emitted) == [1, 2, 4]
@@ -521,7 +582,7 @@ def test_stream_near_dup_suppression(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    _drain_and_stop(q2)  # ProcessingTimeTimeout state: never self-terminates
     assert sorted(emitted2) == [1, 2, 4]
 
 
@@ -687,7 +748,7 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = sorted(
         tuple(r) for r in spark.sql("SELECT user_id, page, amount FROM ij").collect()
     )
