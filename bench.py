@@ -208,6 +208,18 @@ def candidate_weather_key(c: dict) -> tuple:
     )
 
 
+def emit_live(env: dict | None = None) -> bool:
+    """r14 driver live-bench contract (verdict item 2): the emitted
+    stdout line carries THIS invocation's live measurement unless
+    SPARK_GRAFT_BENCH_LIVE is explicitly falsy. Default live: the
+    driver sets no env, and its artifact must be its own run — the
+    bank's cleanest same-fingerprint window ships alongside as
+    context fields (banked_best_value / banked_best_ratio /
+    ratio_spread), never in its place."""
+    val = (env if env is not None else os.environ).get("SPARK_GRAFT_BENCH_LIVE", "1")
+    return str(val).strip().lower() not in ("0", "false", "no")
+
+
 def _probe_floor(spark) -> float:
     """Min of 3 fresh-QueryExecution 1-task no-op jobs — the same
     per-query scheduling constant `floor_sec` reports, used as a
@@ -331,6 +343,9 @@ _LINE_KEYS = (
     "probe_frac_suspect",
     "banked_candidates",
     "banked_live",
+    "banked_best_value",
+    "banked_best_ratio",
+    "cold_stormy",
     "cold_from_attempt",
     "cold_loadavg_1m",
     "attempts",
@@ -566,6 +581,17 @@ def main() -> None:
         # the cold constants are never read against the quiet
         # attempt's loadavg
         "cold_loadavg_1m": attempts[0]["loadavg_1m"],
+        # r14, on ADVICE: flag the cold numbers as weather-suspect
+        # whenever attempt 1 failed the accept gate — cold comes from
+        # attempt 1 ONLY (later attempts read warmed page cache), so
+        # a stormy first attempt leaves storm-contaminated cold data
+        # that selection's warm-only weather key cannot displace
+        "cold_stormy": not (
+            attempts[0]["load_signal"][0] <= LOAD_GATE
+            and attempts[0]["loadavg_1m"][1] <= LOAD_AFTER_SUSPECT
+            and max(attempts[0]["floor_probe"]) <= FLOOR_SUSPECT
+            and (attempts[0].get("probe_frac_suspect") or 0) <= 0.25
+        ),
         "attempts": len(attempts),
         "attempt_summaries": [
             {k: a.get(k) for k in ("spark_oracle_subset_total", "duck_total", "ratio_warm", "ratio_warm_full", "loadavg_1m", "load_signal", "floor_probe", "probe_mean", "probe_frac_suspect")}
@@ -598,12 +624,16 @@ def main() -> None:
         "then lowest pre-attempt load_signal; cold "
         "from attempt 1 only, all attempts recorded in BENCH_result.json; retries wait "
         "(<=600s) for the load signal to decay under the gate so they don't start on "
-        "bench's own self-heat; r12 cross-invocation banking: every invocation "
-        "appends its payload to BENCH_candidates.jsonl and the EMITTED artifact is "
-        "the weather-cleanest candidate at the same code fingerprint + sf (key: "
-        "storm flag, pre-attempt load_signal, worst floor probe, earliest ts — "
-        "platform readings only, never a ratio), so one stormy end-of-round window "
-        "cannot displace a clean measurement of identical code; headline set = r1-r5 "
+        "bench's own self-heat; r14 live-emission contract: the EMITTED numbers are "
+        "this invocation's own live measurement (banked_live=true) unless "
+        "SPARK_GRAFT_BENCH_LIVE is explicitly 0 — cross-invocation banking (r12) "
+        "still appends every payload to BENCH_candidates.jsonl and the cleanest "
+        "same-fingerprint window ships as CONTEXT (banked_best_value/"
+        "banked_best_ratio; selection key: storm flag, mid-sweep probe mean, "
+        "pre-attempt load_signal, worst floor probe, earliest ts — platform "
+        "readings only, never a ratio), alongside ratio_spread, so typical-vs-"
+        "clean weather stays readable without displacing the live run; "
+        "headline set = r1-r5 "
         "queries + 3 r6 pipeline ops (char-LM scoring, line dedup, bloom novelty) — "
         "ratio_warm keeps its r1-r5 definition (frozen legacy subset) for "
         "cross-round comparability; ratio_warm_full covers the full paired set"
@@ -666,7 +696,20 @@ def main() -> None:
                 cands.append(c)
 
     winner = min(cands, key=candidate_weather_key)
-    banked_live = winner["ts"] == now_ts
+    # r14 (verdict item 2 — the driver's live-bench contract): the
+    # EMITTED numbers are this invocation's own live measurement by
+    # default; the r13 artifact substituted the bank's cleanest
+    # same-fingerprint window for the driver's live run, which is
+    # outcome-blind but silently overrode a run the driver intended
+    # to be diagnostic (its live c8 run measured 3.902 s, the emitted
+    # file carried an earlier 2.952 s window) and made round-over-
+    # round deltas depend on bank depth. The bank still records every
+    # invocation and the cleanest window ships alongside as CONTEXT
+    # (banked_best_value / banked_best_ratio / ratio_spread), so
+    # typical-vs-clean weather stays readable without displacing the
+    # live number. SPARK_GRAFT_BENCH_LIVE=0 restores banked-winner
+    # emission (for weather-window archaeology only).
+    banked_live = emit_live() or winner["ts"] == now_ts
     # the live invocation keeps its raw runs in the full artifact; a
     # banked (non-live) winner's raw runs live in the round that
     # recorded it
@@ -674,6 +717,10 @@ def main() -> None:
     full["banked_candidates"] = len(cands)
     full["banked_live"] = banked_live
     full["banked_ts"] = winner["ts"]
+    wp = winner.get("payload") or {}
+    if winner["ts"] != now_ts:
+        full["banked_best_value"] = wp.get("value")
+        full["banked_best_ratio"] = wp.get("ratio_warm_full")
     # candidate SPREAD at this fingerprint+sf (r12 verdict): the
     # banked number is the cleanest window — publish the min/median/
     # max ratio across ALL same-fingerprint candidates alongside it so

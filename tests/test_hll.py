@@ -12,6 +12,7 @@ import hashlib
 import math
 
 from pyspark.sql import functions as F
+from stream_waits import await_terminated
 
 from utils_infra_spark.pipeline.sketch import (
     HLL_M,
@@ -241,7 +242,11 @@ def test_hll_stream_preserves_int_key_type(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # asserting wait (r14, verdict item 1): the bare awaitTermination
+    # returned False silently on timeout and the test read a partial
+    # sink under a live query — these timer-free availableNow
+    # aggregations self-terminate, so termination is assertable
+    await_terminated(q)
     got = {
         r["seg"]: r["hll_estimate"]
         for r in spark.sql("SELECT seg, hll_estimate FROM hll_stream_int").collect()
@@ -288,7 +293,11 @@ def test_hll_stream_matches_batch_estimate(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # asserting wait (r14, verdict item 1): the bare awaitTermination
+    # returned False silently on timeout and the test read a partial
+    # sink under a live query — these timer-free availableNow
+    # aggregations self-terminate, so termination is assertable
+    await_terminated(q)
     got = spark.sql(
         "SELECT g, hll_estimate FROM hll_stream"
     ).toPandas()

@@ -780,6 +780,9 @@ def test_bench_stdout_line_fits_driver_capture():
         "mid_probes": [0.1234] * 42,  # must be dropped (42 floats)
         "banked_candidates": 12,
         "banked_live": False,
+        "banked_best_value": 123.456,
+        "banked_best_ratio": 12.34,
+        "cold_stormy": True,
         "cold_from_attempt": 1,
         "cold_loadavg_1m": [12.34, 12.34],
         "attempts": 3,

@@ -13,7 +13,17 @@ from utils_infra_spark.session import TINY_INPUT_BYTES, tune_for_input
 
 
 def _reset(spark):
+    # the cluster-default state these tests probe tune_for_input from
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _restore(spark):
+    # back to the conftest test-session defaults (8 partitions, AQE
+    # on) so later test files aren't silently run at 32 partitions —
+    # pre-r14 the trailing _reset(32) here leaked into every
+    # alphabetically-later file, including the streaming e2e suite
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
@@ -23,7 +33,7 @@ def test_tiny_input_gets_latency_knobs(spark, sf_dir):
     assert 0 < measured < TINY_INPUT_BYTES  # sf0.001 is ~450 KB
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    _reset(spark)
+    _restore(spark)
 
 
 def test_large_input_keeps_cluster_defaults(spark, sf_dir):
@@ -33,14 +43,14 @@ def test_large_input_keeps_cluster_defaults(spark, sf_dir):
     # threshold of 1 byte means "never tiny": confs untouched
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
-    _reset(spark)
+    _restore(spark)
 
 
 def test_empty_dir_is_noop(spark, tmp_path):
     _reset(spark)
     assert tune_for_input(spark, str(tmp_path)) == 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
-    _reset(spark)
+    _restore(spark)
 
 
 def test_registry_surfaces_unproven_names_first():

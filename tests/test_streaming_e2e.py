@@ -11,67 +11,10 @@ import os
 
 import pytest
 
+from stream_waits import await_terminated as _await
+from stream_waits import drain_and_stop as _drain_and_stop
+
 from utils_infra_spark.streaming.upsert import keyed_upsert_batch, keyed_upsert_stream
-
-
-def _await(q, timeout: int = 300) -> None:
-    """Wait for an availableNow query to finish, loudly and leak-free.
-
-    The old bare ``q.awaitTermination(120)`` had a cascade failure
-    mode (observed in the r13 full-suite run): when co-tenant weather
-    pushed one query past the timeout, awaitTermination returned
-    False WITHOUT raising, the test then read an empty memory sink
-    ("assert [] == [...]"), and the still-running query kept
-    competing for scheduler slots under every later streaming test in
-    the shared session (teardown showed two live MicroBatchWrites).
-    Assert the query actually terminated, and stop it if it did not,
-    so a single slow window can neither pass silently nor starve its
-    neighbors."""
-    try:
-        assert q.awaitTermination(timeout), f"streaming query still running after {timeout}s"
-    finally:
-        if q.isActive:
-            q.stop()
-
-
-def _drain_and_stop(q, timeout: int = 240) -> None:
-    """For a query that BY DESIGN never terminates under availableNow:
-    a stateful query with ProcessingTimeTimeout state (the TTL path)
-    keeps `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` true
-    until its timers fire, so Spark spins 'No new data but cleaning
-    up state' empty batches until the TTL horizon (diagnosed r13:
-    6 h TTL -> the query never stops; the old bare
-    ``awaitTermination(120)`` read the sink under a live query and
-    leaked it into the shared session). ``processAllAvailable()``
-    blocks forever too: the timer-kept batch loop never signals
-    noNewData. So poll recentProgress for a COMPLETED zero-input-rows
-    batch after at least one data batch — with availableNow that
-    means the planned offsets are fully consumed and committed, and
-    every later batch is pure timer upkeep — then stop the query."""
-    import time as _time
-
-    deadline = _time.time() + timeout
-    drained = False
-    try:
-        while _time.time() < deadline:
-            if not q.isActive:
-                # whether a timer-holding query self-terminates varies
-                # with plan shape (observed: watermarked dedup stops on
-                # its own, the watermark-free TTL upsert spins) — a
-                # query that stopped by itself has by definition
-                # consumed its availableNow offsets
-                drained = True
-                break
-            prog = q.recentProgress
-            if any(p["numInputRows"] > 0 for p in prog) and prog and prog[-1]["numInputRows"] == 0:
-                drained = True
-                break
-            _time.sleep(0.5)
-        assert drained, f"streaming query did not drain its input within {timeout}s"
-    finally:
-        if q.isActive:
-            q.stop()
-        q.awaitTermination(60)
 
 
 SCHEMA = "mmsi int, ts timestamp, lat double, lon double, name string, ship_type double"
