@@ -330,11 +330,15 @@ def minhash_near_duplicates(
          corpus-wide pass it replaces was O(n) always. `cand` stays
          single-consumption, so nothing needs persist. AQE broadcasts
          the (small) pair side at runtime when stats allow — forcing
-         it would gamble at 100 TB.
+         it would gamble at 100 TB. r14: the raw side's spread()
+         exchange deleted (it fed straight into a broadcast — pure
+         waste); the first(CASE) regroup KEPT deliberately: it is the
+         pushdown barrier that stops the jaccard threshold filter
+         from being folded into a join condition with the whole
+         interpreted shingle pipeline inlined (measured 3× slower —
+         see the in-body negative-result note).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    from ..sources.tables import spread
-
     # num_hashes/bands divisibility is validated once, in
     # minhash_band_keys (the shared sketch stage this delegates to)
     # IMPORTANT plan shape: each heavy expression (shingles, signature)
@@ -372,11 +376,31 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # narrow raw text, spread for the post-join shingle compute;
-    # tokenize into an aliased attribute AFTER the join so only
-    # matched (candidate) rows pay it. Built from the SQL-text twin:
-    # ~6 Py4J round-trips instead of ~60.
-    raw = spread(df.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text"), min_bytes=0)
+    # narrow raw text; tokenize into an aliased attribute AFTER the
+    # join so only matched (candidate) rows pay it. Built from the
+    # SQL-text twin: ~6 Py4J round-trips instead of ~60.
+    #
+    # r14: NO spread() here — the exchange it added since r13 was a
+    # 32-way round-robin shuffle of the ENTIRE corpus text that fed
+    # straight into a BroadcastExchange (plan nodes 32→33 in
+    # plans/r13/minhash_..._after.txt): raw does no per-row compute
+    # before the join (shingles are post-join), so the exchange
+    # bought nothing and cost a full corpus shuffle per run.
+    #
+    # r14 NEGATIVE RESULT (measured, then reverted): attaching each
+    # side's text with its own join — cand ⋈ raw(id_a) ⋈ raw(id_b) —
+    # to delete this regroup's Sort + two SortAggregates made the
+    # query 3× SLOWER (0.67 s → 2.19 s warm at sf0.1, idle box,
+    # tools/ab_minhash_verify.py): with no aggregate in between,
+    # PushPredicateThroughJoin folds the final jaccard-threshold
+    # filter INTO the second join's condition, substituting the whole
+    # shingle pipeline (split + interpreted transform() lambdas +
+    # array_intersect/union) inlined from raw text — every pair then
+    # re-tokenizes/re-shingles BOTH texts in the join condition AND
+    # again in the projections above it. The first(CASE) aggregate
+    # below is the pushdown BARRIER that keeps the shingle transform
+    # evaluated once per role row; keep it.
+    raw = df.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text")
     roles = cand.select(
         "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("doc_id")
     )
@@ -855,9 +879,24 @@ def paragraph_dedup_corpus(df: DataFrame, text_col: str, id_col: str) -> DataFra
 def _md5_hex16(col_sql: str, j: int) -> str:
     """SQL for the j-th 16-bit slice of md5(col) (hex chars 4j+1..4j+4),
     decoded engine-neutrally via ``instr('0123456789abcdef', c) - 1``
-    — the same portable-nibble idiom as :func:`simhash16_md5`."""
+    — the same portable-nibble idiom as :func:`simhash16_md5`.
+
+    NOTE: inlines ``md5(col)`` into every nibble (4 evaluations per
+    slice — Spark's codegen does not CSE across these shapes). Hot
+    paths should hash once into an aliased attribute and use
+    :func:`_hex16` on the digest column instead (r14 bloom fix: 16
+    md5/row → 1)."""
     a = 4 * j + 1
     nib = lambda i: f"(instr('0123456789abcdef', substr(md5({col_sql}), {i}, 1)) - 1)"
+    return f"({nib(a)} * 4096 + {nib(a + 1)} * 256 + {nib(a + 2)} * 16 + {nib(a + 3)})"
+
+
+def _hex16(hex_col_sql: str, j: int) -> str:
+    """SQL for the j-th 16-bit slice of an ALREADY-COMPUTED md5 hex
+    string column (chars 4j+1..4j+4) — the nibble decode of
+    :func:`_md5_hex16` minus the per-nibble re-hash."""
+    a = 4 * j + 1
+    nib = lambda i: f"(instr('0123456789abcdef', substr({hex_col_sql}, {i}, 1)) - 1)"
     return f"({nib(a)} * 4096 + {nib(a + 1)} * 256 + {nib(a + 2)} * 16 + {nib(a + 3)})"
 
 
@@ -932,7 +971,7 @@ def bloom_novelty(
     from ..sources.tables import spread
 
     m_words = 2048  # m = 65536 bits in 32-bit words; positions are raw 16-bit md5 slices
-    # 4 md5 digests per row is CPU-bound work — spread the narrow
+    # the md5 digest per row is CPU-bound work — spread the narrow
     # input so a single-partition cached scan can't serialize it
     base = spread(
         df.where(F.col(text_col).isNotNull()).selectExpr(
@@ -940,7 +979,17 @@ def bloom_novelty(
         ),
         min_bytes=0,
     )
-    pos_sql = [_md5_hex16("__text", j) for j in range(k)]
+    # r14: hash ONCE per row into an aliased attribute and slice the
+    # HEX STRING for every position/nibble. The old form inlined
+    # ``md5(__text)`` inside each nibble decode — 4 nibbles × k=4
+    # positions = 16 md5 evaluations of the full document per row on
+    # both the build and probe sides (Generate/Project children get
+    # no cross-expression CSE for this shape). The digest attribute
+    # is referenced 16×, so CollapseProject keeps the projection
+    # boundary instead of re-inlining it. Same hex slices, same
+    # positions, bit-identical filter.
+    base = base.selectExpr("doc_id", "__text", "md5(__text) AS __hx")
+    pos_sql = [_hex16("__hx", j) for j in range(k)]
     corpus_words = (
         base.where(F.col("doc_id") <= split_id)
         .selectExpr("explode(array(" + ", ".join(pos_sql) + ")) AS pos")

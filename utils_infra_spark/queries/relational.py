@@ -459,8 +459,21 @@ def region_outage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W1/J2 keep-latest-per-key — batch form of the vessel-state upsert (ref ais-proxy/server.js:390-592).",
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return latest_wins(ev, "user_id", "ts", "event_id").select("user_id", "event_id", "ts", "event_type", "value")
+    # r14 (guide §2.3 — project before the exchange): select the five
+    # output columns BEFORE the keep-latest aggregate. The unprojected
+    # form carried the wide `props` JSON string inside BOTH max_by
+    # structs (ordering key and value) through the partial aggregate
+    # and the shuffle, only to drop it in the final projection —
+    # column pruning cannot reach inside an aggregate's struct
+    # arguments. Result-identical: (ts, event_id) already totally
+    # orders each key's rows (event_id is unique), so the lexicographic
+    # fall-through to the remaining columns never fires.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_wins(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
 
 
 @register(
